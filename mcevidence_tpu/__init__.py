@@ -1,0 +1,26 @@
+"""mcevidence_tpu — TPU-native Bayesian evidence estimation from MCMC chains.
+
+A from-scratch JAX/XLA/Pallas implementation of the Heavens et al. (2017,
+arXiv:1704.03472) kNN marginal-likelihood estimator with the full capability
+surface of the reference MCEvidence package: chain ingestion (CosmoMC /
+MontePython), burn-in, three thinning algorithms, auto- and cross-evidence,
+importance reweighting, prior volumes, CLI, and the Planck full-grid batch
+driver — with the O(N^2 d) nearest-neighbour sweep running on the TPU MXU and
+scaling across chips via an ICI ring.
+"""
+
+from ._version import __version__
+from .evidence import MCEvidence, evidence_fn
+from .registry import COSMO_PARAMS, extend_cosmo_params, iscosmo_param
+from .priors.params_info import get_prior_volume, params_info
+
+__all__ = [
+    "MCEvidence",
+    "evidence_fn",
+    "COSMO_PARAMS",
+    "extend_cosmo_params",
+    "iscosmo_param",
+    "get_prior_volume",
+    "params_info",
+    "__version__",
+]

@@ -1,0 +1,129 @@
+"""Chain ingestion: CosmoMC text chains and in-memory arrays.
+
+File-name resolution mirrors the reference's loader (MCEvidence.py:567-606):
+an existing file, a list of files, a wildcard pattern, ``root_<id>.txt`` via
+``idchain``, or the default glob ``root`` + ``_?.txt`` (``idpattern``).
+Column order is CosmoMC's ``weight  -lnL  param1  param2 ...``
+(MCEvidence.py:569-570).
+
+In-memory ingestion accepts:
+* dict with explicit ``samples`` / ``loglikes`` / optional ``weights`` keys —
+  the *intended* contract of the reference's dict path (its actual
+  ``dict.values()`` concatenation is broken for the shapes every caller
+  passes; SURVEY.md §3.3 / quirk Q6).  ``loglikes`` are +lnL in this path
+  (examples.py:526-529 pass emcee/pystan log-probabilities), stored
+  internally as -lnL; absent weights default to 1.
+* list/tuple of raw column matrices (one per chain, CosmoMC column order).
+
+Parsing is the hot host path for the Planck grid (tens of MB of text per
+model); ``parse_chain_file`` uses the native C++ parser when built (see
+``mcevidence_tpu/native``), falling back to pandas/numpy.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import logging
+import os
+from typing import List, Mapping, Optional, Sequence, Union
+
+import numpy as np
+
+from .preprocess import build_chain_pair
+from .records import ChainPair
+
+logger = logging.getLogger(__name__)
+
+ChainSource = Union[str, Sequence, Mapping, np.ndarray]
+
+
+def parse_chain_file(path: str) -> np.ndarray:
+    """Parse one whitespace-delimited chain file to a float64 matrix."""
+    from ..native import chainload
+    arr = chainload.load_table(path)
+    if arr is not None:
+        return arr
+    # pandas C engine is ~10x faster than np.loadtxt on big chains
+    try:
+        import pandas as pd
+        df = pd.read_csv(path, sep=r"\s+", header=None, comment="#",
+                         dtype=np.float64)
+        return df.to_numpy()
+    except Exception:
+        return np.loadtxt(path)
+
+
+def resolve_chain_files(fname: Union[str, Sequence[str]],
+                        idchain: int = 0,
+                        idpattern: str = "_?.txt") -> List[str]:
+    """Resolve a chain root/pattern/list to a concrete file list
+    (reference MCEvidence.py:574-596)."""
+    if isinstance(fname, (list, tuple)):
+        return list(fname)
+    if os.path.isfile(fname):
+        return [fname]
+    if "*" in fname or "?" in fname:
+        flist = sorted(_glob.glob(fname))
+    elif idchain > 0:
+        flist = [f"{fname}_{idchain}.txt"]
+    else:
+        flist = sorted(_glob.glob(fname + idpattern))
+    if not flist:
+        raise FileNotFoundError(f"no chain files match {fname!r} "
+                                f"(idchain={idchain}, idpattern={idpattern!r})")
+    return flist
+
+
+def load_chains(source: ChainSource, idchain: int = 0,
+                idpattern: str = "_?.txt") -> List[np.ndarray]:
+    """Load raw per-chain column matrices [weight, -lnL, theta...] from any
+    supported source."""
+    if isinstance(source, str) or (
+            isinstance(source, (list, tuple)) and source
+            and isinstance(source[0], str)):
+        flist = resolve_chain_files(source, idchain=idchain, idpattern=idpattern)
+        logger.info("reading chain files: %s", ", ".join(flist))
+        return [parse_chain_file(f) for f in flist]
+
+    if isinstance(source, Mapping):
+        return [_dict_to_columns(source)]
+
+    if isinstance(source, np.ndarray):
+        return [np.asarray(source, dtype=np.float64)]
+
+    if isinstance(source, (list, tuple)):
+        return [np.asarray(c, dtype=np.float64) for c in source]
+
+    raise TypeError(f"unsupported chain source type: {type(source)!r}")
+
+
+def _dict_to_columns(d: Mapping) -> np.ndarray:
+    """Assemble a CosmoMC column matrix from an explicit-key dict.
+
+    ``samples`` (N, d) required; ``loglikes`` (N,) +lnL (defaults to 0);
+    ``weights`` (N,) defaults to 1.  Stored as [w, -lnL, theta...].
+    """
+    if "samples" not in d:
+        raise KeyError("dict chain needs a 'samples' key (plus optional "
+                       "'loglikes' and 'weights')")
+    samples = np.atleast_2d(np.asarray(d["samples"], dtype=np.float64))
+    n = samples.shape[0]
+    lnl = np.asarray(d.get("loglikes", np.zeros(n)), dtype=np.float64).reshape(n)
+    w = np.asarray(d.get("weights", np.ones(n)), dtype=np.float64).reshape(n)
+    return np.column_stack([w, -lnl, samples])
+
+
+def ingest(source: ChainSource,
+           burnlen: float = 0.0,
+           thinlen: float = 0.0,
+           split: bool = False,
+           s1frac: float = 0.5,
+           idchain: int = 0,
+           idpattern: str = "_?.txt",
+           rng: Optional[np.random.Generator] = None,
+           split_ix: Optional[np.ndarray] = None) -> ChainPair:
+    """One-call ingestion: load -> burn -> concat -> thin -> split."""
+    chains = load_chains(source, idchain=idchain, idpattern=idpattern)
+    return build_chain_pair(chains, burnlen=burnlen, thinlen=thinlen,
+                            split=split, s1frac=s1frac, rng=rng,
+                            split_ix=split_ix)

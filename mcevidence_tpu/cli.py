@@ -1,0 +1,135 @@
+"""Command-line interface.
+
+Mirrors the reference CLI flag set (reference MCEvidence.py:1342-1474):
+``root_name`` positional plus -k/--kmax, -ic/--idchain, -np/--ndim,
+--paramsfile, --burn/--burnlen, --thin/--thinlen, -vb/--verbose,
+-pv/--pvolume, --allparams, --cross, --version — with additions for the
+TPU build: --seed, --engine, --precision, --unit-volume-fallback.
+
+Run as ``python -m mcevidence_tpu <root> [...]`` or via the ``mcevidence``
+console script.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from argparse import ArgumentParser
+
+from ._version import __version__
+from .priors.params_info import get_prior_volume
+from .registry import load_params_file
+from .utils.logging import configure
+
+DESC = ("MCEvidence (TPU-native). Returns the log Bayesian Evidence computed "
+        "using the kth NN")
+CITE = """
+**
+When using this code in published work, please cite the following paper: **
+Heavens et. al. (2017)
+Marginal Likelihoods from Monte Carlo Markov Chains
+https://arxiv.org/abs/1704.03472
+"""
+
+CROSS_HELP = """flag to split chain(s) to estimate cross Evidence.
+Cross evidence is computed using two independent chains: the nearest
+neighbour of point "A" in MCMC sample MC1 is searched in MCMC sample MC2.
+The error on the (auto) evidence is larger than the cross evidence by
+~sqrt(2)."""
+
+
+def build_parser() -> ArgumentParser:
+    p = ArgumentParser(prog="mcevidence", add_help=True, description=DESC,
+                       epilog=CITE)
+    p.add_argument("root_name",
+                   help="Root filename for MCMC chains")
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
+    p.add_argument("-k", "--kmax", dest="kmax", default=2, type=int,
+                   help="maximum K-NN: evidence reported for k=1..kmax-1")
+    p.add_argument("-ic", "--idchain", dest="idchain", default=0, type=int,
+                   help="which chain to use, e.g. 1 reads only *_1.txt "
+                        "(default=0 - use all available)")
+    p.add_argument("-np", "--ndim", dest="ndim", default=None, type=int,
+                   help="how many parameters to use (default - all params)")
+    p.add_argument("--paramsfile", dest="paramsfile", default="", type=str,
+                   help="text file of additional parameter names to treat as "
+                        "cosmological")
+    p.add_argument("--burn", "--burnlen", dest="burnlen", default=0,
+                   type=float,
+                   help="burn-in length or fraction (burnlen<1 means "
+                        "fraction, e.g. 0.3)")
+    p.add_argument("--thin", "--thinlen", dest="thinlen", default=0,
+                   type=float,
+                   help="thinning: 0<thinlen<1 Poisson-samples weights; "
+                        "thinlen>1 getdist weighted thinning")
+    p.add_argument("-vb", "--verbose", dest="verbose", default=1, type=int,
+                   help="0: warnings, 1: info, 2: debug")
+    p.add_argument("-pv", "--pvolume", dest="priorvolume", default=None,
+                   type=float,
+                   help="prior volume to use when *.ranges / log.param "
+                        "metadata is unavailable")
+    p.add_argument("--allparams", action="store_true",
+                   help="use all params (skip the cosmo-parameter filter)")
+    p.add_argument("--cross", action="store_true", help=CROSS_HELP)
+    # TPU-build additions
+    p.add_argument("--seed", default=None, type=int,
+                   help="RNG seed for split/thinning (default: "
+                        "nondeterministic, like the reference)")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "pallas", "xla"],
+                   help="kNN selection engine")
+    p.add_argument("--precision", default="refine",
+                   choices=["refine", "fast"],
+                   help="'refine': f32 select + f64 exact refinement "
+                        "(sklearn-parity); 'fast': all-f32 device path")
+    p.add_argument("--unit-volume-fallback", action="store_true",
+                   help="proceed with prior_volume=1 when metadata files are "
+                        "missing (results then include the prior ratio)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    configure(args.verbose)
+    logger = logging.getLogger(__name__)
+
+    if args.paramsfile:
+        names = load_params_file(args.paramsfile)
+        print(f"Adding additional parameter names to cosmo_params list "
+              f"from {args.paramsfile}..")
+        print("adding the following names:", names)
+
+    try:
+        prior_volume, ndim_meta = get_prior_volume(
+            args.root_name, cosmo=not args.allparams,
+            priorvolume=args.priorvolume,
+            allow_unit_fallback=args.unit_volume_fallback
+            or args.priorvolume is not None)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        print("hint: pass -pv/--pvolume or --unit-volume-fallback to proceed "
+              "without prior metadata", file=sys.stderr)
+        return 2
+    ndim = args.ndim if args.ndim is not None else ndim_meta
+
+    from .evidence import MCEvidence   # deferred: jax import is slow
+    print()
+    print("Using file: ", args.root_name)
+    mce = MCEvidence(args.root_name, split=args.cross, ndim=ndim,
+                     priorvolume=prior_volume, idchain=args.idchain,
+                     kmax=args.kmax, verbose=args.verbose,
+                     burnlen=args.burnlen, thinlen=args.thinlen,
+                     seed=args.seed, engine=args.engine,
+                     precision=args.precision)
+    mle = mce.evidence()
+    for k in range(1, mce.kmax):
+        print(f"   ln(B)[k={k}] = {mle[k - 1]}")
+    print("* ln(B)[k] is the natural logarithm of the Bayesian evidence "
+          "estimated using the kth Nearest Neighbour.")
+    print(CITE)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,324 @@
+"""Public evidence-estimation API.
+
+``MCEvidence`` is a drop-in facade matching the reference's constructor and
+``evidence()`` signatures (reference MCEvidence.py:613-1168); ``evidence_fn``
+is the idiomatic functional core for users who already hold arrays.
+
+Pipeline per batch (reference call stack, SURVEY.md §3.1):
+  host ingest (burn/thin/split) -> whiten -> exact kNN (MXU) -> fused
+  log-space estimator.
+
+Precision modes:
+* "refine" (default): f32 MXU candidate selection + exact float64 distance
+  refinement + float64 estimator — matches a float64 sklearn/numpy oracle to
+  ~1e-9 in ln Z (the <1e-6 parity target, BASELINE.md).
+* "fast": everything stays on device in float32 (bench / production mode).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .chains.preprocess import importance_sample
+from .chains.reader import ingest
+from .chains.records import ChainPair
+from .ops.estimator import log_evidence_from_knn_np
+from .ops.knn import exact_knn
+from .ops.whiten import WhitenStats, apply_whiten, whiten_stats
+from .utils.batch import BatchPlan, make_batch_plan
+from .utils.logging import configure, verbosity_to_level
+
+logger = logging.getLogger(__name__)
+
+
+def evidence_fn(samples: np.ndarray,
+                lnlike: np.ndarray,
+                weights: Optional[np.ndarray] = None,
+                *,
+                samples2: Optional[np.ndarray] = None,
+                lnlike2: Optional[np.ndarray] = None,
+                weights2: Optional[np.ndarray] = None,
+                kmax: int = 5,
+                prior_volume: float = 1.0,
+                sum_adjusted_weights: Optional[float] = None,
+                covtype: str = "all",
+                prewhiten: bool = True,
+                precision: str = "refine",
+                engine: str = "auto") -> np.ndarray:
+    """Functional evidence estimate from raw arrays.
+
+    Auto mode when ``samples2`` is None, cross mode otherwise (NN of
+    ``samples`` searched in ``samples2``).  Returns ln Z for k = 1..kmax-1.
+
+    Args mirror the estimator: ``lnlike`` is +lnL; ``weights`` default to 1.
+    ``covtype='all'`` whitens with the covariance of all samples (s1+s2),
+    ``'single'`` whitens each partition with its own covariance (Jacobian
+    from s1) — reference semantics (MCEvidence.py:1034-1037,1052-1054,
+    1080-1086).
+    """
+    kmax = max(2, kmax)
+    samples = np.atleast_2d(np.asarray(samples, np.float64))
+    n, ndim = samples.shape
+    lnlike = np.asarray(lnlike, np.float64).reshape(n)
+    w = (np.ones(n) if weights is None
+         else np.asarray(weights, np.float64).reshape(n))
+    sumw = float(np.sum(w)) if sum_adjusted_weights is None \
+        else float(sum_adjusted_weights)
+
+    cross = samples2 is not None
+    if cross:
+        samples2 = np.atleast_2d(np.asarray(samples2, np.float64))
+
+    if prewhiten:
+        if covtype == "all":
+            all_s = np.concatenate([samples, samples2]) if cross else samples
+            stats = whiten_stats(all_s)
+            s1w = apply_whiten(samples, stats)
+            s2w = apply_whiten(samples2, stats) if cross else None
+        else:
+            stats = whiten_stats(samples)
+            s1w = apply_whiten(samples, stats)
+            s2w = None
+            if cross:
+                stats2 = whiten_stats(samples2)
+                s2w = apply_whiten(samples2, stats2)
+        log_j = stats.log_jacobian
+    else:
+        s1w, s2w, log_j = samples, samples2, 0.0
+
+    refine = precision == "refine"
+    dknn = exact_knn(s1w, s2w if cross else None, kmax,
+                     refine=refine, engine=engine)
+    k_start = 0 if cross else 1
+    mle = log_evidence_from_knn_np(
+        dknn, lnlike, w, sumw, ndim,
+        log_jacobian=log_j, log_prior_volume=math.log(prior_volume),
+        k_start=k_start, nsamples=n)
+    return mle[1:]
+
+
+class MCEvidence:
+    """Evidence estimation from MCMC chains (facade compatible with the
+    reference class, MCEvidence.py:613-783).
+
+    :param method: chain file root/list/glob (str), raw arrays
+        (list/tuple/dict with 'samples'/'loglikes'/'weights' keys), or — with
+        ``ischain=False`` — a sampler class/instance exposing
+        ``Sampler(nsamples) -> (samples, lnlike)``.
+    :param split: cross-evidence mode — the chain is randomly split and NNs of
+        s1 are searched in s2 (sqrt(2) smaller error; reference
+        MCEvidence.py:956-962).
+    :param kmax: evidence is returned for k = 1..kmax-1 (floored at 2,
+        reference MCEvidence.py:694).
+    :param seed: RNG seed for split / Poisson thinning / random subsampling
+        (the reference uses the unseeded global RNG — quirk Q8).
+    :param precision: 'refine' (float64-parity, default) or 'fast' (f32).
+    :param engine: kNN selection engine: 'auto', 'pallas', or 'xla'.
+    """
+
+    def __init__(self, method, ischain: bool = True,
+                 isfunc: Optional[Callable] = None,
+                 thinlen: float = 0.0, burnlen: float = 0.0,
+                 split: bool = False, s1frac: float = 0.5,
+                 shuffle: bool = True,
+                 ndim: Optional[int] = None, kmax: int = 5,
+                 priorvolume: float = 1,
+                 debug: bool = False,
+                 nsample: Optional[int] = None,
+                 covtype: str = "single",
+                 nbatch: int = 1, brange=None, bscale: str = "",
+                 verbose: int = 1, args=(),
+                 seed: Optional[int] = None,
+                 precision: str = "refine",
+                 engine: str = "auto",
+                 **gdkwargs):
+        configure(2 if (debug or verbose > 1) else verbose)
+        self.verbose = verbose
+        self.debug = debug or verbose > 1
+        logger.setLevel(verbosity_to_level(2 if self.debug else verbose))
+
+        self.split = split
+        self.covtype = covtype
+        self.nbatch = nbatch
+        self.brange = brange
+        self.bscale = bscale if not isinstance(brange, int) else "constant"
+        self.kmax = max(2, kmax)
+        self.priorvolume = priorvolume
+        self.ischain = ischain
+        self.precision = precision
+        self.engine = engine
+        self.rng = np.random.default_rng(seed)
+        self.info: dict = {}
+        self.timings: dict = {}
+        self.fname = method if isinstance(method, str) else None
+        self.snames = ["s1", "s2"] if split else ["s1"]
+
+        if not ischain:
+            # sampler-class path, fixed from the reference's broken
+            # nsample/nsamples typo (quirk Q3, MCEvidence.py:715-743).
+            self.nsample_req = 100000 if nsample is None else nsample
+            sampler_obj = method(*args) if isinstance(method, type) else method
+            samples, lnlike = sampler_obj.Sampler(nsamples=self.nsample_req)
+            method = {"samples": np.asarray(samples),
+                      "loglikes": np.asarray(lnlike)}
+
+        t0 = time.perf_counter()
+        idchain = gdkwargs.pop("idchain", 0)
+        idpattern = gdkwargs.pop("idpattern", "_?.txt")
+        self.pair: ChainPair = ingest(
+            method, burnlen=burnlen, thinlen=thinlen, split=split,
+            s1frac=s1frac, idchain=idchain, idpattern=idpattern, rng=self.rng)
+        self.timings["ingest_s"] = time.perf_counter() - t0
+
+        if isfunc is not None:
+            self.pair = importance_sample(self.pair, isfunc,
+                                          names=tuple(self.snames))
+
+        nparam = self.pair.get_shape("all")[1]
+        self.info["NparamsMC"] = nparam
+        self.info["Nsamples_read"] = self.pair.get_shape("all")[0]
+        self.info["Nparams_read"] = nparam
+        self.nsample = [self.pair.get_shape(s)[0] for s in self.snames]
+        self.ndim = nparam if ndim is None else ndim
+        self.info["NparamsCosmo"] = self.ndim
+        self.info["Nsamples"] = ", ".join(str(x) for x in self.nsample)
+        logger.info("chain array dimensions: %s x %s", self.nsample, self.ndim)
+
+        self.batch_plan: BatchPlan = make_batch_plan(
+            self.nsample, nbatch=self.nbatch, brange=self.brange,
+            bscale=self.bscale)
+
+    # ------------------------------------------------------------------
+    def summary(self):
+        print()
+        print(f"ndim={self.ndim}")
+        print(f"nsample={self.nsample}")
+        print(f"kmax={self.kmax}")
+        print(f"brange={self.brange}")
+        print(f"bsize={self.batch_plan.bsize}")
+        print(f"powers={self.batch_plan.powers}")
+        print(f"nchain={self.batch_plan.nchain}")
+        print()
+
+    # ------------------------------------------------------------------
+    def _get_batch(self, name: str, nsamples: int, rand: bool):
+        """Row subset of a partition, trimmed to ndim leading params
+        (reference get_samples, MCEvidence.py:884-947, prewhiten=False)."""
+        part = self.pair.partition(name)
+        ntot = part.nsamples
+        s, lnp, w = part.samples[:, :self.ndim], part.lnp(), part.weights
+        if nsamples <= 0:
+            return s, lnp, w
+        if rand and self.brange is not None:
+            if nsamples > ntot:
+                raise ValueError(
+                    f"partition {name}: nsamples={nsamples} > ntotal={ntot}")
+            idx = self.rng.integers(0, ntot, size=nsamples)
+        else:
+            idx = np.arange(nsamples)
+        return s[idx], lnp[idx], w[idx]
+
+    def _stats_all(self) -> WhitenStats:
+        """Covariance stats over all samples of all partitions
+        (reference get_covariance with s=None, MCEvidence.py:851-866)."""
+        return whiten_stats(self.pair.all_samples()[:, :self.ndim])
+
+    # ------------------------------------------------------------------
+    def evidence(self, verbose: Optional[int] = None, rand: bool = False,
+                 info: bool = False, covtype: str = "all",
+                 profile: bool = False, pvolume: Optional[float] = None,
+                 pos_lnp: bool = False, nproc: int = -1,
+                 prewhiten: bool = True):
+        """Estimate ln Z (reference MCEvidence.py:950-1168).
+
+        Returns a 1-D array of ln Z for k = 1..kmax-1 when ``brange`` is None,
+        else a 2-D (nbatch, kmax-1) array; with ``info=True`` additionally
+        returns the info dict.  ``covtype`` defaults to 'all' regardless of
+        the constructor value unless explicitly passed None (quirk Q1).
+        """
+        if verbose is None:
+            verbose = self.verbose
+        log_pv = math.log(self.priorvolume if pvolume is None else pvolume)
+        if covtype is None:
+            covtype = self.covtype
+
+        kmax, ndim = self.kmax, self.ndim
+        mle = np.zeros((self.nbatch, kmax))
+        t_whiten = t_knn = t_est = 0.0
+
+        if covtype == "all":
+            t0 = time.perf_counter()
+            stats = self._stats_all()
+            t_whiten += time.perf_counter() - t0
+
+        sum_w = float(np.sum(self.pair.s1.adjusted_weights))
+
+        for ib, S in enumerate(self.batch_plan.batch_sizes_s1()):
+            S = int(S)
+            samples, lnl, weight = self._get_batch("s1", S, rand)
+            S_eff = samples.shape[0]
+            if pos_lnp:
+                lnl = -lnl
+
+            t0 = time.perf_counter()
+            if prewhiten:
+                if covtype == "single":
+                    stats = whiten_stats(samples)
+                s1w = apply_whiten(samples, stats)
+            else:
+                s1w = samples
+            t_whiten += time.perf_counter() - t0
+
+            if self.split:
+                samples2, _, _ = self._get_batch("s2", 0, rand)
+                t0 = time.perf_counter()
+                if prewhiten:
+                    # covtype='single': s2 whitened by its own covariance,
+                    # Jacobian stays from s1's stats (reference
+                    # MCEvidence.py:1080-1086, commented-out Jacobian line).
+                    stats2 = whiten_stats(samples2) if covtype == "single" \
+                        else stats
+                    s2w = apply_whiten(samples2, stats2)
+                else:
+                    s2w = samples2
+                t_whiten += time.perf_counter() - t0
+                k_start = 0
+                ref = s2w
+            else:
+                k_start = 1
+                ref = None
+
+            log_j = stats.log_jacobian if prewhiten else 0.0
+
+            t0 = time.perf_counter()
+            dknn = exact_knn(s1w, ref, kmax,
+                             refine=self.precision == "refine",
+                             engine=self.engine)
+            t_knn += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            mle[ib, :] = log_evidence_from_knn_np(
+                dknn, lnl, weight, sum_w, ndim,
+                log_jacobian=log_j, log_prior_volume=log_pv,
+                k_start=k_start, nsamples=S_eff)
+            t_est += time.perf_counter() - t0
+
+        self.timings.update(whiten_s=t_whiten, knn_s=t_knn, estimator_s=t_est)
+        if profile:
+            logger.info("profile: %s", self.timings)
+
+        # column k=0 dropped always (quirk Q2: in cross mode this discards
+        # the genuine 1st-NN estimate, preserved for parity).
+        out = mle[0, 1:] if self.brange is None else mle[:, 1:]
+        if verbose > 0:
+            flat = np.atleast_2d(out)
+            for k in range(1, kmax):
+                logger.info("   ln(B)[k=%d] = %s", k, flat[-1][k - 1])
+        if info:
+            return out, self.info
+        return out

@@ -1,0 +1,129 @@
+"""Whitening (pre-whitening) of posterior samples.
+
+The reference whitens by rotating samples into the covariance eigenbasis and
+rescaling each axis to unit variance, with Jacobian = sqrt(det(C)); if any
+eigenvalue is negative it warns and skips whitening with Jacobian = 1
+(reference MCEvidence.py:842-947).
+
+kNN *distances* are invariant to which unit-covariance whitener is used (any
+two differ by an orthogonal map), so we use the symmetric ``eigh`` instead of
+the reference's general ``eig`` — better conditioned, never complex, same
+distances and same Jacobian (SURVEY.md §2.4).
+
+Two implementations:
+* numpy float64 (host) — the parity path; whitening is O(N d^2), not worth a
+  device round-trip on its own.
+* jnp — used inside the fused single-jit device program and the sharded
+  (psum-moments) multi-device path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class WhitenStats:
+    """Covariance eigen-decomposition + Jacobian for a sample set."""
+
+    cov: np.ndarray          # (d, d)
+    eigvals: np.ndarray      # (d,)
+    eigvecs: np.ndarray      # (d, d) columns
+    log_jacobian: float      # ln sqrt(det C); 0.0 when not positive definite
+    posdef: bool             # False => whitening skipped (reference fallback)
+
+    @property
+    def jacobian(self) -> float:
+        return float(np.exp(self.log_jacobian))
+
+
+def covariance(samples: np.ndarray) -> np.ndarray:
+    """Sample covariance with the reference's normalization (np.cov: rows are
+    variables, ddof=1; reference MCEvidence.py:865,916)."""
+    return np.cov(np.asarray(samples, dtype=np.float64).T)
+
+
+def whiten_stats(samples: np.ndarray) -> WhitenStats:
+    """Eigen-decompose the sample covariance; detect the degenerate case.
+
+    Negative eigenvalue => warn and mark non-posdef: callers then skip the
+    rotation and use Jacobian=1 (reference MCEvidence.py:867-878,920-931).
+    """
+    c = covariance(samples)
+    c = np.atleast_2d(c)
+    eigvals, eigvecs = np.linalg.eigh(c)
+    if np.any(eigvals < 0):
+        logger.warning(
+            "covariance has negative eigenvalues %s: chain not whitened, "
+            "estimated evidence may be inaccurate (consider fewer params "
+            "via ndim)", eigvals)
+        return WhitenStats(cov=c, eigvals=eigvals, eigvecs=eigvecs,
+                           log_jacobian=0.0, posdef=False)
+    # ln J = 0.5 ln det C = 0.5 sum ln eigvals
+    log_j = 0.5 * float(np.sum(np.log(eigvals)))
+    return WhitenStats(cov=c, eigvals=eigvals, eigvecs=eigvecs,
+                       log_jacobian=log_j, posdef=True)
+
+
+def apply_whiten(samples: np.ndarray, stats: WhitenStats) -> np.ndarray:
+    """Rotate + rescale samples to unit covariance (reference
+    ``diagonalise_chain``, MCEvidence.py:842-849).  No-op when not posdef."""
+    if not stats.posdef:
+        return np.asarray(samples, dtype=np.float64)
+    s = np.asarray(samples, dtype=np.float64)
+    return (s @ stats.eigvecs) / np.sqrt(stats.eigvals)
+
+
+# --------------------------------------------------------------------------
+# jnp variants (device path)
+# --------------------------------------------------------------------------
+
+def whiten_jnp(samples: jnp.ndarray):
+    """Fused device whitening: returns (whitened, log_jacobian, posdef).
+
+    Uses a ``jnp.where`` select instead of Python control flow so it traces
+    under jit.  Non-posdef covariances fall back to the identity transform
+    with log_jacobian = 0, matching the host path.
+    """
+    s = samples
+    mu = jnp.mean(s, axis=0, keepdims=True)
+    xc = s - mu
+    n = s.shape[0]
+    cov = jnp.dot(xc.T, xc, precision=jax.lax.Precision.HIGHEST) / (n - 1)
+    eigvals, eigvecs = jnp.linalg.eigh(cov)
+    posdef = jnp.all(eigvals > 0)
+    safe_vals = jnp.where(eigvals > 0, eigvals, 1.0)
+    log_j = jnp.where(posdef, 0.5 * jnp.sum(jnp.log(safe_vals)), 0.0)
+    white = jnp.dot(s, eigvecs,
+                    precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(safe_vals)
+    white = jnp.where(posdef, white, s)
+    return white, log_j, posdef
+
+
+def whiten_moments(samples: jnp.ndarray, axis_name: Optional[str] = None):
+    """Covariance from distributed first/second moments.
+
+    For ``shard_map`` execution: each shard contributes (n, sum x, sum x x^T)
+    and the moments are combined with ``psum`` over ``axis_name`` — the
+    TPU-native replacement for gathering all samples to compute ``np.cov``
+    (SURVEY.md §7 step 6).  Returns the (d, d) covariance (ddof=1).
+    """
+    n = jnp.asarray(samples.shape[0], dtype=samples.dtype)
+    sx = jnp.sum(samples, axis=0)
+    sxx = jnp.dot(samples.T, samples, precision=jax.lax.Precision.HIGHEST)
+    if axis_name is not None:
+        n = jax.lax.psum(n, axis_name)
+        sx = jax.lax.psum(sx, axis_name)
+        sxx = jax.lax.psum(sxx, axis_name)
+    mean = sx / n
+    cov = (sxx - n * jnp.outer(mean, mean)) / (n - 1.0)
+    return cov

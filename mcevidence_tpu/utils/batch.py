@@ -1,0 +1,79 @@
+"""Batching semantics (nbatch / brange / bscale).
+
+Replicates the reference's batch bookkeeping (MCEvidence.py:797-840):
+* brange None      — one batch covering each whole partition.
+* bscale 'logpower'— batch sizes 10^linspace(powmin, powmax, nbatch).
+* bscale 'linear'  — batch sizes linspace(powmin, powmax, nbatch)
+  (the reference NameErrors on this branch — quirk Q4; implemented properly).
+* otherwise       — 'constant': bsize = brange, batch sample counts are the
+  cumulative sums of bsize (growing prefixes).
+
+Batches are prefixes of the chain (the reference's ``istart=itot`` is never
+advanced, so every batch starts at row 0) or uniform-random row subsets when
+``rand=True`` (reference MCEvidence.py:884-899,1041-1048).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchPlan:
+    nbatch: int
+    powers: np.ndarray   # (nbatch, npartitions) log10 of batch sizes
+    bsize: Optional[np.ndarray]   # (nbatch, npartitions) or None (brange=None)
+    nchain: np.ndarray   # (nbatch, npartitions) samples analysed per batch
+
+    def batch_sizes_s1(self) -> np.ndarray:
+        """S per batch (reference uses nchain column 0: MCEvidence.py:1041-1042)."""
+        return self.nchain[:, 0].astype(int)
+
+
+def get_batch_range(brange) -> tuple:
+    bmin = float(np.min(np.asarray(brange)))
+    bmax = float(np.max(np.asarray(brange)))
+    return bmin, bmax
+
+
+def make_batch_plan(nsamples: Sequence[int], nbatch: int = 1,
+                    brange: Optional[Union[int, Sequence]] = None,
+                    bscale: str = "") -> BatchPlan:
+    npart = len(nsamples)
+    if isinstance(brange, int):
+        bscale = "constant"   # reference MCEvidence.py:680
+
+    if brange is None:
+        powers = np.zeros((nbatch, npart))
+        nchain = np.zeros((nbatch, npart), dtype=int)
+        for ix, nn in enumerate(nsamples):
+            nchain[0, ix] = nn
+            powers[0, ix] = np.log10(max(nn, 1))
+        return BatchPlan(nbatch=nbatch, powers=powers, bsize=None, nchain=nchain)
+
+    powmin, powmax = get_batch_range(brange)
+    if powmin == powmax and nbatch > 1:
+        raise ValueError("nbatch>1 but batch range is zero")
+
+    powers = np.zeros((nbatch, npart))
+    bsize = np.zeros((nbatch, npart), dtype=int)
+    if bscale == "logpower":
+        for ix in range(npart):
+            powers[:, ix] = np.linspace(powmin, powmax, nbatch)
+            bsize[:, ix] = np.power(10.0, powers[:, ix]).astype(int)
+        nchain = bsize.copy()
+    elif bscale == "linear":
+        for ix in range(npart):
+            bsize[:, ix] = np.linspace(powmin, powmax, nbatch).astype(int)
+            powers[:, ix] = np.log10(np.maximum(bsize[:, ix], 1))
+        nchain = bsize.copy()
+    else:  # constant
+        bsize[:, :] = np.asarray(brange, dtype=int)
+        powers[:, :] = np.arange(nbatch, dtype=float)[:, None]
+        nchain = np.zeros((nbatch, npart), dtype=int)
+        for ix in range(npart):
+            nchain[:, ix] = np.cumsum(bsize[:, ix])
+    return BatchPlan(nbatch=nbatch, powers=powers, bsize=bsize, nchain=nchain)

@@ -1,0 +1,166 @@
+"""Evidence estimator tests: sklearn/float64 oracle parity and analytic truth
+(SURVEY.md §4b-c; north-star parity target |dlnZ| < 1e-6, BASELINE.md)."""
+
+import math
+
+import numpy as np
+import pytest
+import scipy.special as sp
+from sklearn.neighbors import NearestNeighbors
+
+from mcevidence_tpu import MCEvidence, evidence_fn
+from tests.conftest import make_gaussian_chain
+
+
+def oracle_auto_evidence(theta, lnl, weights, kmax, prior_volume=1.0):
+    """Independent float64 implementation of the Heavens et al. estimator
+    using sklearn, mirroring the reference formula (MCEvidence.py:1107-1131)."""
+    n, ndim = theta.shape
+    cov = np.cov(theta.T)
+    ev, evec = np.linalg.eigh(cov)
+    jac = math.sqrt(np.linalg.det(cov))
+    s = (theta @ evec) / np.sqrt(ev)
+    D, _ = NearestNeighbors(n_neighbors=kmax + 1).fit(s).kneighbors(s)
+    lmax = lnl.max()
+    fs = np.exp(lnl - lmax)
+    out = []
+    for k in range(1, kmax):
+        vol = math.pi ** (ndim / 2) * D[:, k] ** ndim / sp.gamma(1 + ndim / 2)
+        dotp = np.dot(vol / weights, fs)
+        amax = dotp / (n * k + 1.0)
+        out.append(math.log(weights.sum() * amax * jac) + lmax
+                   - math.log(prior_volume))
+    return np.array(out)
+
+
+def test_parity_vs_sklearn_oracle(gaussian_chain):
+    theta, lnl = gaussian_chain
+    w = np.ones(len(theta))
+    ours = evidence_fn(theta, lnl, kmax=4, engine="xla")
+    oracle = oracle_auto_evidence(theta, lnl, w, kmax=4)
+    np.testing.assert_allclose(ours, oracle, rtol=0, atol=1e-6)
+
+
+def test_parity_with_weights(rng):
+    theta, lnl = make_gaussian_chain(rng, n=1500, ndim=3)
+    w = rng.integers(1, 5, size=len(theta)).astype(float)
+    ours = evidence_fn(theta, lnl, weights=w, kmax=3, engine="xla")
+    oracle = oracle_auto_evidence(theta, lnl, w, kmax=3)
+    np.testing.assert_allclose(ours, oracle, atol=1e-6)
+
+
+def test_analytic_gaussian_truth(rng):
+    # Samples drawn exactly from a normalized Gaussian likelihood:
+    # integral L dtheta = 1, so with V_prior = 1, lnZ -> 0.
+    theta, lnl = make_gaussian_chain(rng, n=4000, ndim=4)
+    lnz = evidence_fn(theta, lnl, kmax=2, engine="xla")
+    assert abs(lnz[0]) < 0.15
+
+
+def test_prior_volume_shift(gaussian_chain):
+    theta, lnl = gaussian_chain
+    z1 = evidence_fn(theta, lnl, kmax=2, prior_volume=1.0, engine="xla")
+    z2 = evidence_fn(theta, lnl, kmax=2, prior_volume=10.0, engine="xla")
+    np.testing.assert_allclose(z1 - z2, math.log(10.0), atol=1e-12)
+
+
+def test_cross_evidence(rng):
+    theta, lnl = make_gaussian_chain(rng, n=3000, ndim=3)
+    half = len(theta) // 2
+    lnz = evidence_fn(theta[:half], lnl[:half],
+                      samples2=theta[half:], kmax=3, engine="xla")
+    # cross evidence on an exact-likelihood chain is also ~0...
+    assert abs(lnz[0]) < 0.25
+    # ...and quirk Q2 holds: returned columns are 2nd..kmax-th NN (the k=0
+    # genuine 1st-NN column is computed then dropped).
+    assert lnz.shape == (2,)
+
+
+def test_facade_dict_chain(gaussian_chain):
+    theta, lnl = gaussian_chain
+    mce = MCEvidence({"samples": theta, "loglikes": lnl},
+                     kmax=3, verbose=0, engine="xla")
+    out = mce.evidence()
+    assert out.shape == (2,)
+    oracle = oracle_auto_evidence(theta, lnl, np.ones(len(theta)), kmax=3)
+    np.testing.assert_allclose(out, oracle, atol=1e-6)
+    assert mce.info["Nsamples_read"] == len(theta)
+    assert mce.info["NparamsCosmo"] == theta.shape[1]
+
+
+def test_facade_kmax_floor(gaussian_chain):
+    theta, lnl = gaussian_chain
+    mce = MCEvidence({"samples": theta, "loglikes": lnl},
+                     kmax=0, verbose=0, engine="xla")
+    assert mce.kmax == 2   # reference floors kmax at 2 (MCEvidence.py:694)
+
+
+def test_facade_sampler_class(rng):
+    # ischain=False path, fixed from reference quirk Q3.
+    class ToySampler:
+        ndim = 3
+
+        def Sampler(self, nsamples=1000):
+            return make_gaussian_chain(np.random.default_rng(7),
+                                       n=nsamples, ndim=3)
+
+    mce = MCEvidence(ToySampler(), ischain=False, nsample=1200,
+                     kmax=2, verbose=0, engine="xla")
+    out = mce.evidence()
+    assert out.shape == (1,)
+    assert abs(out[0]) < 0.3
+
+
+def test_facade_split_cross(rng):
+    theta, lnl = make_gaussian_chain(rng, n=3000, ndim=3)
+    mce = MCEvidence({"samples": theta, "loglikes": lnl}, split=True,
+                     kmax=2, verbose=0, seed=0, engine="xla")
+    assert mce.pair.split
+    assert mce.pair.s1.nsamples == 1500
+    out = mce.evidence()
+    assert abs(out[0]) < 0.3
+
+
+def test_facade_importance_sampling(gaussian_chain):
+    theta, lnl = gaussian_chain
+    # reweighting by a constant factor exp(-c) shifts SumW only: lnZ shifts
+    # by -c exactly (quirk Q7 semantics).
+    c = 0.7
+    base = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2,
+                      verbose=0, engine="xla").evidence()
+    rew = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2, verbose=0,
+                     isfunc=lambda s: np.full(len(s), c),
+                     engine="xla").evidence()
+    np.testing.assert_allclose(rew - base, -c, atol=1e-12)
+
+
+def test_facade_batching_brange(rng):
+    theta, lnl = make_gaussian_chain(rng, n=2000, ndim=3)
+    mce = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2, verbose=0,
+                     nbatch=2, brange=[2.5, 3.0], bscale="logpower",
+                     engine="xla")
+    out = mce.evidence()
+    assert out.shape == (2, 1)   # (nbatch, kmax-1)
+    # batch sizes 10^2.5, 10^3
+    np.testing.assert_array_equal(mce.batch_plan.batch_sizes_s1(), [316, 1000])
+
+
+def test_facade_bscale_linear_works(rng):
+    # reference NameErrors on bscale='linear' (quirk Q4); ours must work.
+    theta, lnl = make_gaussian_chain(rng, n=1000, ndim=3)
+    mce = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2, verbose=0,
+                     nbatch=2, brange=[300, 600], bscale="linear",
+                     engine="xla")
+    np.testing.assert_array_equal(mce.batch_plan.batch_sizes_s1(), [300, 600])
+    out = mce.evidence()
+    assert out.shape == (2, 1)
+
+
+def test_pos_lnp_flag(gaussian_chain):
+    theta, lnl = gaussian_chain
+    a = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2, verbose=0,
+                   engine="xla").evidence()
+    # feeding -lnL and flipping pos_lnp must give the identical result
+    b = MCEvidence({"samples": theta, "loglikes": -lnl}, kmax=2, verbose=0,
+                   engine="xla").evidence(pos_lnp=True)
+    np.testing.assert_allclose(a, b, atol=1e-12)

@@ -1,0 +1,35 @@
+"""Pallas kernel correctness in interpreter mode (runs on the CPU suite;
+the compiled kernel is exercised on real TPU by bench.py / __graft_entry__)."""
+
+import numpy as np
+import pytest
+from sklearn.neighbors import NearestNeighbors
+
+import jax.numpy as jnp
+
+from mcevidence_tpu.ops.knn_pallas import knn_select_pallas
+
+
+@pytest.mark.parametrize("n,d,k", [(300, 5, 6), (517, 3, 4)])
+def test_pallas_self_mode_interpret(rng, n, d, k):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    d2, idx = knn_select_pallas(jnp.asarray(x), jnp.asarray(x), k,
+                                self_mode=True, interpret=True)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=k).fit(x).kneighbors(x)
+    assert np.all(idx[:, 0] == np.arange(n))
+    assert np.all(d2[:, 0] == 0.0)
+    np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(sk_i, axis=1))
+    np.testing.assert_allclose(np.sqrt(d2), sk_d, atol=1e-4)
+
+
+def test_pallas_cross_mode_interpret(rng):
+    q = rng.normal(size=(130, 4)).astype(np.float32)
+    r = rng.normal(size=(1030, 4)).astype(np.float32)   # 2 ref tiles + padding
+    d2, idx = knn_select_pallas(jnp.asarray(q), jnp.asarray(r), 5,
+                                interpret=True)
+    idx = np.asarray(idx)
+    assert np.all(idx >= 0) and np.all(idx < 1030)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=5).fit(r).kneighbors(q)
+    np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(sk_i, axis=1))
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), sk_d, atol=1e-4)

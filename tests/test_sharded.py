@@ -1,0 +1,46 @@
+"""Multi-device tests on the fake 8-device CPU mesh (SURVEY.md §4e):
+sharded ring-kNN evidence must match the single-device estimator."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from mcevidence_tpu import evidence_fn
+from mcevidence_tpu.parallel.ring import sharded_auto_evidence
+from tests.conftest import make_gaussian_chain
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = np.array(jax.devices())
+    assert len(devs) >= 8, "conftest should have forced 8 CPU devices"
+    return Mesh(devs[:8], ("ring",))
+
+
+# NOTE: the sharded path runs everything (whitening, eigh, logsumexp) in
+# f32 on device, while the single-device comparison whitens in f64 on the
+# host, so ~1e-3 absolute agreement is the expected f32 envelope.
+def test_sharded_matches_single_device(rng, mesh8):
+    theta, lnl = make_gaussian_chain(rng, n=1024, ndim=4)
+    single = evidence_fn(theta, lnl, kmax=4, precision="fast", engine="xla")
+    multi = sharded_auto_evidence(theta, lnl, kmax=4, mesh=mesh8)
+    np.testing.assert_allclose(multi, single, atol=2e-3)
+
+
+def test_sharded_uneven_padding(rng, mesh8):
+    # N=1001 not divisible by 8: padded rows must not perturb the result.
+    theta, lnl = make_gaussian_chain(rng, n=1001, ndim=3)
+    single = evidence_fn(theta, lnl, kmax=3, precision="fast", engine="xla")
+    multi = sharded_auto_evidence(theta, lnl, kmax=3, mesh=mesh8)
+    np.testing.assert_allclose(multi, single, atol=2e-3)
+
+
+def test_sharded_with_weights(rng, mesh8):
+    theta, lnl = make_gaussian_chain(rng, n=512, ndim=3)
+    w = rng.integers(1, 4, size=len(theta)).astype(float)
+    single = evidence_fn(theta, lnl, weights=w, kmax=2, precision="fast",
+                         engine="xla")
+    multi = sharded_auto_evidence(theta, lnl, weights=w, kmax=2, mesh=mesh8)
+    np.testing.assert_allclose(multi, single, atol=2e-3)
