@@ -1,0 +1,448 @@
+"""Planck full-grid batch driver.
+
+Re-implements the reference's MPI grid driver (planck_mcevidence.py:1-485):
+evidence for every model x dataset cell of the Planck R2 full grid, with
+per-dataset tables (txt + csv), per-chain mean/error columns, delta-lnE
+aggregation, pickles, and the Riess-2016 H0 importance-prior hook.
+
+Parallelism, TPU-style: one process drives the single accelerator through
+every cell (the O(N^2) sweeps batch onto the MXU back-to-back; the grid took
+the reference ~30 min on CPU).  For multi-host fan-out the driver shards the
+dataset list deterministically with ``--num-shards/--shard-id`` (the
+embarrassing data-parallel axis the reference used MPI ranks for, with its
+remainder bug Q10 fixed) and ``--aggregate`` merges shard outputs — the
+DCN-level replacement for ``comm.gather``.
+
+Chain text parsing — the host-side bottleneck — uses the native C++ loader
+(mcevidence_tpu/native) with a prefetch thread so the next model's files
+parse while the TPU crunches the current one.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import logging
+import os
+import pickle
+import sys
+from argparse import ArgumentParser
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .priors.params_info import params_info
+from .utils.logging import configure
+
+logger = logging.getLogger(__name__)
+
+# ---------------------------------------------------------------------------
+# the canonical Planck R2 grid (reference planck_mcevidence.py:173-196)
+# ---------------------------------------------------------------------------
+
+DEFAULT_ROOTDIR = "COM_CosmoParams_fullGrid_R2.00"
+
+DATASETS: List[str] = [
+    "plikHM_TT_lowTEB", "plikHM_TT_lowTEB_post_BAO",
+    "plikHM_TT_lowTEB_post_lensing", "plikHM_TT_lowTEB_post_H070p6",
+    "plikHM_TT_lowTEB_post_JLA", "plikHM_TT_lowTEB_post_zre6p5",
+    "plikHM_TT_lowTEB_post_BAO_H070p6_JLA",
+    "plikHM_TT_lowTEB_post_lensing_BAO_H070p6_JLA",
+    "plikHM_TT_lowTEB_BAO", "plikHM_TT_lowTEB_BAO_post_lensing",
+    "plikHM_TT_lowTEB_BAO_post_H070p6",
+    "plikHM_TT_lowTEB_BAO_post_H070p6_JLA",
+    "plikHM_TT_lowTEB_lensing", "plikHM_TT_lowTEB_lensing_post_BAO",
+    "plikHM_TT_lowTEB_lensing_post_zre6p5",
+    "plikHM_TT_lowTEB_lensing_post_BAO_H070p6_JLA",
+    "plikHM_TT_tau07plikHM_TT_lowTEB_lensing_BAO",
+    "plikHM_TT_lowTEB_lensing_BAO_post_H070p6",
+    "plikHM_TT_lowTEB_lensing_BAO_post_H070p6_JLA",
+    "plikHM_TTTEEE_lowTEB", "plikHM_TTTEEE_lowTEB_post_BAO",
+    "plikHM_TTTEEE_lowTEB_post_lensing", "plikHM_TTTEEE_lowTEB_post_H070p6",
+    "plikHM_TTTEEE_lowTEB_post_JLA", "plikHM_TTTEEE_lowTEB_post_zre6p5",
+    "plikHM_TTTEEE_lowTEB_post_BAO_H070p6_JLA",
+    "plikHM_TTTEEE_lowTEB_post_lensing_BAO_H070p6_JLA",
+    "plikHM_TTTEEE_lowl_lensing", "plikHM_TTTEEE_lowl_lensing_post_BAO",
+    "plikHM_TTTEEE_lowl_lensing_post_BAO_H070p6_JLA",
+    "plikHM_TTTEEE_lowTEB_lensing",
+]
+
+MODELS: List[str] = [
+    "base", "base_omegak", "base_Alens", "base_Alensf", "base_nnu",
+    "base_mnu", "base_nrun", "base_r", "base_w", "base_alpha1",
+    "base_Aphiphi", "base_yhe", "base_mnu_Alens", "base_mnu_omegak",
+    "base_mnu_w", "base_nnu_mnu", "base_nnu_r", "base_nrun_r",
+    "base_nnu_yhe", "base_w_wa", "base_nnu_meffsterile",
+    "base_nnu_meffsterile_r",
+]
+
+INFO_COLS = ["PriorVol", "ndim", "N_read", "N_used"]
+
+
+# ---------------------------------------------------------------------------
+# H0 importance prior (reference planck_mcevidence.py:56-58, fixed for the
+# ndarray reader: the reference's attribute access .H0 only worked against a
+# getdist ParSamples object — quirk in SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+def read_paramnames(root: str) -> List[str]:
+    """Parameter names from the CosmoMC ``<root>.paramnames`` file (one
+    ``name  latex`` pair per line, '*' suffix marks derived params)."""
+    path = root + ".paramnames"
+    names = []
+    with open(path, "r") as fp:
+        for line in fp:
+            parts = line.split()
+            if parts:
+                names.append(parts[0].rstrip("*"))
+    return names
+
+
+def make_h0_gauss_lnp(h0_index: int, H0: float = 73.24, H0_err: float = 1.74):
+    """Gaussian H0 prior (Riess 2016) as a -lnL importance hook.
+
+    ``h0_index`` is the column of H0 within the chain's parameter block
+    (resolve with ``read_paramnames``).  Returns f(samples)->(N,) 0.5*z^2.
+    """
+    def h0_gauss_lnp(samples: np.ndarray) -> np.ndarray:
+        frac = (samples[:, h0_index] - H0) / H0_err
+        return 0.5 * frac ** 2
+    return h0_gauss_lnp
+
+
+def h0_index_for_chain(root: str) -> Optional[int]:
+    """Column index of H0* among the chain parameters, or None."""
+    try:
+        names = read_paramnames(root)
+    except OSError:
+        return None
+    for i, n in enumerate(names):
+        if n == "H0":
+            return i
+    return None
+
+
+# ---------------------------------------------------------------------------
+# grid discovery (reference planck_mcevidence.py:202-230)
+# ---------------------------------------------------------------------------
+
+def avail_data_list(rootdir: str, model: str):
+    """All dataset chain roots available for a model."""
+    hits = _glob.glob(f"{rootdir}/{model}/*/*_1.txt")
+    roots = [x.split("_1.txt")[0] for x in hits]
+    names = [os.path.basename(r).split(f"{model}_", 1)[-1] for r in roots]
+    return roots, names
+
+
+def avail_model_list(rootdir: str, dataset: str, nmax: int = 0,
+                     sorter: Sequence[str] = MODELS):
+    """All model chain roots available for a dataset, in canonical model
+    order (reference sorts via a pandas categorical)."""
+    hits = _glob.glob(f"{rootdir}/*/*/*_{dataset}_1.txt")
+    roots = [x.split("_1.txt")[0] for x in hits]
+    models = [r.split(os.sep)[-3] if len(r.split(os.sep)) >= 3 else ""
+              for r in roots]
+    order = {m: i for i, m in enumerate(sorter)}
+    pairs = sorted(zip(roots, models),
+                   key=lambda rm: order.get(rm[1], len(order)))
+    if nmax > 0:
+        pairs = pairs[:nmax]
+    if not pairs:
+        return [], []
+    r, m = zip(*pairs)
+    return list(r), list(m)
+
+
+def work_split(num_shards: int, items: Sequence) -> List[List]:
+    """Deterministic near-equal split (fixes the reference's remainder bug:
+    planck_mcevidence.py:149-156 skipped/duplicated datasets, quirk Q10)."""
+    return [list(items[i::num_shards]) for i in range(num_shards)]
+
+
+# ---------------------------------------------------------------------------
+# per-dataset evidence table
+# ---------------------------------------------------------------------------
+
+def _tabulate(df: pd.DataFrame) -> str:
+    try:
+        from tabulate import tabulate
+        return tabulate(df, headers="keys", tablefmt="psql", floatfmt=".2f",
+                        numalign="left")
+    except ImportError:
+        return df.to_string(float_format=lambda x: f"{x:.2f}")
+
+
+def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
+                     nchain: int = 0, nmodel: int = 0,
+                     burnfrac: float = 0.0, thinfrac: float = 0.0,
+                     use_h0_prior: bool = True, verbose: int = 1,
+                     engine: str = "auto", precision: str = "refine",
+                     parse_workers: int = 2) -> Optional[pd.DataFrame]:
+    """Evidence for every available model of one dataset.
+
+    ``nchain=0``: AllChains mode (every ``_?.txt`` combined, one column);
+    ``nchain=n``: per-chain mode over ``_1..n.txt`` with Mean/Err columns.
+    Prior volumes are normalized by the base model's volume (reference
+    planck_mcevidence.py:324-331).  Missing model cells become NaN rows.
+    """
+    from .evidence import MCEvidence
+
+    path_list, names = avail_model_list(rootdir, dataset, nmax=nmodel)
+    if not path_list:
+        logger.warning("no chains found for dataset %s under %s", dataset,
+                       rootdir)
+        return None
+
+    if nchain == 0:
+        cols = ["AllChains"]
+        chain_exts = [""]
+    else:
+        cols = [f"chain{i}" for i in range(1, nchain + 1)]
+        chain_exts = [f"_{i}.txt" for i in range(1, nchain + 1)]
+
+    mce = np.full((len(path_list), len(cols)), np.nan)
+    info: Dict[str, list] = {k: [] for k in INFO_COLS}
+
+    # Prefetch raw chain files on a worker thread while the device computes.
+    from .chains.reader import load_chains
+
+    def prefetch(fchain):
+        try:
+            return load_chains(fchain)
+        except Exception as e:          # missing chain: NaN cell downstream
+            return e
+
+    jobs = [(fname + ext) for fname in path_list for ext in chain_exts]
+    pool = ThreadPoolExecutor(max_workers=max(1, parse_workers))
+    futures = {j: pool.submit(prefetch, j) for j in jobs}
+
+    vol_norm = 1.0
+    for imm, (mm, fname) in enumerate(zip(names, path_list)):
+        if not _glob.glob(fname + "*.txt"):
+            logger.warning("*** not available: %s", fname)
+            info["N_read"].append("")
+            info["N_used"].append("")
+            info["PriorVol"].append(0)
+            info["ndim"].append(0)
+            continue
+        par = params_info(fname, cosmo=True)
+        if mm == "base":
+            vol_norm = par.volume
+        prior_volume = par.volume / vol_norm
+        ndim = par.ndim
+        info["PriorVol"].append(prior_volume)
+        info["ndim"].append(ndim)
+        isfunc = None
+        if use_h0_prior:
+            h0i = h0_index_for_chain(fname)
+            if h0i is not None:
+                isfunc = make_h0_gauss_lnp(h0i)
+        nc_read, nc_use = "", ""
+        for icc, ext in enumerate(chain_exts):
+            fchain = fname + ext
+            try:
+                chains = futures[fchain].result()
+                if isinstance(chains, Exception):
+                    raise chains
+                e, einfo = MCEvidence(
+                    chains, ndim=ndim, isfunc=isfunc,
+                    priorvolume=prior_volume, kmax=kmax, verbose=verbose,
+                    burnlen=burnfrac, thinlen=thinfrac,
+                    engine=engine, precision=precision,
+                ).evidence(info=True, pos_lnp=False)
+                mce[imm, icc] = e[0]
+                nc_read += f"{einfo['Nsamples_read']},"
+                nc_use += f"{einfo['Nsamples']},"
+            except Exception as exc:
+                logger.warning("evidence failed for %s: %s", fchain, exc)
+        info["N_read"].append(nc_read)
+        info["N_used"].append(nc_use)
+    pool.shutdown(wait=False)
+
+    if np.all(np.isnan(mce)):
+        return None
+    df = pd.DataFrame(mce, index=names, columns=cols)
+    df_mean = df.mean(axis=1)
+    if nchain > 0:
+        df["Mean_lnE_k1"] = df_mean
+        df["Err_lnE_k1"] = df.loc[:, cols].std(axis=1) / np.sqrt(float(nchain))
+    df["delta_lnE_k1"] = df_mean - df_mean.max()
+    for k in INFO_COLS:
+        df[k] = info[k]
+    return df
+
+
+# ---------------------------------------------------------------------------
+# grid run + aggregation (reference planck_mcevidence.py:263-484)
+# ---------------------------------------------------------------------------
+
+def run_grid(rootdir: str, outdir: str, *, basename: str = "mce",
+             datasets: Optional[Sequence[str]] = None, kmax: int = 2,
+             nchain: int = 0, ndata: int = 0, nmodel: int = 0,
+             burnfrac: float = 0.0, thinfrac: float = 0.0,
+             use_h0_prior: bool = True, verbose: int = 1,
+             num_shards: int = 1, shard_id: int = 0,
+             engine: str = "auto", precision: str = "refine") -> Dict:
+    """Run the evidence grid for this shard's datasets; write per-dataset
+    txt/csv.  Returns {dataset: delta_lnE series}."""
+    data_list = list(datasets if datasets is not None else DATASETS)
+    if ndata > 0:
+        data_list = data_list[:ndata]
+    my_data = work_split(num_shards, data_list)[shard_id]
+
+    mode_dir = "AllChains" if nchain == 0 else "SingleChains"
+    out = os.path.join(outdir, mode_dir)
+    out_csv = os.path.join(out, "csv")
+    os.makedirs(out_csv, exist_ok=True)
+
+    all_df: Dict[str, pd.Series] = {}
+    for dataset in my_data:
+        logger.info("--------------- %s ---------", dataset)
+        df = dataset_evidence(
+            rootdir, dataset, kmax=kmax, nchain=nchain, nmodel=nmodel,
+            burnfrac=burnfrac, thinfrac=thinfrac,
+            use_h0_prior=use_h0_prior, verbose=verbose,
+            engine=engine, precision=precision)
+        if df is None:
+            continue
+        all_df[dataset] = df["delta_lnE_k1"]
+        if verbose > 0:
+            print(_tabulate(df))
+        with open(os.path.join(out, f"{basename}_{dataset}.txt"), "w") as fh:
+            fh.write(f"\n************ {dataset} ************\n")
+            fh.write(_tabulate(df))
+            fh.write("\n")
+        df.to_csv(os.path.join(out_csv, f"{basename}_{dataset}.csv"))
+    return all_df
+
+
+def aggregate(outdir: str, *, basename: str = "mce", nchain: int = 0,
+              rootdir: str = DEFAULT_ROOTDIR,
+              datasets: Sequence[str] = DATASETS,
+              model_list: Sequence[str] = MODELS,
+              all_df: Optional[Dict[str, pd.Series]] = None) -> None:
+    """Merge per-dataset outputs into the grid-level artifacts
+    (reference planck_mcevidence.py:417-484): concatenated txt, delta-lnE
+    pickles, and the model x dataset table with a C0.. column legend."""
+    mode_dir = "AllChains" if nchain == 0 else "SingleChains"
+    out = os.path.join(outdir, mode_dir)
+    out_csv = os.path.join(out, "csv")
+
+    # concat per-dataset txt shards (kept on disk, unlike the reference,
+    # so shard reruns stay incremental)
+    fmain = os.path.join(out, f"{basename}_planck_fullgrid.txt")
+    with open(fmain, "w") as outfile:
+        outfile.write(f"\n############## RootDirectory={rootdir} ########\n")
+        for dataset in datasets:
+            fin = os.path.join(out, f"{basename}_{dataset}.txt")
+            if os.path.exists(fin):
+                outfile.write(open(fin).read())
+    logger.info("wrote %s", fmain)
+
+    if all_df is None:
+        # recover the delta columns from the per-dataset csv shards
+        all_df = {}
+        for dataset in datasets:
+            fcsv = os.path.join(out_csv, f"{basename}_{dataset}.csv")
+            if os.path.exists(fcsv):
+                df = pd.read_csv(fcsv, index_col=0)
+                if "delta_lnE_k1" in df:
+                    all_df[dataset] = df["delta_lnE_k1"]
+    if not all_df:
+        logger.warning("nothing to aggregate under %s", out)
+        return
+
+    pickle.dump(all_df,
+                open(os.path.join(out_csv, "delta_lnE_all_dict.pkl"), "wb"))
+    big = pd.DataFrame(index=list(model_list))
+    for dd, series in all_df.items():
+        big[dd] = series
+    # column order follows the canonical dataset list
+    ordered = [d for d in datasets if d in big.columns]
+    big = big[ordered]
+    pickle.dump(big,
+                open(os.path.join(out_csv, "delta_lnE_all_df.pkl"), "wb"))
+
+    fout = os.path.join(out, "delta_lnE_all.txt")
+    with open(fout, "w") as fh:
+        fh.write(f"\n############## RootDirectory={rootdir} ########\n\n")
+        short = []
+        for ik, k in enumerate(big.columns):
+            fh.write(f"# C{ik}={k} \n")
+            short.append(f"C{ik}")
+        legend = big.copy()
+        legend.columns = short
+        fh.write(_tabulate(legend))
+        fh.write("\n")
+    logger.info("wrote %s", fout)
+
+
+# ---------------------------------------------------------------------------
+# CLI (reference planck_mcevidence.py:65-129)
+# ---------------------------------------------------------------------------
+
+def build_parser() -> ArgumentParser:
+    p = ArgumentParser(prog="mcevidence-planck",
+                       description="Planck full-grid MCEvidence (TPU-native)")
+    p.add_argument("-k", "--kmax", default=2, type=int)
+    p.add_argument("-nc", "--nchain", default=0, type=int,
+                   help="0: AllChains mode; n>0: per-chain mode over _1..n")
+    p.add_argument("-nd", "--ndata", default=0, type=int,
+                   help="use only the first n datasets")
+    p.add_argument("-nm", "--nmodel", default=0, type=int,
+                   help="use only the first n models per dataset")
+    p.add_argument("-b", "--burnfrac", "--burnin", "--remove",
+                   dest="burnfrac", default=0, type=float)
+    p.add_argument("-t", "--thin", "--thinfrac", dest="thinfrac",
+                   default=0, type=float)
+    p.add_argument("-o", "--out", "--outdir", dest="outdir",
+                   default="planck_mce_fullGrid_R2_H0Reiss2016")
+    p.add_argument("--N", "--name", dest="name", default="mce")
+    p.add_argument("-v", "--verbose", default=1, type=int)
+    p.add_argument("--rootdir", default=DEFAULT_ROOTDIR,
+                   help="Planck full-grid chain directory")
+    p.add_argument("--no-h0-prior", action="store_true",
+                   help="disable the Riess-2016 H0 importance prior")
+    p.add_argument("--num-shards", default=1, type=int,
+                   help="split the dataset list over this many driver "
+                        "processes (multi-host fan-out)")
+    p.add_argument("--shard-id", default=0, type=int)
+    p.add_argument("--aggregate-only", action="store_true",
+                   help="only merge existing per-dataset outputs")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--precision", default="refine",
+                   choices=["refine", "fast"])
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    assert args.kmax >= 2, "kmax must be >= 2"
+    configure(args.verbose)
+    if args.verbose > 0:
+        print(args)
+
+    all_df = None
+    if not args.aggregate_only:
+        all_df = run_grid(
+            args.rootdir, args.outdir, basename=args.name,
+            kmax=args.kmax, nchain=args.nchain, ndata=args.ndata,
+            nmodel=args.nmodel, burnfrac=args.burnfrac,
+            thinfrac=args.thinfrac, use_h0_prior=not args.no_h0_prior,
+            verbose=args.verbose, num_shards=args.num_shards,
+            shard_id=args.shard_id, engine=args.engine,
+            precision=args.precision)
+    # last shard (or a dedicated --aggregate-only run) merges everything
+    if args.aggregate_only or args.num_shards == 1 \
+            or args.shard_id == args.num_shards - 1:
+        datasets = DATASETS[:args.ndata] if args.ndata > 0 else DATASETS
+        aggregate(args.outdir, basename=args.name, nchain=args.nchain,
+                  rootdir=args.rootdir, datasets=datasets,
+                  all_df=all_df if args.num_shards == 1 else None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

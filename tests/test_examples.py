@@ -1,0 +1,63 @@
+"""Analytic-evidence property tests (SURVEY.md §4 items 1-2), asserting what
+the reference only eyeballed: the kNN estimate must match the closed-form
+ln Z of the Gaussian linear model and the normalized N-dim Gaussian."""
+
+import numpy as np
+import pytest
+
+from mcevidence_tpu import MCEvidence
+from mcevidence_tpu.examples import gaussian_eg, glm_eg, model_2d
+
+
+def test_glm_gibbs_analytic_evidence(rng):
+    model = glm_eg(verbose=0, rng=rng)
+    samples, lnl = model.Sampler(nsamples=4000)
+    chain = {"samples": samples, "loglikes": lnl}
+    # priorvolume = prod(ptheta) matches the analytic den1 term
+    mle = MCEvidence(chain, burnlen=0.1, verbose=0, engine="xla",
+                     priorvolume=float(model.ptheta.prod()),
+                     kmax=2).evidence()
+    truth = model.evidence()
+    # Gibbs chains correlate samples; tolerance is statistical, not f.p.
+    assert abs(mle[0] - truth) < 0.3, (mle, truth)
+
+
+def test_gaussian_eg_sampler_normalized(rng):
+    model = gaussian_eg(ndim=6, verbose=0, rng=rng)
+    samples, lnl = model.Sampler(nsamples=4000)
+    # iid samples from a normalized likelihood: lnZ -> 0 for V_prior=1
+    mle = MCEvidence({"samples": samples, "loglikes": lnl}, verbose=0,
+                     kmax=2, engine="xla").evidence()
+    assert abs(mle[0]) < 0.2
+
+
+def test_gaussian_eg_lnprob_consistency(rng):
+    model = gaussian_eg(ndim=4, ndata=5000, verbose=0, rng=rng)
+    samples, lnl = model.Sampler(nsamples=10)
+    for i in range(10):
+        assert np.isclose(lnl[i], model.lnprob(samples[i]))
+
+
+def test_model_2d_prior_bounds(rng):
+    m = model_2d(rng=rng)
+    assert m.lnprob(np.array([-0.9594, 4.294])) > -np.inf
+    assert m.lnprior(np.array([1e6, 0.0])) == -np.inf
+    pos = m.pos(100)
+    assert pos.shape == (100, 2)
+    assert np.isfinite([m.lnprob(p) for p in pos]).all()
+
+
+def test_glm_evidence_formula_selfconsistent(rng):
+    # doubling all prior widths must shift lnZ by exactly -ndim*ln2
+    m = glm_eg(verbose=0, rng=rng)
+    z1 = m.evidence()
+    m.ptheta = m.ptheta * 2
+    z2 = m.evidence()
+    assert np.isclose(z1 - z2, 3 * np.log(2.0))
+
+
+def test_examples_main_runs(capsys, rng):
+    from mcevidence_tpu.examples import main
+    main(["gaussian_eg", "1500"])
+    out = capsys.readouterr().out
+    assert "estimated ln Z" in out

@@ -1,0 +1,111 @@
+"""End-to-end grid-driver test on a synthetic mini Planck grid
+(reference planck_mcevidence.py semantics: discovery, base-normalized prior
+volumes, per-dataset tables, aggregation artifacts)."""
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mcevidence_tpu import planck
+
+
+def _write_chain(root, rng, ndim, n=600, nchains=2, h0=True):
+    mean = np.linspace(1.0, 2.0, ndim)
+    sig = np.full(ndim, 0.05)
+    names = ["omegabh2", "omegach2", "theta", "tau", "w"][:ndim]
+    for c in range(1, nchains + 1):
+        theta = rng.normal(mean, sig, size=(n, ndim))
+        dm = (theta - mean) / sig
+        neglnl = 0.5 * np.sum(dm * dm, axis=1)
+        w = np.ones(n)
+        cols = [w, neglnl, theta]
+        if h0:
+            h0col = rng.normal(73.24, 1.74, size=n)   # H0 'derived' param
+            cols = [w, neglnl, theta, h0col[:, None]]
+        np.savetxt(f"{root}_{c}.txt", np.column_stack(cols), fmt="%.8e")
+    with open(root + ".ranges", "w") as f:
+        for nm, mu in zip(names, mean):
+            f.write(f"{nm} {mu - 1} {mu + 1}\n")
+    with open(root + ".paramnames", "w") as f:
+        for nm in names:
+            f.write(f"{nm}\tlatex\n")
+        if h0:
+            f.write("H0*\tH_0\n")
+
+
+@pytest.fixture
+def minigrid(tmp_path, rng):
+    rootdir = tmp_path / "grid"
+    ds = "plikHM_TT_lowTEB"
+    for model, ndim in [("base", 4), ("base_w", 5)]:
+        d = rootdir / model / ds
+        d.mkdir(parents=True)
+        _write_chain(str(d / f"{model}_{ds}"), rng, ndim)
+    return str(rootdir), ds
+
+
+def test_discovery(minigrid):
+    rootdir, ds = minigrid
+    roots, models = planck.avail_model_list(rootdir, ds)
+    assert models == ["base", "base_w"]   # canonical order
+    roots2, names2 = planck.avail_data_list(rootdir, "base")
+    assert names2 == [ds]
+
+
+def test_work_split_covers_everything():
+    items = list(range(31))
+    shards = planck.work_split(6, items)
+    flat = sorted(x for s in shards for x in s)
+    assert flat == items                      # no skip, no duplicate (Q10)
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_h0_reader(minigrid):
+    rootdir, ds = minigrid
+    root = os.path.join(rootdir, "base", ds, f"base_{ds}")
+    names = planck.read_paramnames(root)
+    assert names[-1] == "H0"
+    assert planck.h0_index_for_chain(root) == 4
+    fn = planck.make_h0_gauss_lnp(4)
+    s = np.zeros((3, 5))
+    s[:, 4] = [73.24, 73.24 + 1.74, 73.24 - 3.48]
+    np.testing.assert_allclose(fn(s), [0.0, 0.5, 2.0])
+
+
+def test_grid_run_and_aggregate(minigrid, tmp_path):
+    rootdir, ds = minigrid
+    outdir = str(tmp_path / "out")
+    all_df = planck.run_grid(rootdir, outdir, kmax=2, verbose=0,
+                             engine="xla", datasets=[ds])
+    assert ds in all_df
+    out = os.path.join(outdir, "AllChains")
+    csv = os.path.join(out, "csv", f"mce_{ds}.csv")
+    assert os.path.exists(csv)
+    df = pd.read_csv(csv, index_col=0)
+    assert list(df.index) == ["base", "base_w"]
+    # base model's prior volume normalized to 1
+    assert df.loc["base", "PriorVol"] == 1.0
+    # delta column: max model has delta 0
+    assert np.isclose(df["delta_lnE_k1"].max(), 0.0)
+    # aggregation artifacts
+    planck.aggregate(outdir, rootdir=rootdir, datasets=[ds], all_df=all_df)
+    assert os.path.exists(os.path.join(out, "mce_planck_fullgrid.txt"))
+    assert os.path.exists(os.path.join(out, "delta_lnE_all.txt"))
+    big = pickle.load(open(os.path.join(out, "csv", "delta_lnE_all_df.pkl"),
+                           "rb"))
+    assert ds in big.columns
+
+
+def test_grid_single_chain_mode(minigrid, tmp_path):
+    rootdir, ds = minigrid
+    outdir = str(tmp_path / "out2")
+    planck.run_grid(rootdir, outdir, kmax=2, nchain=2, verbose=0,
+                    engine="xla", datasets=[ds])
+    csv = os.path.join(outdir, "SingleChains", "csv", f"mce_{ds}.csv")
+    df = pd.read_csv(csv, index_col=0)
+    for col in ("chain1", "chain2", "Mean_lnE_k1", "Err_lnE_k1"):
+        assert col in df.columns
+    assert (df["Err_lnE_k1"] >= 0).all()

@@ -1,0 +1,87 @@
+"""Prior-metadata tests: .ranges / log.param parsing, volumes, registry
+(reference MCEvidence.py:1173-1339)."""
+
+import numpy as np
+import pytest
+
+from mcevidence_tpu import registry
+from mcevidence_tpu.priors.params_info import (get_prior_volume, params_info,
+                                               parse_log_param_line)
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    registry.reset_cosmo_params()
+    yield
+    registry.reset_cosmo_params()
+
+
+def test_ranges_parsing(tmp_path):
+    root = tmp_path / "toy"
+    (tmp_path / "toy.ranges").write_text(
+        "omegabh2 0.02 0.03\n"
+        "tau 0.01 0.2\n"
+        "fixed 1 1\n"            # min==max: skipped
+        "nuis 0 10\n"            # non-cosmo
+        "unbound 0 N\n")         # N = +inf
+    info = params_info(str(root), cosmo=True)
+    assert info.names == ["omegabh2", "tau"]
+    assert np.isclose(info.volume, 0.01 * 0.19)
+    assert info.ndim == 2
+    # allparams mode keeps the nuisance and the unbounded row
+    info_all = params_info(str(root), cosmo=False)
+    assert "nuis" in info_all.names and "unbound" in info_all.names
+    assert np.isinf(info_all.volume)
+
+
+def test_log_param_parsing(tmp_path):
+    d = tmp_path / "mp"
+    d.mkdir()
+    (d / "log.param").write_text(
+        "data.parameters['omega_b'] = [2.2, 1.8, 2.6, 0.01, 0.01, 'cosmo']\n"
+        "data.parameters['H0'] = [67, 60, 80, 1, 1, 'cosmo']\n"
+        "data.parameters['A_act'] = [1, 0, 2, 0.1, 1, 'nuisance']\n"
+        "data.parameters['sigma8'] = [0.8, None, None, 0, 1, 'derived']\n")
+    info = params_info(str(d), cosmo=True)
+    assert info.names == ["omega_b", "H0"]
+    assert np.isclose(info.volume, (2.6 - 1.8) * 20)
+    info_all = params_info(str(d), cosmo=False)
+    assert info_all.names == ["omega_b", "H0", "A_act"]
+
+
+def test_log_param_unbounded_rejected(tmp_path):
+    d = tmp_path / "mp"
+    d.mkdir()
+    (d / "log.param").write_text(
+        "data.parameters['x'] = [1, None, None, 0.1, 1, 'cosmo']\n")
+    with pytest.raises(ValueError, match="Unbounded"):
+        params_info(str(d), cosmo=True)
+
+
+def test_parse_log_param_line():
+    name, arr = parse_log_param_line(
+        "data.parameters['omega_b'] = [2.2, 1.8, 2.6, 0.01, 0.01, 'cosmo']")
+    assert name == "omega_b"
+    assert arr == [2.2, 1.8, 2.6, 0.01, 0.01, "cosmo"]
+
+
+def test_get_prior_volume_fallbacks(tmp_path):
+    missing = str(tmp_path / "missing")
+    with pytest.raises(FileNotFoundError):
+        get_prior_volume(missing)
+    v, nd = get_prior_volume(missing, priorvolume=2.5)
+    assert v == 2.5 and nd is None
+    v, nd = get_prior_volume(missing, allow_unit_fallback=True)
+    assert v == 1.0
+
+
+def test_registry_extension(tmp_path):
+    assert registry.iscosmo_param("omegabh2")
+    assert not registry.iscosmo_param("mynewpar")
+    pf = tmp_path / "extra.txt"
+    pf.write_text("mynewpar\n# a comment line\n\nother\n")
+    names = registry.load_params_file(str(pf))
+    assert names == ["mynewpar", "other"]
+    assert registry.iscosmo_param("mynewpar")
+    # reference-compat: extra names via the query itself
+    assert registry.iscosmo_param("adhoc", cosmo_params=["adhoc"])

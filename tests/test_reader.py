@@ -1,0 +1,106 @@
+"""Chain ingestion tests: file resolution, parsing (native + fallback),
+dict/array sources (reference loader semantics, MCEvidence.py:567-606)."""
+
+import numpy as np
+import pytest
+
+from mcevidence_tpu.chains import reader
+from mcevidence_tpu.native import chainload
+
+
+@pytest.fixture
+def chain_files(tmp_path, rng):
+    arrs = []
+    for c in (1, 2, 3):
+        a = np.column_stack([np.ones(50), rng.random(50),
+                             rng.normal(size=(50, 3))])
+        np.savetxt(tmp_path / f"root_{c}.txt", a)
+        arrs.append(a)
+    return str(tmp_path / "root"), arrs
+
+
+def test_resolve_default_glob(chain_files):
+    root, _ = chain_files
+    flist = reader.resolve_chain_files(root)
+    assert [f.endswith(f"root_{i}.txt") for i, f in enumerate(flist, 1)]
+    assert len(flist) == 3
+
+
+def test_resolve_idchain(chain_files):
+    root, _ = chain_files
+    flist = reader.resolve_chain_files(root, idchain=2)
+    assert len(flist) == 1 and flist[0].endswith("root_2.txt")
+
+
+def test_resolve_wildcard(chain_files):
+    root, _ = chain_files
+    flist = reader.resolve_chain_files(root + "_*.txt")
+    assert len(flist) == 3
+
+
+def test_resolve_single_file_and_list(chain_files):
+    root, _ = chain_files
+    f1 = root + "_1.txt"
+    assert reader.resolve_chain_files(f1) == [f1]
+    assert reader.resolve_chain_files([f1, f1]) == [f1, f1]
+
+
+def test_resolve_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        reader.resolve_chain_files(str(tmp_path / "nope"))
+
+
+def test_parse_matches_loadtxt(chain_files):
+    root, arrs = chain_files
+    got = reader.parse_chain_file(root + "_1.txt")
+    np.testing.assert_allclose(got, arrs[0], rtol=1e-15)
+
+
+def test_native_loader_if_built(tmp_path, rng):
+    a = rng.normal(size=(40, 5))
+    p = tmp_path / "t.txt"
+    np.savetxt(p, a, fmt="%.17g")
+    got = chainload.load_table(str(p))
+    if got is None:
+        pytest.skip("native chainload not built in this environment")
+    np.testing.assert_allclose(got, a, rtol=0, atol=0)
+
+
+def test_native_loader_comments_and_blanks(tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("# header\n\n 1 2 3\n# mid\n4 5 6\n\n")
+    got = chainload.load_table(str(p))
+    if got is None:
+        pytest.skip("native chainload not built")
+    np.testing.assert_array_equal(got, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_native_loader_ragged_rejected(tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("1 2 3\n4 5\n")
+    got = chainload.load_table(str(p))
+    if chainload._get_lib() is None:
+        pytest.skip("native chainload not built")
+    assert got is None   # caller falls back to pandas, which then errors
+
+
+def test_dict_chain_keys(rng):
+    s = rng.normal(size=(20, 3))
+    lnl = rng.normal(size=20)
+    cols = reader._dict_to_columns({"samples": s, "loglikes": lnl})
+    assert cols.shape == (20, 5)
+    np.testing.assert_array_equal(cols[:, 0], 1.0)           # default weights
+    np.testing.assert_allclose(cols[:, 1], -lnl)             # stored as -lnL
+    w = rng.random(20)
+    cols = reader._dict_to_columns({"samples": s, "loglikes": lnl,
+                                    "weights": w})
+    np.testing.assert_allclose(cols[:, 0], w)
+    with pytest.raises(KeyError):
+        reader._dict_to_columns({"loglikes": lnl})
+
+
+def test_ingest_end_to_end(chain_files):
+    root, arrs = chain_files
+    pair = reader.ingest(root, burnlen=10)
+    assert pair.s1.nsamples == 3 * 40
+    assert pair.s1.ndim == 3
