@@ -2,17 +2,21 @@
 
 Workload: auto evidence on a synthetic Planck-sized chain (N=65536, d=8,
 kmax=5) — the same shape class as the largest Planck full-grid chains
-(~6k-99k rows x 6-8 params, BASELINE.md).  We time the device pipeline
-(whiten + MXU kNN selection + fused estimator) end to end and compare with
+(~6k-99k rows x 6-8 params, BASELINE.md).  The device pipeline (whiten +
+MXU kNN selection + fused estimator) is timed end to end and compared with
 the sklearn + numpy float64 baseline implementing the reference call stack
-(NearestNeighbors.kneighbors + the python estimator loop,
-reference MCEvidence.py:1093-1131) on this host's CPU.
+(NearestNeighbors.kneighbors + the estimator loop, reference
+MCEvidence.py:1093-1131) on this host's CPU.
+
+Timing methodology: the accelerator may sit behind an async relay where
+dispatch returns before execution, so REPS iterations of the full step run
+inside ONE jitted lax.scan (each on a perturbed input so nothing can be
+CSE'd) and the scalar result is fetched — total wall / REPS is honest
+device time including one host sync.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
-value   = NN pairs/sec/chip achieved by the TPU path
-vs_baseline = sklearn CPU wall-clock / TPU wall-clock (same workload)
-plus auxiliary fields (wall-clocks, parity |dlnZ| vs the float64 oracle).
+value = NN pairs/sec/chip; vs_baseline = sklearn CPU wall / TPU wall.
 """
 
 import json
@@ -59,7 +63,7 @@ def main():
     from mcevidence_tpu.ops.estimator import log_evidence_from_knn
     from mcevidence_tpu.ops.whiten import whiten_jnp
 
-    N, NDIM, KMAX = 65536, 8, 5
+    N, NDIM, KMAX, REPS = 65536, 8, 5, 8
     theta, lnl = synthetic_chain(N, NDIM)
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -75,7 +79,6 @@ def main():
         def select(w):
             return knn_select_xla(w, w, KMAX, self_mode=True, block_size=2048)
 
-    @jax.jit
     def evidence_step(samples, lnlike, weights):
         white, log_j, _ = whiten_jnp(samples)
         d2, _ = select(white)
@@ -83,20 +86,30 @@ def main():
             jnp.sqrt(d2), lnlike, weights, jnp.sum(weights), NDIM,
             log_jacobian=log_j, log_prior_volume=0.0, k_start=1)
 
+    @jax.jit
+    def evidence_reps(samples, lnlike, weights):
+        # REPS perturbed runs chained in one program: relay round-trip and
+        # host sync amortize away; perturbation defeats CSE.
+        def body(carry, i):
+            eps = (1e-6 * i).astype(samples.dtype)
+            mle = evidence_step(samples + eps, lnlike, weights)
+            return carry + mle[1], mle
+        total, all_mle = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(REPS, dtype=jnp.float32))
+        return total, all_mle[0]
+
     s32 = jnp.asarray(theta, jnp.float32)
     l32 = jnp.asarray(lnl, jnp.float32)
     w32 = jnp.ones(N, jnp.float32)
 
-    # compile + warm-up
-    mle = np.asarray(jax.block_until_ready(evidence_step(s32, l32, w32)))
-    reps = 5
+    # compile + warm-up (forces real execution via scalar fetch)
+    _, mle = evidence_reps(s32, l32, w32)
+    mle = np.asarray(mle)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = evidence_step(s32, l32, w32)
-    jax.block_until_ready(out)
-    tpu_s = (time.perf_counter() - t0) / reps
+    total, _ = evidence_reps(s32, l32, w32)
+    float(total)                       # host sync
+    tpu_s = (time.perf_counter() - t0) / REPS
 
-    # CPU sklearn baseline (the reference's engine) on the same workload
     t0 = time.perf_counter()
     oracle = sklearn_reference(theta, lnl, KMAX)
     cpu_s = time.perf_counter() - t0
@@ -111,7 +124,7 @@ def main():
         "tpu_wall_s": tpu_s,
         "sklearn_cpu_wall_s": cpu_s,
         "backend": backend,
-        "workload": f"auto evidence N={N} d={NDIM} kmax={KMAX}",
+        "workload": f"auto evidence N={N} d={NDIM} kmax={KMAX} reps={REPS}",
         "max_abs_dlnz_vs_f64_oracle_fastpath": dlnz,
     }))
 

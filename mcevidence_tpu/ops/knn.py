@@ -17,6 +17,13 @@ Auto-evidence ("self mode") keeps the reference's semantics: the query point
 itself appears as neighbour 0 with distance exactly 0 (sklearn returns the
 self-match first; the estimator skips k=0; reference MCEvidence.py:1097-1104).
 
+Shape discipline: TPU compiles are expensive (minutes through a remote
+compile service) and chain lengths vary per model, so sample counts are
+padded up to a coarse geometric grid of "buckets" ({1, 1.25, 1.5, 1.75} x
+2^j x 512 rows) and the true row count is passed as a *runtime* scalar.
+One compile then serves every chain in the bucket; over-padding costs at
+most ~56% extra pairwise work.
+
 Two selection engines share this interface:
 * ``knn_select_xla``  — pure jax.numpy + lax.scan (runs on CPU/TPU; the
   test oracle and the fallback).
@@ -26,6 +33,7 @@ Two selection engines share this interface:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -33,19 +41,34 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+BUCKET_QUANTUM = 512
 
-def _pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
-    n = x.shape[0]
-    pad = (-n) % multiple
-    if pad == 0:
+
+def bucket_size(n: int, quantum: int = BUCKET_QUANTUM) -> int:
+    """Smallest row bucket >= n on the {1,1.25,1.5,1.75} x 2^j x quantum grid."""
+    if n <= quantum:
+        return quantum
+    j = int(math.floor(math.log2(n / quantum)))
+    base = quantum * (1 << j)
+    for m in (1.0, 1.25, 1.5, 1.75, 2.0):
+        b = int(base * m)
+        if b >= n:
+            return b
+    return 2 * base  # unreachable
+
+
+def _pad_rows_np(x: np.ndarray, total: int) -> np.ndarray:
+    if x.shape[0] == total:
         return x
-    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    out = np.zeros((total,) + x.shape[1:], x.dtype)
+    out[: x.shape[0]] = x
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k", "self_mode", "block_size"))
 def knn_select_xla(query: jnp.ndarray, ref: jnp.ndarray, k: int,
-                   self_mode: bool = False, block_size: int = 2048
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   self_mode: bool = False, block_size: int = 2048,
+                   nr=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blocked exact kNN selection (pure XLA).
 
     Args:
@@ -54,20 +77,29 @@ def knn_select_xla(query: jnp.ndarray, ref: jnp.ndarray, k: int,
              the same array (row i of query == row i of ref).
       k:     neighbours to keep (includes the self match in self mode).
       self_mode: force the self pair (i, i) to distance 0 in slot 0.
+      nr:    true number of valid reference rows (runtime value; rows beyond
+             it are padding).  Defaults to ref.shape[0].
 
     Returns:
       (d2, idx): squared distances (Nq, k) ascending and reference-row indices
       (Nq, k).  Padded/absent slots carry +inf distance and index -1.
     """
     nq, d = query.shape
-    nr = ref.shape[0]
-    k = min(k, nr)
+    if nr is None:
+        nr = ref.shape[0]
+    nr = jnp.asarray(nr, jnp.int32)
+    k = min(k, ref.shape[0])
+    block_size = min(block_size, max(128, ref.shape[0]))
 
     # Shift both sets by a common offset: distances are translation-invariant
     # and centred coordinates avoid f32 cancellation in the matmul identity.
-    mu = jnp.mean(ref, axis=0, keepdims=True)
+    mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
+        nr.astype(query.dtype), 1.0)
     q = query - mu
-    r = _pad_rows(ref - mu, block_size)
+    r = ref - mu
+    pad = (-r.shape[0]) % block_size
+    if pad:
+        r = jnp.concatenate([r, jnp.zeros((pad, d), r.dtype)], axis=0)
     nblocks = r.shape[0] // block_size
     r = r.reshape(nblocks, block_size, d)
 
@@ -135,7 +167,8 @@ def refine_knn_f64(query64: np.ndarray, ref64: np.ndarray,
 def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
               *, refine: bool = True, pad_candidates: int = 4,
               engine: str = "auto", block_size: int = 2048,
-              select_dtype=jnp.float32) -> np.ndarray:
+              select_dtype=jnp.float32,
+              bucket: bool = True) -> np.ndarray:
     """Sorted kNN distances — the full parity pipeline.
 
     Args:
@@ -148,30 +181,45 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
       pad_candidates: extra f32-selected candidates per row; guards against
         f32 rounding flipping the selection boundary before refinement.
       engine: "xla", "pallas", or "auto" (pallas on TPU when available).
+      bucket: pad rows to the compile-bucket grid (recommended on TPU; the
+        true counts are passed as runtime scalars).
 
     Returns:
       (Nq, k) float64 sorted ascending distances.
     """
     self_mode = ref is None
     ref64 = query if self_mode else ref
-    nr = ref64.shape[0]
+    nq, nr = query.shape[0], ref64.shape[0]
     k = min(k, nr)
     k_sel = min(nr, k + (pad_candidates if refine else 0))
 
-    q32 = jnp.asarray(query, select_dtype)
-    r32 = q32 if self_mode else jnp.asarray(ref64, select_dtype)
-
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    q_np = np.ascontiguousarray(query, dtype=np.float64)
+    r_np = q_np if self_mode else np.ascontiguousarray(ref64, np.float64)
+    if bucket:
+        qb, rb = bucket_size(nq), bucket_size(nr)
+        q_in = _pad_rows_np(q_np, qb)
+        r_in = q_in if self_mode else _pad_rows_np(r_np, rb)
+    else:
+        q_in, r_in = q_np, r_np
+
+    q32 = jnp.asarray(q_in, select_dtype)
+    r32 = q32 if self_mode else jnp.asarray(r_in, select_dtype)
+
     if engine == "pallas":
         from .knn_pallas import knn_select_pallas
-        d2, idx = knn_select_pallas(q32, r32, k_sel, self_mode=self_mode)
+        d2, idx = knn_select_pallas(q32, r32, k_sel, self_mode=self_mode,
+                                    nr=nr)
     else:
         d2, idx = knn_select_xla(q32, r32, k_sel, self_mode=self_mode,
-                                 block_size=min(block_size, max(128, nr)))
+                                 block_size=min(block_size,
+                                                max(128, r32.shape[0])),
+                                 nr=nr)
+    d2 = np.asarray(d2)[:nq]
+    idx = np.asarray(idx)[:nq]
 
     if refine:
-        return refine_knn_f64(np.asarray(query, np.float64),
-                              np.asarray(ref64, np.float64),
-                              np.asarray(idx), k, self_mode=self_mode)
+        return refine_knn_f64(q_np, r_np, idx, k, self_mode=self_mode)
     return np.sqrt(np.asarray(d2, np.float64))[:, :k]

@@ -19,12 +19,15 @@ Design notes (pallas_guide.md):
 * self mode pins the diagonal pair to -1 so the self match always occupies
   slot 0 exactly like sklearn's self-first convention; the wrapper clamps
   distances back to >= 0.
+* the true reference count ``nr`` is a runtime SMEM scalar, NOT a shape:
+  one compiled kernel serves every chain length within a shape bucket
+  (remote TPU compiles cost minutes; chain lengths vary per model).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +44,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _knn_kernel(q_ref, r_ref, d2_out, idx_out, *, k: int, nr: int,
+def _knn_kernel(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
                 self_mode: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -51,6 +54,7 @@ def _knn_kernel(q_ref, r_ref, d2_out, idx_out, *, k: int, nr: int,
         d2_out[:] = jnp.full_like(d2_out, jnp.inf)
         idx_out[:] = jnp.full_like(idx_out, -1)
 
+    nr = nr_ref[0]
     q = q_ref[:]
     r = r_ref[:]
     q_sq = jnp.sum(q * q, axis=1, keepdims=True)            # (TQ, 1)
@@ -88,33 +92,41 @@ def _knn_kernel(q_ref, r_ref, d2_out, idx_out, *, k: int, nr: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
 def knn_select_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int,
-                      self_mode: bool = False, interpret: bool = False
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      self_mode: bool = False, interpret: bool = False,
+                      nr=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact kNN selection on TPU; same contract as ``knn_select_xla``.
+
+    ``nr``: true number of valid reference rows (ref rows beyond it are
+    padding and never selected); defaults to ref.shape[0].  Runtime value —
+    does not trigger recompilation.
 
     Returns (d2, idx): (Nq, k) ascending squared distances and ref-row
     indices; absent slots carry +inf / -1.
     """
     nq, d = query.shape
-    nr = ref.shape[0]
-    k = min(k, nr)
+    if nr is None:
+        nr = ref.shape[0]
+    k = min(k, ref.shape[0])
 
-    mu = jnp.mean(ref, axis=0, keepdims=True)
+    mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
+        jnp.asarray(nr, query.dtype), 1.0)
     dpad = _round_up(max(d, 1), LANE)
     nq_pad = _round_up(nq, TQ)
-    nr_pad = _round_up(nr, TR)
+    nr_pad = _round_up(ref.shape[0], TR)
     q = jnp.zeros((nq_pad, dpad), jnp.float32)
     q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
     r = jnp.zeros((nr_pad, dpad), jnp.float32)
-    r = r.at[:nr, :d].set((ref - mu).astype(jnp.float32))
+    r = r.at[:ref.shape[0], :d].set((ref - mu).astype(jnp.float32))
+    nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
 
     grid = (nq_pad // TQ, nr_pad // TR)
-    kernel = functools.partial(_knn_kernel, k=k, nr=nr, self_mode=self_mode)
+    kernel = functools.partial(_knn_kernel, k=k, self_mode=self_mode)
     flops_mm = 2 * nq_pad * nr_pad * dpad
     d2, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TQ, dpad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, dpad), lambda i, j: (j, 0),
@@ -134,5 +146,5 @@ def knn_select_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int,
             flops=flops_mm, bytes_accessed=(q.size + r.size) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(q, r)
+    )(nr_arr, q, r)
     return jnp.maximum(d2[:nq], 0.0), idx[:nq]
