@@ -10,14 +10,21 @@ scaling across chips via an ICI ring.
 """
 
 from ._version import __version__
+from .compat import MCSamples, split_var
 from .evidence import MCEvidence, evidence_fn
 from .registry import COSMO_PARAMS, extend_cosmo_params, iscosmo_param
 from .priors.params_info import get_prior_volume, params_info
 
+# reference-compatible module-level alias (reference MCEvidence.py:84-86)
+cosmo_params_list = list(COSMO_PARAMS)
+
 __all__ = [
     "MCEvidence",
+    "MCSamples",
+    "split_var",
     "evidence_fn",
     "COSMO_PARAMS",
+    "cosmo_params_list",
     "extend_cosmo_params",
     "iscosmo_param",
     "get_prior_volume",

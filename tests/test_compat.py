@@ -1,0 +1,79 @@
+"""Reference-surface compatibility: MCSamples wrapper + CLI main()."""
+
+import numpy as np
+import pytest
+
+from mcevidence_tpu.compat import MCSamples, split_var
+
+
+@pytest.fixture
+def files(tmp_path, rng):
+    for c in (1, 2):
+        a = np.column_stack([np.full(100, 2.0), rng.random(100),
+                             rng.normal(size=(100, 3))])
+        np.savetxt(tmp_path / f"r_{c}.txt", a)
+    return str(tmp_path / "r")
+
+
+def test_mcsamples_from_files(files):
+    gd = MCSamples(files, burnlen=0.1, thinlen=0)
+    assert gd.get_shape("s1") == (180, 3)
+    s, lnp, w = gd.arrays("s1")
+    assert s.shape == (180, 3)
+    assert np.all(w == 2.0)
+    assert gd.nparamMC == 3
+    assert gd.names == ["p0", "p1", "p2"]
+
+
+def test_mcsamples_split(files, rng):
+    gd = MCSamples(files, csplit=split_var(split=True, frac=0.5, shuffle=True),
+                   seed=0)
+    assert gd.split
+    assert gd.get_shape("s1")[0] + gd.get_shape("s2")[0] == 200
+    s, lnp, w = gd.arrays("all")
+    assert s.shape[0] == 200
+    assert "s2" in gd.data
+
+
+def test_mcsamples_mutating_ops(files):
+    gd = MCSamples(files, seed=1)
+    gd.removeBurn(0.5, name="s1")
+    assert gd.get_shape("s1") == (100, 3)
+    gd.importance_sample(lambda s: np.zeros(len(s)), name="s1")
+    np.testing.assert_allclose(gd.data["s1"].adjusted_weights,
+                               gd.data["s1"].weights)
+    gd.thin(2, name="s1")   # integer weights 2, factor 2: coarse branch
+    assert gd.get_shape("s1")[0] == 100   # every row kept (w=2 >= factor)
+
+
+def test_mcsamples_dict_input(rng):
+    gd = MCSamples({"samples": rng.normal(size=(50, 4)),
+                    "loglikes": rng.normal(size=50)})
+    assert gd.get_shape("s1") == (50, 4)
+
+
+def test_cli_main_end_to_end(tmp_path, rng, capsys):
+    # full CLI path on a synthetic CosmoMC root with .ranges metadata
+    ndim, n = 3, 1200
+    mean = np.array([0.0226, 0.112, 1.041])
+    sig = np.array([0.0002, 0.002, 0.0005])
+    for c in (1, 2):
+        theta = rng.normal(mean, sig, size=(n, ndim))
+        neglnl = 0.5 * np.sum(((theta - mean) / sig) ** 2, axis=1)
+        np.savetxt(tmp_path / f"toy_{c}.txt",
+                   np.column_stack([np.ones(n), neglnl, theta]))
+    (tmp_path / "toy.ranges").write_text(
+        "omegabh2 0.019 0.026\nomegach2 0.09 0.14\ntheta 1.03 1.05\n")
+    from mcevidence_tpu.cli import main
+    rc = main([str(tmp_path / "toy"), "-k", "2", "-vb", "0",
+               "--engine", "xla"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ln(B)[k=1]" in out
+
+
+def test_cli_missing_root(tmp_path, capsys):
+    from mcevidence_tpu.cli import main
+    rc = main([str(tmp_path / "absent"), "-vb", "0"])
+    assert rc == 2
+    assert "error" in capsys.readouterr().err
