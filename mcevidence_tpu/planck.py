@@ -283,9 +283,15 @@ def run_grid(rootdir: str, outdir: str, *, basename: str = "mce",
              burnfrac: float = 0.0, thinfrac: float = 0.0,
              use_h0_prior: bool = True, verbose: int = 1,
              num_shards: int = 1, shard_id: int = 0,
-             engine: str = "auto", precision: str = "refine") -> Dict:
+             engine: str = "auto", precision: str = "refine",
+             resume: bool = False) -> Dict:
     """Run the evidence grid for this shard's datasets; write per-dataset
-    txt/csv.  Returns {dataset: delta_lnE series}."""
+    txt/csv.  Returns {dataset: delta_lnE series}.
+
+    ``resume=True`` skips datasets whose per-dataset csv already exists —
+    a crashed run keeps its completed datasets (the reference's incremental
+    per-dataset outputs, planck_mcevidence.py:387-404, made explicit).
+    """
     data_list = list(datasets if datasets is not None else DATASETS)
     if ndata > 0:
         data_list = data_list[:ndata]
@@ -298,6 +304,13 @@ def run_grid(rootdir: str, outdir: str, *, basename: str = "mce",
 
     all_df: Dict[str, pd.Series] = {}
     for dataset in my_data:
+        fcsv = os.path.join(out_csv, f"{basename}_{dataset}.csv")
+        if resume and os.path.exists(fcsv):
+            logger.info("resume: skipping completed dataset %s", dataset)
+            df = pd.read_csv(fcsv, index_col=0)
+            if "delta_lnE_k1" in df:
+                all_df[dataset] = df["delta_lnE_k1"]
+            continue
         logger.info("--------------- %s ---------", dataset)
         df = dataset_evidence(
             rootdir, dataset, kmax=kmax, nchain=nchain, nmodel=nmodel,
@@ -410,6 +423,8 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--shard-id", default=0, type=int)
     p.add_argument("--aggregate-only", action="store_true",
                    help="only merge existing per-dataset outputs")
+    p.add_argument("--resume", action="store_true",
+                   help="skip datasets whose csv output already exists")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "pallas", "xla"])
     p.add_argument("--precision", default="refine",
@@ -433,7 +448,7 @@ def main(argv=None) -> int:
             thinfrac=args.thinfrac, use_h0_prior=not args.no_h0_prior,
             verbose=args.verbose, num_shards=args.num_shards,
             shard_id=args.shard_id, engine=args.engine,
-            precision=args.precision)
+            precision=args.precision, resume=args.resume)
     # last shard (or a dedicated --aggregate-only run) merges everything
     if args.aggregate_only or args.num_shards == 1 \
             or args.shard_id == args.num_shards - 1:
