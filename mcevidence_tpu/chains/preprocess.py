@@ -147,6 +147,43 @@ def get_thin_index(nthin: float, weights: np.ndarray,
     return new_w, thin_ix
 
 
+def autocorr_time(x: np.ndarray, c: float = 5.0) -> float:
+    """Integrated autocorrelation time of a 1-D sequence (Sokal window).
+
+    FFT autocorrelation, tau(M) = 1 + 2 sum_{t<=M} rho_t, with the window M
+    chosen as the smallest M >= c * tau(M) (the emcee/Goodman-Weare
+    convention).  Returns >= 1.0.
+    """
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    if n < 4:
+        return 1.0
+    x = x - x.mean()
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, nfft)
+    acf = np.fft.irfft(f * np.conjugate(f), nfft)[:n]
+    if acf[0] <= 0:
+        return 1.0
+    rho = acf / acf[0]
+    taus = 1.0 + 2.0 * np.cumsum(rho[1:])
+    windows = np.arange(1, len(taus) + 1)
+    ok = windows >= c * taus
+    m = int(np.argmax(ok)) if ok.any() else len(taus) - 1
+    return float(max(taus[m], 1.0))
+
+
+def autocorr_thin_factor(samples: np.ndarray, scale: float = 1.0) -> int:
+    """Integer thinning factor from the worst per-parameter autocorrelation
+    time of a chain's parameter block, scaled by ``scale``.
+
+    Implements the reference CLI's documented-but-missing ``thinlen < 0``
+    mode (quirk Q9; reference MCEvidence.py:1388-1392): |thinlen| scales the
+    measured autocorrelation length.
+    """
+    taus = [autocorr_time(samples[:, j]) for j in range(samples.shape[1])]
+    return max(1, int(round(max(taus) * scale)))
+
+
 def thin_chain(chain: np.ndarray, nthin: float, iw: int = 0,
                rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """Thin a raw chain matrix; thinned rows get their new weights written into
@@ -203,10 +240,16 @@ def build_chain_pair(chains: Sequence[np.ndarray],
         chains = [remove_burn(c, burnlen) for c in chains]
     chain_offsets = np.cumsum([0] + [c.shape[0] for c in chains])
     samples = np.concatenate(chains, axis=0)
-    if abs(thinlen) > 0:
-        # reference uses |thinlen| (MCEvidence.py:211-213); thinlen<0 is
-        # CLI-documented as autocorrelation length but not implemented (Q9).
-        samples = thin_chain(samples, abs(thinlen), iw=iw, rng=rng)
+    if thinlen < 0:
+        # thinlen < 0: thin by the chain's own autocorrelation length scaled
+        # by |thinlen| — the mode the reference CLI documents but never
+        # implemented (quirk Q9; it silently used |thinlen| instead).
+        factor = autocorr_thin_factor(samples[:, itheta:], scale=-thinlen)
+        logger.info("autocorrelation thinning: factor=%d", factor)
+        if factor > 1:
+            samples = thin_chain(samples, factor, iw=iw, rng=rng)
+    elif thinlen > 0:
+        samples = thin_chain(samples, thinlen, iw=iw, rng=rng)
 
     if split:
         ix, not_ix = split_rows(samples.shape[0], s1frac, rng=rng, ix=split_ix)

@@ -34,9 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tile sizes: (TQ, TR) f32 distance tile = 512 KB VMEM; q/r tiles 128 KB each.
-TQ = 256
-TR = 512
+# Tile sizes: (TQ, TR) f32 distance tile = 4 MB VMEM (+4 MB merge buffer,
+# ~1.3 MB double-buffered inputs).  Measured sweep (docs/KERNEL_NOTES.md):
+# larger tiles amortize the ~2 us per-invocation overhead — (512, 2048) gave
+# 45 Gpairs/s at k=5 vs 23 Gpairs/s at (256, 512).
+TQ = 512
+TR = 2048
 LANE = 128
 
 

@@ -101,14 +101,10 @@ def _whiten_local(s: jnp.ndarray, n_real, axis: str):
     return white, log_j, posdef
 
 
-def _evidence_step_local(samples, lnlike, weights, valid, *, kmax: int,
-                         n_global: int, ndim: int, log_prior_volume: float,
-                         axis: str):
-    """SPMD evidence for an auto-mode chain shard (runs under shard_map)."""
-    white, log_j, _ = _whiten_local(samples, valid, axis)
-    dknn2, _ = _ring_knn_local(white, white, kmax, axis, n_global,
-                               self_mode=True)
-    # fused log-space reduction (ops/estimator.py), distributed via psum
+def _reduce_mle(dknn2, lnlike, weights, valid, log_j, *, kmax, n_global,
+                ndim, log_prior_volume, k_start, axis):
+    """Distributed fused log-space reduction (ops/estimator.py semantics,
+    psum/pmax across shards)."""
     lnl_max = jax.lax.pmax(jnp.max(jnp.where(valid > 0, lnlike, -jnp.inf)),
                            axis)
     fs = lnlike - lnl_max
@@ -124,9 +120,60 @@ def _evidence_step_local(samples, lnlike, weights, valid, *, kmax: int,
     log_dotp = m_safe + jnp.log(sums)
     sum_w = jax.lax.psum(jnp.sum(weights * valid), axis)
     k_idx = jnp.arange(kmax)
-    log_amax = log_dotp - jnp.log(n_global * k_idx + 1.0)
+    k_nn = k_idx if k_start == 1 else k_idx + 1                 # quirk Q2 layout
+    log_amax = log_dotp - jnp.log(n_global * k_nn + 1.0)
     mle = (jnp.log(sum_w) + log_amax + log_j + lnl_max - log_prior_volume)
-    return jnp.where(k_idx < 1, 0.0, mle)
+    return jnp.where(k_idx < k_start, 0.0, mle)
+
+
+def _evidence_step_local(samples, lnlike, weights, valid, *, kmax: int,
+                         n_global: int, ndim: int, log_prior_volume: float,
+                         axis: str):
+    """SPMD auto-evidence for a chain shard (runs under shard_map)."""
+    white, log_j, _ = _whiten_local(samples, valid, axis)
+    dknn2, _ = _ring_knn_local(white, white, kmax, axis, n_global,
+                               self_mode=True)
+    return _reduce_mle(dknn2, lnlike, weights, valid, log_j, kmax=kmax,
+                       n_global=n_global, ndim=ndim,
+                       log_prior_volume=log_prior_volume, k_start=1,
+                       axis=axis)
+
+
+def _cross_evidence_step_local(s1, lnl1, w1, valid1, s2, valid2, *,
+                               kmax: int, n1_global: int, n2_global: int,
+                               ndim: int, log_prior_volume: float,
+                               axis: str):
+    """SPMD cross-evidence: NN of s1 shards searched in rotating s2 shards
+    (reference split mode, MCEvidence.py:1073-1096; k0=0 semantics).
+
+    Whitening uses the covariance of ALL samples (covtype='all', quirk Q1):
+    moments of s1 and s2 are psum-combined before the eigh.
+    """
+    # combined moments over both partitions
+    m1 = valid1[:, None]
+    m2 = valid2[:, None]
+    n = jax.lax.psum(jnp.sum(valid1) + jnp.sum(valid2), axis)
+    sx = jax.lax.psum(jnp.sum(s1 * m1, axis=0) + jnp.sum(s2 * m2, axis=0),
+                      axis)
+    sxx = jax.lax.psum(
+        jnp.dot((s1 * m1).T, s1, precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot((s2 * m2).T, s2, precision=jax.lax.Precision.HIGHEST),
+        axis)
+    mean = sx / n
+    cov = (sxx - n * jnp.outer(mean, mean)) / (n - 1.0)
+    eigvals, eigvecs = jnp.linalg.eigh(cov)
+    posdef = jnp.all(eigvals > 0)
+    safe = jnp.where(eigvals > 0, eigvals, 1.0)
+    log_j = jnp.where(posdef, 0.5 * jnp.sum(jnp.log(safe)), 0.0)
+    rot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+    w1s = jnp.where(posdef, rot(s1, eigvecs) / jnp.sqrt(safe), s1)
+    w2s = jnp.where(posdef, rot(s2, eigvecs) / jnp.sqrt(safe), s2)
+    dknn2, _ = _ring_knn_local(w1s, w2s, kmax, axis, n2_global,
+                               self_mode=False)
+    return _reduce_mle(dknn2, lnl1, w1, valid1, log_j, kmax=kmax,
+                       n_global=n1_global, ndim=ndim,
+                       log_prior_volume=log_prior_volume, k_start=0,
+                       axis=axis)
 
 
 def make_sharded_evidence(mesh: Mesh, axis: str = "ring", *, kmax: int,
@@ -150,6 +197,64 @@ def make_sharded_evidence(mesh: Mesh, axis: str = "ring", *, kmax: int,
         out_specs=P(),
         check_rep=False)
     return jax.jit(sharded)
+
+
+def make_sharded_cross_evidence(mesh: Mesh, axis: str = "ring", *, kmax: int,
+                                n1_global: int, n2_global: int, ndim: int,
+                                log_prior_volume: float = 0.0):
+    """Build the jitted multi-chip cross-evidence program for a mesh.
+
+    Takes shard-major padded arrays (s1 (N1p, d), lnl1, w1, valid1,
+    s2 (N2p, d), valid2) and returns the (kmax,) MLE row with k0=0 columns
+    (caller slices [1:], preserving quirk Q2)."""
+    from jax.experimental.shard_map import shard_map
+
+    body = functools.partial(
+        _cross_evidence_step_local, kmax=kmax, n1_global=n1_global,
+        n2_global=n2_global, ndim=ndim, log_prior_volume=log_prior_volume,
+        axis=axis)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(axis),
+                  P(axis, None), P(axis)),
+        out_specs=P(),
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def sharded_cross_evidence(samples1: np.ndarray, lnlike1: np.ndarray,
+                           samples2: np.ndarray,
+                           weights1: Optional[np.ndarray] = None,
+                           *, kmax: int = 5, prior_volume: float = 1.0,
+                           mesh: Optional[Mesh] = None,
+                           dtype=jnp.float32) -> np.ndarray:
+    """Multi-device cross evidence (same contract as ``evidence_fn`` with
+    ``samples2``): returns ln Z for k = 1..kmax-1."""
+    kmax = max(2, kmax)
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, ("ring",))
+    axis = mesh.axis_names[0]
+    pcount = mesh.devices.size
+    n1, ndim = samples1.shape
+    n2 = samples2.shape[0]
+    s1, lnl1, w1, valid1 = pad_for_mesh(samples1, lnlike1, weights1, pcount)
+    npad2 = (-n2) % pcount
+    s2 = np.concatenate([samples2, np.zeros((npad2, ndim))], axis=0)
+    valid2 = np.concatenate([np.ones(n2), np.zeros(npad2)])
+    fn = make_sharded_cross_evidence(
+        mesh, axis, kmax=kmax, n1_global=n1, n2_global=n2, ndim=ndim,
+        log_prior_volume=math.log(prior_volume))
+    sh1 = NamedSharding(mesh, P(axis))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    args = (jax.device_put(jnp.asarray(s1, dtype), sh2),
+            jax.device_put(jnp.asarray(lnl1, dtype), sh1),
+            jax.device_put(jnp.asarray(w1, dtype), sh1),
+            jax.device_put(jnp.asarray(valid1, dtype), sh1),
+            jax.device_put(jnp.asarray(s2, dtype), sh2),
+            jax.device_put(jnp.asarray(valid2, dtype), sh1))
+    mle = np.asarray(fn(*args))
+    return mle[1:]
 
 
 def pad_for_mesh(samples: np.ndarray, lnlike: np.ndarray,

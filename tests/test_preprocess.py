@@ -155,3 +155,33 @@ def test_importance_sample_adjusts_only_aweights(rng):
     # adjusted weights halved, raw weights untouched (quirk Q7)
     np.testing.assert_allclose(out.s1.adjusted_weights, 1.0)
     np.testing.assert_allclose(out.s1.weights, 2.0)
+
+
+# ---------------------------------------------------------------- autocorr
+
+def test_autocorr_time_iid_vs_correlated(rng):
+    iid = rng.normal(size=4000)
+    assert pp.autocorr_time(iid) < 2.0
+    # AR(1) with phi=0.9: tau = (1+phi)/(1-phi) = 19
+    phi, n = 0.9, 20000
+    ar = np.empty(n)
+    ar[0] = 0.0
+    eps = rng.normal(size=n)
+    for i in range(1, n):
+        ar[i] = phi * ar[i - 1] + eps[i]
+    tau = pp.autocorr_time(ar)
+    assert 10 < tau < 30, tau
+
+
+def test_autocorr_thin_factor_and_pipeline(rng):
+    phi, n = 0.8, 5000
+    ar = np.empty((n, 2))
+    ar[0] = 0.0
+    eps = rng.normal(size=(n, 2))
+    for i in range(1, n):
+        ar[i] = phi * ar[i - 1] + eps[i]
+    chain = np.column_stack([np.ones(n), np.zeros(n), ar])
+    factor = pp.autocorr_thin_factor(ar)
+    assert factor > 3          # tau(0.8) = 9
+    pair = pp.build_chain_pair([chain], thinlen=-1.0)
+    assert pair.s1.nsamples < n // 3

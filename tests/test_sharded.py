@@ -44,3 +44,25 @@ def test_sharded_with_weights(rng, mesh8):
                          engine="xla")
     multi = sharded_auto_evidence(theta, lnl, weights=w, kmax=2, mesh=mesh8)
     np.testing.assert_allclose(multi, single, atol=2e-3)
+
+
+def test_sharded_cross_matches_single_device(rng, mesh8):
+    from mcevidence_tpu.parallel.ring import sharded_cross_evidence
+    theta, lnl = make_gaussian_chain(rng, n=1600, ndim=3)
+    s1, l1 = theta[:900], lnl[:900]
+    s2 = theta[900:]
+    single = evidence_fn(s1, l1, samples2=s2, kmax=3, precision="fast",
+                         engine="xla")
+    multi = sharded_cross_evidence(s1, l1, s2, kmax=3, mesh=mesh8)
+    np.testing.assert_allclose(multi, single, atol=2e-3)
+
+
+def test_sharded_cross_uneven(rng, mesh8):
+    from mcevidence_tpu.parallel.ring import sharded_cross_evidence
+    theta, lnl = make_gaussian_chain(rng, n=1501, ndim=3)
+    s1, l1 = theta[:737], lnl[:737]
+    s2 = theta[737:]
+    single = evidence_fn(s1, l1, samples2=s2, kmax=2, precision="fast",
+                         engine="xla")
+    multi = sharded_cross_evidence(s1, l1, s2, kmax=2, mesh=mesh8)
+    np.testing.assert_allclose(multi, single, atol=2e-3)
