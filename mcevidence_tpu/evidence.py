@@ -247,9 +247,53 @@ class MCEvidence:
         if covtype is None:
             covtype = self.covtype
 
+        # profiling: the reference accepts profile= and ignores it
+        # (MCEvidence.py:950-952); here it logs per-stage timings and, when
+        # MCE_PROFILE_DIR is set, captures a jax.profiler trace around the run.
+        import os
+        trace_dir = os.environ.get("MCE_PROFILE_DIR") if profile else None
+        if trace_dir:
+            import jax
+            jax.profiler.start_trace(trace_dir)
+        try:
+            return self._evidence_impl(verbose, rand, info, covtype, profile,
+                                       log_pv, pos_lnp, prewhiten)
+        finally:
+            if trace_dir:
+                import jax
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", trace_dir)
+
+    def _evidence_impl(self, verbose, rand, info, covtype, profile,
+                       log_pv, pos_lnp, prewhiten):
+
         kmax, ndim = self.kmax, self.ndim
         mle = np.zeros((self.nbatch, kmax))
         t_whiten = t_knn = t_est = 0.0
+
+        # Fully-fused single-jit device program for the common fast-mode
+        # case (one batch covering the whole chain, auto mode: covtype
+        # 'all' and 'single' coincide).
+        if (self.precision == "fast" and not self.split
+                and self.brange is None and prewhiten):
+            from .ops.pipeline import fast_auto_evidence
+            s, lnl, w = self._get_batch("s1", 0, False)
+            if pos_lnp:
+                lnl = -lnl
+            t0 = time.perf_counter()
+            out = fast_auto_evidence(
+                s, lnl, w, kmax=kmax,
+                prior_volume=math.exp(log_pv),
+                sum_adjusted_weights=float(
+                    np.sum(self.pair.s1.adjusted_weights)),
+                engine=self.engine)
+            self.timings["fused_s"] = time.perf_counter() - t0
+            if verbose > 0:
+                for k in range(1, kmax):
+                    logger.info("   ln(B)[k=%d] = %s", k, out[k - 1])
+            if info:
+                return out, self.info
+            return out
 
         if covtype == "all":
             t0 = time.perf_counter()

@@ -164,3 +164,24 @@ def test_pos_lnp_flag(gaussian_chain):
     b = MCEvidence({"samples": theta, "loglikes": -lnl}, kmax=2, verbose=0,
                    engine="xla").evidence(pos_lnp=True)
     np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_fused_fast_path_matches_refine(gaussian_chain):
+    theta, lnl = gaussian_chain
+    refine = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=3,
+                        verbose=0, engine="xla").evidence()
+    fast = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=3,
+                      verbose=0, engine="xla",
+                      precision="fast").evidence()
+    np.testing.assert_allclose(fast, refine, atol=3e-3)
+
+
+def test_fused_fast_path_importance_shift(gaussian_chain):
+    theta, lnl = gaussian_chain
+    c = 0.4
+    base = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2, verbose=0,
+                      engine="xla", precision="fast").evidence()
+    rew = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2, verbose=0,
+                     isfunc=lambda s: np.full(len(s), c), engine="xla",
+                     precision="fast").evidence()
+    np.testing.assert_allclose(rew - base, -c, atol=1e-5)
