@@ -185,3 +185,27 @@ def test_fused_fast_path_importance_shift(gaussian_chain):
                      isfunc=lambda s: np.full(len(s), c), engine="xla",
                      precision="fast").evidence()
     np.testing.assert_allclose(rew - base, -c, atol=1e-5)
+
+
+def test_covtype_single_cross(rng):
+    # covtype='single': s1 whitened with cov(s1), s2 with cov(s2), Jacobian
+    # from s1 (reference MCEvidence.py:1080-1086) — check against a direct
+    # oracle built the same way.
+    theta, lnl = make_gaussian_chain(rng, n=1600, ndim=3)
+    s1, l1, s2 = theta[:900], lnl[:900], theta[900:]
+    ours = evidence_fn(s1, l1, samples2=s2, kmax=2, covtype="single",
+                       engine="xla")
+    cov1 = np.cov(s1.T)
+    ev1, evec1 = np.linalg.eigh(cov1)
+    cov2 = np.cov(s2.T)
+    ev2, evec2 = np.linalg.eigh(cov2)
+    w1 = (s1 @ evec1) / np.sqrt(ev1)
+    w2 = (s2 @ evec2) / np.sqrt(ev2)
+    D, _ = NearestNeighbors(n_neighbors=2).fit(w2).kneighbors(w1)
+    lmax = l1.max()
+    fs = np.exp(l1 - lmax)
+    ndim = 3
+    vol = math.pi ** (ndim / 2) * D[:, 1] ** ndim / sp.gamma(1 + ndim / 2)
+    amax = np.dot(vol, fs) / (len(s1) * 2 + 1.0)   # k0=0: col 1 -> k_nn=2
+    oracle = math.log(len(s1) * amax * math.sqrt(np.linalg.det(cov1))) + lmax
+    np.testing.assert_allclose(ours[0], oracle, atol=1e-6)

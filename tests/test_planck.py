@@ -109,3 +109,29 @@ def test_grid_single_chain_mode(minigrid, tmp_path):
     for col in ("chain1", "chain2", "Mean_lnE_k1", "Err_lnE_k1"):
         assert col in df.columns
     assert (df["Err_lnE_k1"] >= 0).all()
+
+
+def test_grid_sharded_run_and_merge(minigrid, tmp_path):
+    # two shard "processes" then an aggregate-only merge (the MPI
+    # replacement flow)
+    rootdir, ds = minigrid
+    outdir = str(tmp_path / "out3")
+    for sid in range(2):
+        planck.run_grid(rootdir, outdir, kmax=2, verbose=0, engine="xla",
+                        datasets=[ds], num_shards=2, shard_id=sid)
+    planck.aggregate(outdir, rootdir=rootdir, datasets=[ds])
+    assert os.path.exists(os.path.join(outdir, "AllChains",
+                                       "delta_lnE_all.txt"))
+
+
+def test_grid_resume_skips(minigrid, tmp_path, caplog):
+    rootdir, ds = minigrid
+    outdir = str(tmp_path / "out4")
+    planck.run_grid(rootdir, outdir, kmax=2, verbose=0, engine="xla",
+                    datasets=[ds])
+    import logging
+    with caplog.at_level(logging.INFO, logger="mcevidence_tpu.planck"):
+        out = planck.run_grid(rootdir, outdir, kmax=2, verbose=0,
+                              engine="xla", datasets=[ds], resume=True)
+    assert ds in out            # recovered from csv
+    assert any("skipping" in r.message for r in caplog.records)
