@@ -93,6 +93,157 @@ def _knn_kernel(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     idx_out[:] = jnp.concatenate(idxs, axis=1)
 
 
+# Depth of the per-lane bin store in the binned kernel: candidate j lands in
+# bin (j mod 128) and each bin retains its BINS_DEPTH smallest.  A true
+# neighbour is lost only when > BINS_DEPTH of a row's true top-k collide in
+# one bin: P ~ C(k, L+1)/128^L ~ 5e-7 per row at L=4, k=9 — and the f64
+# refinement stage bounds the ln Z impact of a loss to ~1e-8.
+BINS_DEPTH = 4
+NBINS = 128
+
+
+def _knn_kernel_binned(nr_ref, q_ref, r_ref, d2_out, idx_out, *bins,
+                       k: int, self_mode: bool):
+    """Binned selection (TPU-KNN-style, PAPERS.md): per ref tile, candidates
+    stream through a depth-L compare-swap chain into 128 lane bins (cost
+    independent of k); the exact top-k extraction runs ONCE per query tile
+    over the L*128 bin store after the ref sweep.
+
+    ``bins``: 2*BINS_DEPTH scratch refs — d2 level buffers then idx level
+    buffers, each (TQ, NBINS).  Kept as separate buffers because Mosaic
+    rejects lane-dimension strided slices of a wide scratch."""
+    bin_d2 = bins[:BINS_DEPTH]
+    bin_idx = bins[BINS_DEPTH:]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        for lvl in range(BINS_DEPTH):
+            bin_d2[lvl][:] = jnp.full_like(bin_d2[lvl], jnp.inf)
+            bin_idx[lvl][:] = jnp.full_like(bin_idx[lvl], -1)
+
+    nr = nr_ref[0]
+    q = q_ref[:]
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+    if self_mode:
+        grow = i * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, NBINS), 0)
+
+    # stream TR/NBINS candidate groups through the depth-L insertion chain;
+    # each group gets its own (TQ, dpad)@(dpad, NBINS) MXU pass (sublane
+    # slicing of r — Mosaic rejects lane slices/reshapes of the wide tile).
+    # fori_loop keeps the program small: one group body, not TR/NBINS copies.
+    iota_cols = jax.lax.broadcasted_iota(jnp.int32, (TQ, NBINS), 1)
+
+    def group_body(rblk, levels):
+        levels_d2 = list(levels[:BINS_DEPTH])
+        levels_idx = list(levels[BINS_DEPTH:])
+        rg = r_ref[pl.ds(rblk * NBINS, NBINS), :]
+        r_sq = jnp.sum(rg * rg, axis=1)[None, :]
+        c = q_sq + r_sq - 2.0 * jnp.dot(q, rg.T,
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
+        ci = j * TR + rblk * NBINS + iota_cols
+        c = jnp.where(ci < nr, c, jnp.inf)
+        if self_mode:
+            c = jnp.where(ci == grow, -1.0, c)
+        for lvl in range(BINS_DEPTH):
+            b, bi = levels_d2[lvl], levels_idx[lvl]
+            take = c < b
+            levels_d2[lvl] = jnp.where(take, c, b)
+            levels_idx[lvl] = jnp.where(take, ci, bi)
+            c = jnp.where(take, b, c)
+            ci = jnp.where(take, bi, ci)
+        return tuple(levels_d2) + tuple(levels_idx)
+
+    init = tuple(bin_d2[lvl][:] for lvl in range(BINS_DEPTH)) + \
+        tuple(bin_idx[lvl][:] for lvl in range(BINS_DEPTH))
+    levels = jax.lax.fori_loop(0, TR // NBINS, group_body, init)
+    levels_d2 = list(levels[:BINS_DEPTH])
+    levels_idx = list(levels[BINS_DEPTH:])
+    for lvl in range(BINS_DEPTH):
+        bin_d2[lvl][:] = levels_d2[lvl]
+        bin_idx[lvl][:] = levels_idx[lvl]
+
+    # last ref tile: exact top-k extraction over the small bin store
+    @pl.when(j == nj - 1)
+    def _extract():
+        cat = jnp.concatenate(levels_d2, axis=1)
+        cat_idx = jnp.concatenate(levels_idx, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
+        vals = []
+        idxs = []
+        neg_big = jnp.int32(-2147483648)
+        for _ in range(k):
+            am = jnp.argmin(cat, axis=1)[:, None]
+            mask = col == am
+            vals.append(jnp.min(cat, axis=1, keepdims=True))
+            idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
+                                keepdims=True))
+            cat = jnp.where(mask, jnp.inf, cat)
+        d2_out[:] = jnp.concatenate(vals, axis=1)
+        idx_out[:] = jnp.concatenate(idxs, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "self_mode", "interpret"))
+def knn_select_pallas_binned(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                             self_mode: bool = False, interpret: bool = False,
+                             nr=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Binned-selection variant of ``knn_select_pallas``: ~k-independent VPU
+    cost; quasi-exact (see BINS_DEPTH note).  Same contract."""
+    nq, d = query.shape
+    if nr is None:
+        nr = ref.shape[0]
+    k = min(k, ref.shape[0], NBINS * BINS_DEPTH)
+
+    mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
+        jnp.asarray(nr, query.dtype), 1.0)
+    dpad = _round_up(max(d, 1), LANE)
+    nq_pad = _round_up(nq, TQ)
+    nr_pad = _round_up(ref.shape[0], TR)
+    q = jnp.zeros((nq_pad, dpad), jnp.float32)
+    q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
+    r = jnp.zeros((nr_pad, dpad), jnp.float32)
+    r = r.at[:ref.shape[0], :d].set((ref - mu).astype(jnp.float32))
+    nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
+
+    grid = (nq_pad // TQ, nr_pad // TR)
+    kernel = functools.partial(_knn_kernel_binned, k=k, self_mode=self_mode)
+    d2, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TQ, dpad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, dpad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((TQ, NBINS), jnp.float32)
+             for _ in range(BINS_DEPTH)]
+            + [pltpu.VMEM((TQ, NBINS), jnp.int32)
+               for _ in range(BINS_DEPTH)]),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq_pad * nr_pad * dpad,
+            bytes_accessed=(q.size + r.size) * 4, transcendentals=0),
+        interpret=interpret,
+    )(nr_arr, q, r)
+    return jnp.maximum(d2[:nq], 0.0), idx[:nq]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
 def knn_select_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                       self_mode: bool = False, interpret: bool = False,

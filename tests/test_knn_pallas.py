@@ -33,3 +33,30 @@ def test_pallas_cross_mode_interpret(rng):
     sk_d, sk_i = NearestNeighbors(n_neighbors=5).fit(r).kneighbors(q)
     np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(sk_i, axis=1))
     np.testing.assert_allclose(np.sqrt(np.asarray(d2)), sk_d, atol=1e-4)
+
+
+def test_pallas_binned_self_mode_interpret(rng):
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_binned
+    n, d, k = 400, 5, 6
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    d2, idx = knn_select_pallas_binned(jnp.asarray(x), jnp.asarray(x), k,
+                                       self_mode=True, interpret=True)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=k).fit(x).kneighbors(x)
+    assert np.all(idx[:, 0] == np.arange(n))
+    # bin collisions are ~1e-6-probability events; at this size expect exact
+    match = np.mean(np.sort(idx, axis=1) == np.sort(sk_i, axis=1))
+    assert match == 1.0
+    np.testing.assert_allclose(np.sqrt(d2), sk_d, atol=1e-4)
+
+
+def test_pallas_binned_cross_interpret(rng):
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_binned
+    q = rng.normal(size=(70, 4)).astype(np.float32)
+    r = rng.normal(size=(900, 4)).astype(np.float32)
+    d2, idx = knn_select_pallas_binned(jnp.asarray(q), jnp.asarray(r), 5,
+                                       interpret=True)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=5).fit(r).kneighbors(q)
+    np.testing.assert_array_equal(np.sort(np.asarray(idx), axis=1),
+                                  np.sort(sk_i, axis=1))
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), sk_d, atol=1e-4)
