@@ -118,7 +118,9 @@ class MCEvidence:
     :param seed: RNG seed for split / Poisson thinning / random subsampling
         (the reference uses the unseeded global RNG — quirk Q8).
     :param precision: 'refine' (float64-parity, default) or 'fast' (f32).
-    :param engine: kNN selection engine: 'auto', 'pallas', or 'xla'.
+    :param engine: kNN selection engine: 'auto', 'pallas' (k-dependent
+        dispatch between the exact and binned kernels), 'pallas_exact',
+        'pallas_binned', or 'xla'.
     """
 
     def __init__(self, method, ischain: bool = True,

@@ -208,10 +208,15 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
     q32 = jnp.asarray(q_in, select_dtype)
     r32 = q32 if self_mode else jnp.asarray(r_in, select_dtype)
 
-    if engine == "pallas":
-        from .knn_pallas import knn_select_pallas
-        d2, idx = knn_select_pallas(q32, r32, k_sel, self_mode=self_mode,
-                                    nr=nr)
+    if engine in ("pallas", "pallas_exact", "pallas_binned"):
+        from .knn_pallas import knn_select_pallas, knn_select_pallas_binned
+        # measured crossover (docs/KERNEL_NOTES.md): the binned kernel's VPU
+        # cost is k-independent and overtakes the exact iterative kernel at
+        # k_sel ~ 7.
+        use_binned = (engine == "pallas_binned"
+                      or (engine == "pallas" and k_sel >= 7))
+        sel = knn_select_pallas_binned if use_binned else knn_select_pallas
+        d2, idx = sel(q32, r32, k_sel, self_mode=self_mode, nr=nr)
     else:
         d2, idx = knn_select_xla(q32, r32, k_sel, self_mode=self_mode,
                                  block_size=min(block_size,

@@ -426,7 +426,7 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="skip datasets whose csv output already exists")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "pallas", "xla"])
+                   choices=["auto", "pallas", "pallas_exact", "pallas_binned", "xla"])
     p.add_argument("--precision", default="refine",
                    choices=["refine", "fast"])
     return p
