@@ -209,3 +209,30 @@ def test_covtype_single_cross(rng):
     amax = np.dot(vol, fs) / (len(s1) * 2 + 1.0)   # k0=0: col 1 -> k_nn=2
     oracle = math.log(len(s1) * amax * math.sqrt(np.linalg.det(cov1))) + lmax
     np.testing.assert_allclose(ours[0], oracle, atol=1e-6)
+
+
+def test_rand_subsampling(rng):
+    theta, lnl = make_gaussian_chain(rng, n=2000, ndim=3)
+    mce = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2, verbose=0,
+                     nbatch=2, brange=[2.5, 3.0], bscale="logpower",
+                     engine="xla", seed=3)
+    out = mce.evidence(rand=True)
+    assert out.shape == (2, 1)
+    assert np.all(np.isfinite(out))
+
+
+def test_rand_oversized_batch_raises(rng):
+    theta, lnl = make_gaussian_chain(rng, n=500, ndim=3)
+    mce = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2, verbose=0,
+                     nbatch=1, brange=[3.0, 3.0], bscale="logpower",
+                     engine="xla")
+    with pytest.raises(ValueError, match="ntotal"):
+        mce.evidence(rand=True)
+
+
+def test_ball_volume_const_vs_scipy():
+    from mcevidence_tpu.ops.estimator import log_ball_volume_const
+    import scipy.special as sp
+    for d in (1, 2, 7, 15, 20):
+        ref = np.log(np.pi ** (d / 2) / sp.gamma(1 + d / 2))
+        np.testing.assert_allclose(log_ball_volume_const(d), ref, rtol=1e-13)

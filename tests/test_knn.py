@@ -84,3 +84,15 @@ def test_duplicate_points(rng):
     np.testing.assert_allclose(np.sort(ours, axis=1), np.sort(sk, axis=1),
                                atol=1e-9)
     assert ours[3, 1] == 0.0 and ours[5, 1] == 0.0
+
+
+def test_bucket_size_properties():
+    from mcevidence_tpu.ops.knn import bucket_size
+    import math
+    for n in [1, 100, 512, 513, 1000, 26862, 28418, 46313, 99999, 1 << 20]:
+        b = bucket_size(n)
+        assert b >= n
+        assert b <= max(512, math.ceil(1.25 * n))   # <=25% overpad
+        assert b % 128 == 0
+    # buckets collapse nearby sizes to one compile shape
+    assert bucket_size(26862) == bucket_size(28418)
