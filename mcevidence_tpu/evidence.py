@@ -139,6 +139,8 @@ class MCEvidence:
                  precision: str = "refine",
                  engine: str = "auto",
                  **gdkwargs):
+        from .utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         configure(2 if (debug or verbose > 1) else verbose)
         self.verbose = verbose
         self.debug = debug or verbose > 1

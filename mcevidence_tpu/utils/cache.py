@@ -1,0 +1,36 @@
+"""Persistent compilation cache.
+
+TPU compiles in this deployment go through a remote compile service and cost
+minutes per shape; the in-service cache is LRU and unreliable across
+processes.  JAX's persistent compilation cache makes recompiles a disk read.
+Called by every entry point (CLI, planck driver, bench, graft) and the
+MCEvidence constructor; idempotent.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_enabled = False
+
+
+def enable_compilation_cache(path: str = "") -> None:
+    global _enabled
+    if _enabled:
+        return
+    import jax
+
+    path = path or os.environ.get(
+        "MCE_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "mcevidence_jax"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _enabled = True
+        logger.debug("persistent compilation cache at %s", path)
+    except Exception as e:   # never let cache setup break an estimate
+        logger.warning("could not enable compilation cache: %s", e)
