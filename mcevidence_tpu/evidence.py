@@ -41,8 +41,6 @@ def evidence_fn(samples: np.ndarray,
                 weights: Optional[np.ndarray] = None,
                 *,
                 samples2: Optional[np.ndarray] = None,
-                lnlike2: Optional[np.ndarray] = None,
-                weights2: Optional[np.ndarray] = None,
                 kmax: int = 5,
                 prior_volume: float = 1.0,
                 sum_adjusted_weights: Optional[float] = None,

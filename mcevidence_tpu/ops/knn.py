@@ -222,9 +222,10 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
                                  block_size=min(block_size,
                                                 max(128, r32.shape[0])),
                                  nr=nr)
-    d2 = np.asarray(d2)[:nq]
-    idx = np.asarray(idx)[:nq]
 
     if refine:
+        # only the candidate indices cross the (slow) device->host link;
+        # distances are recomputed exactly in f64 anyway.
+        idx = np.asarray(idx)[:nq]
         return refine_knn_f64(q_np, r_np, idx, k, self_mode=self_mode)
-    return np.sqrt(np.asarray(d2, np.float64))[:, :k]
+    return np.sqrt(np.asarray(d2, np.float64))[:nq, :k]

@@ -297,3 +297,111 @@ def sharded_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
             for a in (lnl, w, valid)]
     mle = fn(s, *args)
     return np.asarray(mle)[1:]
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh: data-parallel over chains x ring over samples
+# ---------------------------------------------------------------------------
+
+def make_sharded_grid_evidence(mesh: Mesh, axes=("dp", "ring"), *, kmax: int,
+                               ndim: int):
+    """Build the jitted 2-D-mesh program: a BATCH of chains, sharded over the
+    ``dp`` axis (the embarrassing model x dataset grid axis the reference
+    used MPI ranks for), each chain's samples ring-sharded over ``ring``.
+
+    Takes stacked padded arrays (B, Np, d) / (B, Np) ... plus per-chain
+    true counts (B,) and log prior volumes (B,); returns (B, kmax) MLE rows.
+    B must be a multiple of the dp axis size; Np of the ring axis size.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    dp, ring = axes
+
+    def single(s, lnl, w, v, n_glob, log_pv):
+        return _evidence_step_local(
+            s, lnl, w, v, kmax=kmax, n_global=n_glob, ndim=ndim,
+            log_prior_volume=log_pv, axis=ring)
+
+    batched = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0))
+    sharded = shard_map(
+        batched, mesh=mesh,
+        in_specs=(P(dp, ring, None), P(dp, ring), P(dp, ring), P(dp, ring),
+                  P(dp), P(dp)),
+        out_specs=P(dp),
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
+                               prior_volumes=None,
+                               mesh: Optional[Mesh] = None,
+                               dtype=jnp.float32) -> np.ndarray:
+    """Auto evidence for MANY chains in one SPMD program.
+
+    ``chains``: sequence of (samples, lnlike[, weights]) tuples (or dicts
+    with those keys).  All chains are padded to a common bucketed length and
+    the batch is padded to the dp axis size; padding chains/rows never
+    contribute.  Returns (len(chains), kmax-1) ln Z values.
+    """
+    from ..ops.knn import bucket_size
+
+    kmax = max(2, kmax)
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    dp_n = mesh.shape["dp"]
+    ring_n = mesh.shape["ring"]
+
+    norm = []
+    for c in chains:
+        if isinstance(c, dict):
+            s = np.asarray(c["samples"], np.float64)
+            l = np.asarray(c["loglikes"], np.float64)
+            w = np.asarray(c.get("weights", np.ones(len(s))), np.float64)
+        else:
+            s = np.asarray(c[0], np.float64)
+            l = np.asarray(c[1], np.float64)
+            w = (np.asarray(c[2], np.float64) if len(c) > 2
+                 else np.ones(len(s)))
+        norm.append((s, l, w))
+    b_true = len(norm)
+    ndim = norm[0][0].shape[1]
+    if prior_volumes is None:
+        prior_volumes = np.ones(b_true)
+
+    n_pad = bucket_size(max(s.shape[0] for s, _, _ in norm))
+    n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
+    b_pad = ((b_true + dp_n - 1) // dp_n) * dp_n
+
+    S = np.zeros((b_pad, n_pad, ndim))
+    L = np.full((b_pad, n_pad), -1e30)
+    W = np.ones((b_pad, n_pad))
+    V = np.zeros((b_pad, n_pad))
+    NG = np.ones(b_pad)
+    LPV = np.zeros(b_pad)
+    for i, (s, l, w) in enumerate(norm):
+        n = s.shape[0]
+        S[i, :n] = s
+        L[i, :n] = l
+        W[i, :n] = w
+        V[i, :n] = 1.0
+        NG[i] = n
+        LPV[i] = math.log(prior_volumes[i])
+    # padding chains: one fake valid row so reductions stay finite
+    for i in range(b_true, b_pad):
+        V[i, 0] = 1.0
+        L[i, 0] = 0.0
+
+    fn = make_sharded_grid_evidence(mesh, ("dp", "ring"), kmax=kmax,
+                                    ndim=ndim)
+    sh3 = NamedSharding(mesh, P("dp", "ring", None))
+    sh2 = NamedSharding(mesh, P("dp", "ring"))
+    sh1 = NamedSharding(mesh, P("dp"))
+    args = (jax.device_put(jnp.asarray(S, dtype), sh3),
+            jax.device_put(jnp.asarray(L, dtype), sh2),
+            jax.device_put(jnp.asarray(W, dtype), sh2),
+            jax.device_put(jnp.asarray(V, dtype), sh2),
+            jax.device_put(jnp.asarray(NG, dtype), sh1),
+            jax.device_put(jnp.asarray(LPV, dtype), sh1))
+    mle = np.asarray(fn(*args))
+    return mle[:b_true, 1:]

@@ -66,3 +66,21 @@ def test_sharded_cross_uneven(rng, mesh8):
                          engine="xla")
     multi = sharded_cross_evidence(s1, l1, s2, kmax=2, mesh=mesh8)
     np.testing.assert_allclose(multi, single, atol=2e-3)
+
+
+def test_grid_evidence_2d_mesh(rng):
+    from mcevidence_tpu.parallel.ring import sharded_grid_auto_evidence
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("dp", "ring"))
+    chains = []
+    for n in (700, 900, 801):       # 3 chains -> batch padded to 4
+        theta, lnl = make_gaussian_chain(rng, n=n, ndim=3)
+        chains.append((theta, lnl))
+    out = sharded_grid_auto_evidence(chains, kmax=3, mesh=mesh2,
+                                     prior_volumes=[1.0, 2.0, 1.0])
+    assert out.shape == (3, 2)
+    for i, (theta, lnl) in enumerate(chains):
+        single = evidence_fn(theta, lnl, kmax=3, precision="fast",
+                             engine="xla",
+                             prior_volume=[1.0, 2.0, 1.0][i])
+        np.testing.assert_allclose(out[i], single, atol=3e-3)
