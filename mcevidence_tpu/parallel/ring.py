@@ -317,16 +317,20 @@ def make_sharded_grid_evidence(mesh: Mesh, axes=("dp", "ring"), *, kmax: int,
 
     dp, ring = axes
 
-    def single(s, lnl, w, v, n_glob, log_pv):
-        return _evidence_step_local(
+    def single(s, lnl, w, v, n_glob, log_pv, sumw_shift):
+        mle = _evidence_step_local(
             s, lnl, w, v, kmax=kmax, n_global=n_glob, ndim=ndim,
             log_prior_volume=log_pv, axis=ring)
+        # importance reweighting enters only through SumW (quirk Q7):
+        # applied as a per-chain log shift ln(SumW_adj / SumW).
+        k_idx = jnp.arange(kmax)
+        return jnp.where(k_idx < 1, mle, mle + sumw_shift)
 
-    batched = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0))
+    batched = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, 0))
     sharded = shard_map(
         batched, mesh=mesh,
         in_specs=(P(dp, ring, None), P(dp, ring), P(dp, ring), P(dp, ring),
-                  P(dp), P(dp)),
+                  P(dp), P(dp), P(dp)),
         out_specs=P(dp),
         check_rep=False)
     return jax.jit(sharded)
@@ -334,6 +338,7 @@ def make_sharded_grid_evidence(mesh: Mesh, axes=("dp", "ring"), *, kmax: int,
 
 def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
                                prior_volumes=None,
+                               sumw_log_shifts=None,
                                mesh: Optional[Mesh] = None,
                                dtype=jnp.float32) -> np.ndarray:
     """Auto evidence for MANY chains in one SPMD program.
@@ -379,6 +384,9 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
     V = np.zeros((b_pad, n_pad))
     NG = np.ones(b_pad)
     LPV = np.zeros(b_pad)
+    SWS = np.zeros(b_pad)
+    if sumw_log_shifts is not None:
+        SWS[:b_true] = np.asarray(sumw_log_shifts, np.float64)
     for i, (s, l, w) in enumerate(norm):
         n = s.shape[0]
         S[i, :n] = s
@@ -402,6 +410,7 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
             jax.device_put(jnp.asarray(W, dtype), sh2),
             jax.device_put(jnp.asarray(V, dtype), sh2),
             jax.device_put(jnp.asarray(NG, dtype), sh1),
-            jax.device_put(jnp.asarray(LPV, dtype), sh1))
+            jax.device_put(jnp.asarray(LPV, dtype), sh1),
+            jax.device_put(jnp.asarray(SWS, dtype), sh1))
     mle = np.asarray(fn(*args))
     return mle[:b_true, 1:]

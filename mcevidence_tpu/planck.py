@@ -173,11 +173,73 @@ def _tabulate(df: pd.DataFrame) -> str:
         return df.to_string(float_format=lambda x: f"{x:.2f}")
 
 
+def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
+                           burnfrac, thinfrac, use_h0_prior, mce, info):
+    """Fill the evidence matrix by batching cells into 2-D-mesh SPMD calls.
+
+    All of a dataset's (model, chain) cells with the same cosmological
+    dimensionality run as ONE jitted program (parallel/ring.py grid mode) —
+    amortizing dispatch/transfer per cell; f32 ('fast') fidelity.
+    """
+    from .chains.reader import ingest
+    from .parallel.ring import sharded_grid_auto_evidence
+
+    vol_norm = 1.0
+    cells = []   # (imm, icc, ndim, samples, lnl, w, prior_volume, sumw_shift)
+    for imm, (mm, fname) in enumerate(zip(names, path_list)):
+        if not _glob.glob(fname + "*.txt"):
+            logger.warning("*** not available: %s", fname)
+            for key, val in (("N_read", ""), ("N_used", ""),
+                             ("PriorVol", 0), ("ndim", 0)):
+                info[key].append(val)
+            continue
+        par = params_info(fname, cosmo=True)
+        if mm == "base":
+            vol_norm = par.volume
+        prior_volume = par.volume / vol_norm
+        info["PriorVol"].append(prior_volume)
+        info["ndim"].append(par.ndim)
+        h0i = h0_index_for_chain(fname) if use_h0_prior else None
+        nc_read, nc_use = "", ""
+        for icc, ext in enumerate(chain_exts):
+            try:
+                pair = ingest(fname + ext, burnlen=burnfrac,
+                              thinlen=thinfrac)
+                p = pair.s1
+                sumw_shift = 0.0
+                if h0i is not None:
+                    neg = make_h0_gauss_lnp(h0i)(p.samples)
+                    adj = np.sum(p.weights * np.exp(-neg))
+                    sumw_shift = float(np.log(adj) - np.log(np.sum(p.weights)))
+                cells.append((imm, icc, par.ndim,
+                              p.samples[:, :par.ndim], p.lnp(), p.weights,
+                              prior_volume, sumw_shift))
+                nc_read += f"{p.nsamples},"
+                nc_use += f"{p.nsamples},"
+            except Exception as exc:
+                logger.warning("ingest failed for %s: %s", fname + ext, exc)
+        info["N_read"].append(nc_read)
+        info["N_used"].append(nc_use)
+
+    # one SPMD batch per dimensionality group
+    by_ndim: Dict[int, list] = {}
+    for cell in cells:
+        by_ndim.setdefault(cell[2], []).append(cell)
+    for ndim, group in by_ndim.items():
+        out = sharded_grid_auto_evidence(
+            [(c[3], c[4], c[5]) for c in group], kmax=kmax,
+            prior_volumes=[c[6] for c in group],
+            sumw_log_shifts=[c[7] for c in group])
+        for (imm, icc, *_), lnz in zip(group, out):
+            mce[imm, icc] = lnz[0]
+
+
 def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
                      nchain: int = 0, nmodel: int = 0,
                      burnfrac: float = 0.0, thinfrac: float = 0.0,
                      use_h0_prior: bool = True, verbose: int = 1,
                      engine: str = "auto", precision: str = "refine",
+                     batch_cells: bool = False,
                      parse_workers: int = 2) -> Optional[pd.DataFrame]:
     """Evidence for every available model of one dataset.
 
@@ -203,6 +265,14 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
 
     mce = np.full((len(path_list), len(cols)), np.nan)
     info: Dict[str, list] = {k: [] for k in INFO_COLS}
+
+    if batch_cells:
+        _dataset_cells_batched(path_list, names, chain_exts, kmax=kmax,
+                               burnfrac=burnfrac, thinfrac=thinfrac,
+                               use_h0_prior=use_h0_prior, mce=mce, info=info)
+        if np.all(np.isnan(mce)):
+            return None
+        return _build_dataset_frame(mce, names, cols, nchain, info)
 
     # Prefetch raw chain files on a worker thread while the device computes.
     from .chains.reader import load_chains
@@ -262,6 +332,12 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
 
     if np.all(np.isnan(mce)):
         return None
+    return _build_dataset_frame(mce, names, cols, nchain, info)
+
+
+def _build_dataset_frame(mce, names, cols, nchain, info) -> pd.DataFrame:
+    """Per-dataset table: Mean/Err/delta columns + info columns
+    (reference planck_mcevidence.py:363-375)."""
     df = pd.DataFrame(mce, index=names, columns=cols)
     df_mean = df.mean(axis=1)
     if nchain > 0:
@@ -284,6 +360,7 @@ def run_grid(rootdir: str, outdir: str, *, basename: str = "mce",
              use_h0_prior: bool = True, verbose: int = 1,
              num_shards: int = 1, shard_id: int = 0,
              engine: str = "auto", precision: str = "refine",
+             batch_cells: bool = False,
              resume: bool = False) -> Dict:
     """Run the evidence grid for this shard's datasets; write per-dataset
     txt/csv.  Returns {dataset: delta_lnE series}.
@@ -316,7 +393,7 @@ def run_grid(rootdir: str, outdir: str, *, basename: str = "mce",
             rootdir, dataset, kmax=kmax, nchain=nchain, nmodel=nmodel,
             burnfrac=burnfrac, thinfrac=thinfrac,
             use_h0_prior=use_h0_prior, verbose=verbose,
-            engine=engine, precision=precision)
+            engine=engine, precision=precision, batch_cells=batch_cells)
         if df is None:
             continue
         all_df[dataset] = df["delta_lnE_k1"]
@@ -425,6 +502,9 @@ def build_parser() -> ArgumentParser:
                    help="only merge existing per-dataset outputs")
     p.add_argument("--resume", action="store_true",
                    help="skip datasets whose csv output already exists")
+    p.add_argument("--batch-cells", action="store_true",
+                   help="batch a dataset's cells into single SPMD programs "
+                        "(dp x ring mesh; fastest, f32 fidelity)")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "pallas", "pallas_exact", "pallas_binned", "xla"])
     p.add_argument("--precision", default="refine",
@@ -448,7 +528,8 @@ def main(argv=None) -> int:
             thinfrac=args.thinfrac, use_h0_prior=not args.no_h0_prior,
             verbose=args.verbose, num_shards=args.num_shards,
             shard_id=args.shard_id, engine=args.engine,
-            precision=args.precision, resume=args.resume)
+            precision=args.precision, batch_cells=args.batch_cells,
+            resume=args.resume)
     # last shard (or a dedicated --aggregate-only run) merges everything
     if args.aggregate_only or args.num_shards == 1 \
             or args.shard_id == args.num_shards - 1:

@@ -135,3 +135,16 @@ def test_grid_resume_skips(minigrid, tmp_path, caplog):
                               engine="xla", datasets=[ds], resume=True)
     assert ds in out            # recovered from csv
     assert any("skipping" in r.message for r in caplog.records)
+
+
+def test_grid_batched_cells_mode(minigrid, tmp_path):
+    rootdir, ds = minigrid
+    out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                      engine="xla")
+    out_bat = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                      batch_cells=True)
+    assert list(out_bat.index) == list(out_ref.index)
+    # f32 batched vs f64 refine per-cell: ~1e-3 envelope
+    np.testing.assert_allclose(out_bat["AllChains"], out_ref["AllChains"],
+                               atol=5e-3)
+    np.testing.assert_allclose(out_bat["PriorVol"], out_ref["PriorVol"])
