@@ -50,25 +50,47 @@ def _ring_knn_local(q: jnp.ndarray, r: jnp.ndarray, k: int, axis: str,
     qrow = p_idx * nq_loc + jnp.arange(nq_loc, dtype=jnp.int32)[:, None]
     perm = [(i, (i + 1) % p_num) for i in range(p_num)]
 
+    # Sub-block each ring hop: the (nq_loc, nr_loc) distance tile would be
+    # O(N^2/P^2) memory — fine for a big ring, fatal for small P (a single
+    # chip at P=1 would materialize N x N).  A scan over SUB columns keeps
+    # the live tile at (nq_loc, SUB) for any shard size.
+    SUB = min(2048, nr_loc)
+    pad_r = (-nr_loc) % SUB
+    nsub = (nr_loc + pad_r) // SUB
+    kb = min(k, SUB)
+
     def step(s, carry):
         run_negd2, run_idx, r_buf = carry
         # shard visiting us at step s originated on device (p - s) mod P
         src = jax.lax.rem(p_idx - s + p_num, p_num)
         offset = src * nr_loc
-        r_sq = jnp.sum(r_buf * r_buf, axis=1)[None, :]
-        d2 = q_sq + r_sq - 2.0 * jnp.dot(
-            q, r_buf.T, precision=jax.lax.Precision.HIGHEST)
-        gcol = offset + jnp.arange(nr_loc, dtype=jnp.int32)[None, :]
-        d2 = jnp.where(gcol < n_global, d2, jnp.inf)
-        if self_mode:
-            d2 = jnp.where(gcol == qrow, -1.0, d2)
-        neg_blk, loc = jax.lax.top_k(-d2, min(k, nr_loc))
-        blk_idx = jnp.take_along_axis(jnp.broadcast_to(gcol, d2.shape), loc,
-                                      axis=1)
-        cat_neg = jnp.concatenate([run_negd2, neg_blk], axis=1)
-        cat_idx = jnp.concatenate([run_idx, blk_idx], axis=1)
-        run_negd2, pos = jax.lax.top_k(cat_neg, k)
-        run_idx = jnp.take_along_axis(cat_idx, pos, axis=1)
+        rp = (jnp.concatenate(
+            [r_buf, jnp.zeros((pad_r, r_buf.shape[1]), r_buf.dtype)])
+            if pad_r else r_buf).reshape(nsub, SUB, -1)
+
+        def sub(carry2, inp):
+            run_negd2, run_idx = carry2
+            blk_id, rblk = inp
+            r_sq = jnp.sum(rblk * rblk, axis=1)[None, :]
+            d2 = q_sq + r_sq - 2.0 * jnp.dot(
+                q, rblk.T, precision=jax.lax.Precision.HIGHEST)
+            lcol = blk_id * SUB + jnp.arange(SUB, dtype=jnp.int32)[None, :]
+            gcol = offset + lcol
+            d2 = jnp.where((lcol < nr_loc) & (gcol < n_global), d2, jnp.inf)
+            if self_mode:
+                d2 = jnp.where(gcol == qrow, -1.0, d2)
+            neg_blk, loc = jax.lax.top_k(-d2, kb)
+            blk_idx = jnp.take_along_axis(
+                jnp.broadcast_to(gcol, d2.shape), loc, axis=1)
+            cat_neg = jnp.concatenate([run_negd2, neg_blk], axis=1)
+            cat_idx = jnp.concatenate([run_idx, blk_idx], axis=1)
+            run_negd2, pos = jax.lax.top_k(cat_neg, k)
+            run_idx = jnp.take_along_axis(cat_idx, pos, axis=1)
+            return (run_negd2, run_idx), None
+
+        (run_negd2, run_idx), _ = jax.lax.scan(
+            sub, (run_negd2, run_idx),
+            (jnp.arange(nsub, dtype=jnp.int32), rp))
         r_buf = jax.lax.ppermute(r_buf, axis, perm)
         return run_negd2, run_idx, r_buf
 
