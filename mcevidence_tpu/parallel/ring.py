@@ -398,7 +398,12 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
 
     n_pad = bucket_size(max(s.shape[0] for s, _, _ in norm))
     n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
-    b_pad = ((b_true + dp_n - 1) // dp_n) * dp_n
+    # bucket the batch axis too (next power of two, then dp-divisible):
+    # every distinct (B, Np, d) is its own multi-minute remote compile.
+    b_pad = 1
+    while b_pad < b_true:
+        b_pad *= 2
+    b_pad = ((b_pad + dp_n - 1) // dp_n) * dp_n
 
     S = np.zeros((b_pad, n_pad, ndim))
     L = np.full((b_pad, n_pad), -1e30)
