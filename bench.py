@@ -60,6 +60,8 @@ def sklearn_reference(theta, lnl, kmax):
 def main():
     import jax
     import jax.numpy as jnp
+    from mcevidence_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from mcevidence_tpu.ops.estimator import log_evidence_from_knn
     from mcevidence_tpu.ops.whiten import whiten_jnp
 

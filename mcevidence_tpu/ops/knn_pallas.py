@@ -27,7 +27,7 @@ Design notes (pallas_guide.md):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ advanced, so every batch starts at row 0) or uniform-random row subsets when
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 
