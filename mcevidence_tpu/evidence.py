@@ -181,9 +181,11 @@ class MCEvidence:
             self.pair = importance_sample(self.pair, isfunc,
                                           names=tuple(self.snames))
 
-        nparam = self.pair.get_shape("all")[1]
+        # the reference reports the s1 partition's shape here, not the total
+        # (get_shape() defaults to 's1'; MCEvidence.py:762-764)
+        nparam = self.pair.get_shape("s1")[1]
         self.info["NparamsMC"] = nparam
-        self.info["Nsamples_read"] = self.pair.get_shape("all")[0]
+        self.info["Nsamples_read"] = self.pair.get_shape("s1")[0]
         self.info["Nparams_read"] = nparam
         self.nsample = [self.pair.get_shape(s)[0] for s in self.snames]
         self.ndim = nparam if ndim is None else ndim
