@@ -61,9 +61,12 @@ def whiten_stats(samples: np.ndarray) -> WhitenStats:
     c = covariance(samples)
     c = np.atleast_2d(c)
     eigvals, eigvecs = np.linalg.eigh(c)
-    if np.any(eigvals < 0):
+    # <= 0: the reference only tests < 0 and then crashes on math.log(0) for
+    # an exactly-singular covariance (a constant parameter column); treating
+    # zero as degenerate matches the device paths and keeps the run alive.
+    if np.any(eigvals <= 0):
         logger.warning(
-            "covariance has negative eigenvalues %s: chain not whitened, "
+            "covariance has non-positive eigenvalues %s: chain not whitened, "
             "estimated evidence may be inaccurate (consider fewer params "
             "via ndim)", eigvals)
         return WhitenStats(cov=c, eigvals=eigvals, eigvecs=eigvecs,
