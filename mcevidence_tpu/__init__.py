@@ -11,7 +11,7 @@ scaling across chips via an ICI ring.
 
 from ._version import __version__
 from .compat import MCSamples, split_var
-from .evidence import MCEvidence, evidence_fn
+from .evidence import MCEvidence, evidence_fn, evidence_with_error
 from .registry import COSMO_PARAMS, extend_cosmo_params, iscosmo_param
 from .priors.params_info import get_prior_volume, params_info
 
@@ -23,6 +23,7 @@ __all__ = [
     "MCSamples",
     "split_var",
     "evidence_fn",
+    "evidence_with_error",
     "COSMO_PARAMS",
     "cosmo_params_list",
     "extend_cosmo_params",

@@ -370,3 +370,32 @@ class MCEvidence:
         if info:
             return out, self.info
         return out
+
+
+def evidence_with_error(source, *, kmax: int = 2, nchains: int = 0,
+                        idpattern: str = "_?.txt", **kwargs):
+    """ln Z with a statistical error bar from per-chain scatter.
+
+    Runs the estimator independently on each chain file of ``source`` (a
+    CosmoMC root, file list, or list of raw arrays) and reports
+    (mean, err, per_chain) per k, with err = std / sqrt(nchains) — the
+    reference's SingleChains error recipe (planck_mcevidence.py:369-372)
+    exposed as a library call instead of being buried in the batch driver.
+
+    ``nchains``: use only the first n chains (0 = all).  Extra kwargs go to
+    ``MCEvidence`` (burnlen, thinlen, priorvolume, engine, ...).
+    """
+    from .chains.reader import load_chains
+
+    chains = load_chains(source, idpattern=idpattern)
+    if nchains > 0:
+        chains = chains[:nchains]
+    if len(chains) < 2:
+        raise ValueError("evidence_with_error needs >= 2 chains for a "
+                         f"scatter estimate, got {len(chains)}")
+    per_chain = np.stack([
+        MCEvidence([c], kmax=kmax, verbose=0, **kwargs).evidence()
+        for c in chains])
+    mean = per_chain.mean(axis=0)
+    err = per_chain.std(axis=0) / math.sqrt(len(chains))
+    return mean, err, per_chain

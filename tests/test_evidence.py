@@ -236,3 +236,19 @@ def test_ball_volume_const_vs_scipy():
     for d in (1, 2, 7, 15, 20):
         ref = np.log(np.pi ** (d / 2) / sp.gamma(1 + d / 2))
         np.testing.assert_allclose(log_ball_volume_const(d), ref, rtol=1e-13)
+
+
+def test_evidence_with_error(tmp_path, rng):
+    from mcevidence_tpu.evidence import evidence_with_error
+    for c in (1, 2, 3, 4):
+        theta, lnl = make_gaussian_chain(rng, n=800, ndim=3)
+        np.savetxt(tmp_path / f"ch_{c}.txt",
+                   np.column_stack([np.ones(800), -lnl, theta]))
+    mean, err, per_chain = evidence_with_error(str(tmp_path / "ch"),
+                                               kmax=2, engine="xla")
+    assert per_chain.shape == (4, 1)
+    assert err[0] > 0
+    # 4 independent exact chains: scatter should bracket the truth (lnZ~0)
+    assert abs(mean[0]) < max(10 * err[0], 0.3)
+    with pytest.raises(ValueError, match=">= 2 chains"):
+        evidence_with_error(str(tmp_path / "ch_1.txt"), kmax=2)
