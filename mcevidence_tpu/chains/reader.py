@@ -91,6 +91,19 @@ def load_chains(source: ChainSource, idchain: int = 0,
     if isinstance(source, np.ndarray):
         return [np.asarray(source, dtype=np.float64)]
 
+    # duck-typed getdist-style object: .samples (N, d), .loglikes (-lnL),
+    # optional .weights — the reference consumed getdist MCSamples when that
+    # package was installed (MCEvidence.py:45-59); here any object with the
+    # same attributes works, no getdist import required.
+    if hasattr(source, "samples") and hasattr(source, "loglikes"):
+        samples = np.atleast_2d(np.asarray(source.samples, np.float64))
+        n = samples.shape[0]
+        neg_lnl = np.asarray(source.loglikes, np.float64).reshape(n)
+        w = np.asarray(getattr(source, "weights", None)
+                       if getattr(source, "weights", None) is not None
+                       else np.ones(n), np.float64).reshape(n)
+        return [np.column_stack([w, neg_lnl, samples])]
+
     if isinstance(source, (list, tuple)):
         return [np.asarray(c, dtype=np.float64) for c in source]
 

@@ -86,6 +86,9 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--unit-volume-fallback", action="store_true",
                    help="proceed with prior_volume=1 when metadata files are "
                         "missing (results then include the prior ratio)")
+    p.add_argument("--error", action="store_true",
+                   help="also report a statistical error bar from per-chain "
+                        "scatter (needs >= 2 chain files)")
     return p
 
 
@@ -125,6 +128,19 @@ def main(argv=None) -> int:
     mle = mce.evidence()
     for k in range(1, mce.kmax):
         print(f"   ln(B)[k={k}] = {mle[k - 1]}")
+    if args.error:
+        from .evidence import evidence_with_error
+        try:
+            mean, err, _ = evidence_with_error(
+                args.root_name, kmax=args.kmax, ndim=ndim,
+                priorvolume=prior_volume, burnlen=args.burnlen,
+                thinlen=args.thinlen, seed=args.seed, engine=args.engine,
+                precision=args.precision)
+            for k in range(1, mce.kmax):
+                print(f"   per-chain ln(B)[k={k}] = {mean[k - 1]} "
+                      f"+/- {err[k - 1]}")
+        except ValueError as e:
+            print(f"error bars unavailable: {e}", file=sys.stderr)
     print("* ln(B)[k] is the natural logarithm of the Bayesian evidence "
           "estimated using the kth Nearest Neighbour.")
     print(CITE)

@@ -77,3 +77,22 @@ def test_cli_missing_root(tmp_path, capsys):
     rc = main([str(tmp_path / "absent"), "-vb", "0"])
     assert rc == 2
     assert "error" in capsys.readouterr().err
+
+
+def test_cli_error_flag(tmp_path, rng, capsys):
+    ndim, n = 3, 700
+    mean = np.array([0.0226, 0.112, 1.041])
+    sig = np.array([0.0002, 0.002, 0.0005])
+    for c in (1, 2, 3):
+        theta = rng.normal(mean, sig, size=(n, ndim))
+        neglnl = 0.5 * np.sum(((theta - mean) / sig) ** 2, axis=1)
+        np.savetxt(tmp_path / f"toy_{c}.txt",
+                   np.column_stack([np.ones(n), neglnl, theta]))
+    (tmp_path / "toy.ranges").write_text(
+        "omegabh2 0.019 0.026\nomegach2 0.09 0.14\ntheta 1.03 1.05\n")
+    from mcevidence_tpu.cli import main
+    rc = main([str(tmp_path / "toy"), "-k", "2", "-vb", "0",
+               "--engine", "xla", "--error"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "per-chain ln(B)[k=1]" in out and "+/-" in out

@@ -104,3 +104,29 @@ def test_ingest_end_to_end(chain_files):
     pair = reader.ingest(root, burnlen=10)
     assert pair.s1.nsamples == 3 * 40
     assert pair.s1.ndim == 3
+
+
+def test_getdist_style_object(rng):
+    # duck-typed getdist MCSamples: .samples, .loglikes (= -lnL), .weights
+    class FakeGetdist:
+        pass
+
+    g = FakeGetdist()
+    g.samples = rng.normal(size=(30, 3))
+    g.loglikes = rng.random(30)          # getdist stores -lnL
+    g.weights = rng.integers(1, 4, 30).astype(float)
+    chains = reader.load_chains(g)
+    assert len(chains) == 1 and chains[0].shape == (30, 5)
+    np.testing.assert_allclose(chains[0][:, 0], g.weights)
+    np.testing.assert_allclose(chains[0][:, 1], g.loglikes)  # stays -lnL
+    # works end-to-end through the facade
+    from mcevidence_tpu import MCEvidence
+    out = MCEvidence(g, kmax=2, verbose=0, engine="xla").evidence()
+    assert np.isfinite(out).all()
+
+    g2 = FakeGetdist()
+    g2.samples = rng.normal(size=(20, 2))
+    g2.loglikes = rng.random(20)
+    g2.weights = None
+    chains = reader.load_chains(g2)
+    np.testing.assert_array_equal(chains[0][:, 0], 1.0)
