@@ -54,12 +54,14 @@ def make_batch_plan(nsamples: Sequence[int], nbatch: int = 1,
             powers[0, ix] = np.log10(max(nn, 1))
         return BatchPlan(nbatch=nbatch, powers=powers, bsize=None, nchain=nchain)
 
-    powmin, powmax = get_batch_range(brange)
-    if powmin == powmax and nbatch > 1:
-        raise ValueError("nbatch>1 but batch range is zero")
-
     powers = np.zeros((nbatch, npart))
     bsize = np.zeros((nbatch, npart), dtype=int)
+    if bscale in ("logpower", "linear"):
+        # the zero-range guard lives in the ranged branches only: 'constant'
+        # never consults the range (reference MCEvidence.py:797-840)
+        powmin, powmax = get_batch_range(brange)
+        if powmin == powmax and nbatch > 1:
+            raise ValueError("nbatch>1 but batch range is zero")
     if bscale == "logpower":
         for ix in range(npart):
             powers[:, ix] = np.linspace(powmin, powmax, nbatch)

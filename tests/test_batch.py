@@ -1,0 +1,67 @@
+"""Batch-plan semantics (reference set_batch, MCEvidence.py:797-840)."""
+
+import numpy as np
+import pytest
+
+from mcevidence_tpu.utils.batch import get_batch_range, make_batch_plan
+
+
+def test_default_single_batch():
+    plan = make_batch_plan([1000], nbatch=1, brange=None)
+    np.testing.assert_array_equal(plan.batch_sizes_s1(), [1000])
+    assert plan.bsize is None
+    np.testing.assert_allclose(plan.powers[0, 0], 3.0)
+
+
+def test_logpower():
+    plan = make_batch_plan([100000], nbatch=3, brange=[2, 4],
+                           bscale="logpower")
+    np.testing.assert_array_equal(plan.batch_sizes_s1(), [100, 1000, 10000])
+    np.testing.assert_allclose(plan.powers[:, 0], [2, 3, 4])
+
+
+def test_linear():
+    plan = make_batch_plan([5000], nbatch=3, brange=[100, 300],
+                           bscale="linear")
+    np.testing.assert_array_equal(plan.batch_sizes_s1(), [100, 200, 300])
+
+
+def test_constant_cumsum():
+    # 'constant': bsize = brange everywhere, analysed counts are the cumsum
+    # (growing prefixes; reference MCEvidence.py:836-840)
+    plan = make_batch_plan([5000], nbatch=3, brange=200, bscale="ignored")
+    np.testing.assert_array_equal(plan.bsize[:, 0], [200, 200, 200])
+    np.testing.assert_array_equal(plan.batch_sizes_s1(), [200, 400, 600])
+    np.testing.assert_array_equal(plan.powers[:, 0], [0, 1, 2])
+
+
+def test_int_brange_forces_constant():
+    # reference MCEvidence.py:680: integer brange coerces bscale='constant'
+    plan = make_batch_plan([5000], nbatch=2, brange=100, bscale="logpower")
+    np.testing.assert_array_equal(plan.batch_sizes_s1(), [100, 200])
+
+
+def test_zero_range_multiple_batches_rejected():
+    with pytest.raises(ValueError, match="batch range"):
+        make_batch_plan([5000], nbatch=3, brange=[3, 3], bscale="logpower")
+
+
+def test_get_batch_range():
+    assert get_batch_range([4, 2]) == (2.0, 4.0)
+
+
+def test_two_partitions_split():
+    plan = make_batch_plan([600, 400], nbatch=1, brange=None)
+    np.testing.assert_array_equal(plan.nchain[0], [600, 400])
+
+
+def test_facade_constant_bscale(rng):
+    from mcevidence_tpu import MCEvidence
+    from tests.conftest import make_gaussian_chain
+    theta, lnl = make_gaussian_chain(rng, n=1500, ndim=3)
+    mce = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2, verbose=0,
+                     nbatch=2, brange=300, engine="xla")
+    assert mce.bscale == "constant"
+    out = mce.evidence()
+    assert out.shape == (2, 1)
+    assert np.all(np.isfinite(out))
