@@ -96,3 +96,12 @@ def test_cli_error_flag(tmp_path, rng, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "per-chain ln(B)[k=1]" in out and "+/-" in out
+
+
+def test_mcsamples_thin_chain_argument(files, rng):
+    gd = MCSamples(files, seed=2)
+    chain = np.column_stack([np.full(30, 2.0), np.zeros(30),
+                             np.arange(30.0)])
+    out = gd.thin(2, chain=chain)
+    assert out.shape[1] == 3 and len(out) == 30   # w=2 >= factor: all kept
+    assert gd.thin(1) is None                     # nthin==1 no-op

@@ -85,3 +85,29 @@ def test_registry_extension(tmp_path):
     assert registry.iscosmo_param("mynewpar")
     # reference-compat: extra names via the query itself
     assert registry.iscosmo_param("adhoc", cosmo_params=["adhoc"])
+
+
+def test_ranges_unbounded_min(tmp_path):
+    (tmp_path / "t.ranges").write_text("omegabh2 N 0.03\ntau 0.01 0.2\n")
+    info = params_info(str(tmp_path / "t"), cosmo=True)
+    assert np.isneginf(info.mins[0])
+    assert np.isinf(info.volume)
+
+
+def test_cli_paramsfile_extends_registry(tmp_path, rng):
+    # --paramsfile names count as cosmological for the prior volume
+    n = 400
+    theta = rng.normal([1.0, 2.0], [0.05, 0.05], size=(n, 2))
+    neglnl = 0.5 * np.sum(((theta - [1, 2]) / 0.05) ** 2, axis=1)
+    np.savetxt(tmp_path / "c_1.txt",
+               np.column_stack([np.ones(n), neglnl, theta]))
+    np.savetxt(tmp_path / "c_2.txt",
+               np.column_stack([np.ones(n), neglnl, theta]))
+    (tmp_path / "c.ranges").write_text("tau 0.5 1.5\nmycustom 1.5 2.5\n")
+    pf = tmp_path / "extra.txt"
+    pf.write_text("mycustom\n")
+    from mcevidence_tpu.cli import main
+    rc = main([str(tmp_path / "c"), "-k", "2", "-vb", "0", "--engine", "xla",
+               "--paramsfile", str(pf)])
+    assert rc == 0
+    # with the paramsfile, both params count: ndim resolved to 2

@@ -130,3 +130,12 @@ def test_getdist_style_object(rng):
     g2.weights = None
     chains = reader.load_chains(g2)
     np.testing.assert_array_equal(chains[0][:, 0], 1.0)
+
+
+def test_native_loader_fortran_exponent(tmp_path):
+    p = tmp_path / "f.txt"
+    p.write_text("1.5d2 -2.5D-1\n")
+    got = chainload.load_table(str(p))
+    if got is None:
+        pytest.skip("native chainload not built")
+    np.testing.assert_allclose(got, [[150.0, -0.25]])
