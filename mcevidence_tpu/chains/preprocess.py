@@ -79,7 +79,7 @@ def weighted_thin(thin_unit: float, weights: np.ndarray):
     n = len(weights)
     if thin_unit == 0:
         return np.arange(n), weights
-    n2 = int(n * thin_unit) if thin_unit < 1 else n // int(thin_unit)
+    n2 = int(n * thin_unit) if thin_unit < 1 else int(n // thin_unit)
     if n2 <= 0:
         raise ValueError(f"thin_unit={thin_unit} leaves no bins for n={n}")
     # Bin edges over the index range; bin id per row (same construction as the

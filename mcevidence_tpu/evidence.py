@@ -397,5 +397,7 @@ def evidence_with_error(source, *, kmax: int = 2, nchains: int = 0,
         MCEvidence([c], kmax=kmax, verbose=0, **kwargs).evidence()
         for c in chains])
     mean = per_chain.mean(axis=0)
-    err = per_chain.std(axis=0) / math.sqrt(len(chains))
+    # ddof=1: the reference recipe uses the pandas sample std
+    # (planck_mcevidence.py:370-372), as does planck._build_dataset_frame
+    err = per_chain.std(axis=0, ddof=1) / math.sqrt(len(chains))
     return mean, err, per_chain

@@ -149,14 +149,26 @@ extern "C" long long chainload_parse(const char* path, double* out,
       double v;
       const char* nextc = nullptr;
       if (!parse_double_fast(p, end, &v, &nextc)) {
+        // strtod needs a NUL-terminated string but the mmap'd buffer is not
+        // NUL-terminated: copy the token to a bounded stack buffer first
+        // (reading past `end` is an out-of-bounds access on page-aligned
+        // files with no trailing newline).
+        char tok[128];
+        size_t len = 0;
+        const char* t = p;
+        while (t < end && !is_space(*t) && *t != '\n' &&
+               len < sizeof(tok) - 1) {
+          tok[len++] = *t++;
+        }
+        tok[len] = '\0';
         char* next = nullptr;
         errno = 0;
-        v = strtod(p, &next);
-        if (next == p) {  // unparsable token
+        v = strtod(tok, &next);
+        if (next == tok) {  // unparsable token
           ok = false;
           break;
         }
-        nextc = next;
+        nextc = p + (next - tok);
       }
       if (out != nullptr) {
         if (written >= capacity) {

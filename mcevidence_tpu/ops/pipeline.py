@@ -64,10 +64,11 @@ def fused_auto_evidence(samples, lnlike, weights, valid, n_true,
     Returns (kmax,) MLE row (column 0 unused — quirk Q2 layout).
     """
     white, log_j = _masked_whiten(samples, valid)
-    if engine == "pallas":
-        from .knn_pallas import knn_select_pallas
-        d2, _ = knn_select_pallas(white, white, kmax, self_mode=True,
-                                  nr=n_true)
+    if engine in ("pallas", "pallas_exact", "pallas_binned"):
+        from .knn_pallas import knn_select_pallas, knn_select_pallas_binned
+        sel = (knn_select_pallas_binned if engine == "pallas_binned"
+               else knn_select_pallas)
+        d2, _ = sel(white, white, kmax, self_mode=True, nr=n_true)
     else:
         from .knn import knn_select_xla
         d2, _ = knn_select_xla(white, white, kmax, self_mode=True,

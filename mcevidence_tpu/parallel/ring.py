@@ -325,6 +325,9 @@ def sharded_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
 # 2-D mesh: data-parallel over chains x ring over samples
 # ---------------------------------------------------------------------------
 
+_GRID_PROGRAM_CACHE: dict = {}
+
+
 def make_sharded_grid_evidence(mesh: Mesh, axes=("dp", "ring"), *, kmax: int,
                                ndim: int):
     """Build the jitted 2-D-mesh program: a BATCH of chains, sharded over the
@@ -338,6 +341,14 @@ def make_sharded_grid_evidence(mesh: Mesh, axes=("dp", "ring"), *, kmax: int,
     from jax.experimental.shard_map import shard_map
 
     dp, ring = axes
+    # one jitted program per (mesh, kmax, ndim): rebuilding the shard_map
+    # closure per call would defeat JAX's jit cache and recompile
+    # identical-shape programs on every dataset.
+    key = (tuple(d.id for d in mesh.devices.flat), tuple(mesh.axis_names),
+           axes, kmax, ndim)
+    cached = _GRID_PROGRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     def single(s, lnl, w, v, n_glob, log_pv, sumw_shift):
         mle = _evidence_step_local(
@@ -355,7 +366,9 @@ def make_sharded_grid_evidence(mesh: Mesh, axes=("dp", "ring"), *, kmax: int,
                   P(dp), P(dp), P(dp)),
         out_specs=P(dp),
         check_rep=False)
-    return jax.jit(sharded)
+    fn = jax.jit(sharded)
+    _GRID_PROGRAM_CACHE[key] = fn
+    return fn
 
 
 def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
@@ -372,6 +385,8 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
     """
     from ..ops.knn import bucket_size
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     kmax = max(2, kmax)
     if mesh is None:
         devs = np.array(jax.devices())

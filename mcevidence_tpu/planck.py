@@ -312,7 +312,9 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
         for icc, ext in enumerate(chain_exts):
             fchain = fname + ext
             try:
-                chains = futures[fchain].result()
+                # pop: keeping every parsed chain referenced until the end of
+                # the dataset would hold multi-GB of float64 arrays alive
+                chains = futures.pop(fchain).result()
                 if isinstance(chains, Exception):
                     raise chains
                 e, einfo = MCEvidence(
@@ -515,6 +517,8 @@ def build_parser() -> ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     assert args.kmax >= 2, "kmax must be >= 2"
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     configure(args.verbose)
     if args.verbose > 0:
         print(args)

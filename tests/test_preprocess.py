@@ -185,3 +185,9 @@ def test_autocorr_thin_factor_and_pipeline(rng):
     assert factor > 3          # tau(0.8) = 9
     pair = pp.build_chain_pair([chain], thinlen=-1.0)
     assert pair.s1.nsamples < n // 3
+
+
+def test_weighted_thin_fractional_factor(rng):
+    # thin_unit=2.5 must make N//2.5 bins, not N//2 (floor of the factor)
+    ix, _ = pp.weighted_thin(2.5, rng.random(1000) + 0.5)
+    assert len(ix) == 400

@@ -139,3 +139,18 @@ def test_native_loader_fortran_exponent(tmp_path):
     if got is None:
         pytest.skip("native chainload not built")
     np.testing.assert_allclose(got, [[150.0, -0.25]])
+
+
+def test_native_loader_page_aligned_no_trailing_newline(tmp_path):
+    # a fallback-path token ending exactly at a page boundary with no
+    # trailing newline: strtod on the raw mmap would read out of bounds
+    tok = "1.2345678901234567890e-300"
+    tail = "1.0 2.0 " + tok
+    pad = (-(len(tail) + 2)) % 4096
+    p = tmp_path / "page.txt"
+    p.write_text("#" + "x" * pad + "\n" + tail)
+    assert p.stat().st_size % 4096 == 0
+    got = chainload.load_table(str(p))
+    if got is None:
+        pytest.skip("native chainload not built")
+    np.testing.assert_array_equal(got, np.loadtxt(str(p)).reshape(1, -1))
