@@ -23,6 +23,17 @@ def enable_compilation_cache(path: str = "") -> None:
         return
     import jax
 
+    # only worth it (and only safe) for accelerator backends: TPU compiles
+    # cost minutes, while cached CPU AOT executables can carry machine
+    # features the current host lacks (SIGILL risk when the cache dir moves
+    # between heterogeneous CPU hosts).
+    try:
+        if jax.default_backend() != "tpu":
+            _enabled = True
+            return
+    except Exception:
+        return
+
     path = path or os.environ.get(
         "MCE_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "mcevidence_jax"))
