@@ -1,3 +1,4 @@
 from .ring import (make_sharded_evidence, make_sharded_cross_evidence,
-                   pad_for_mesh, sharded_auto_evidence,
-                   sharded_cross_evidence)
+                   make_sharded_knn, pad_for_mesh, sharded_auto_evidence,
+                   sharded_cross_evidence, sharded_grid_auto_evidence,
+                   sharded_grid_auto_evidence_refine, sharded_knn_candidates)

@@ -13,6 +13,19 @@ This replaces the reference's two parallelism layers — sklearn's n_jobs
 thread pool inside kneighbors and the MPI rank-per-dataset driver
 (reference MCEvidence.py:1093-1104, planck_mcevidence.py:149-168) — with
 sharding that rides the ICI.
+
+Compile discipline: every jitted SPMD program is built ONCE per
+(mesh, kmax, ndim) and cached at module level; chain length, true sample
+counts and prior volumes are RUNTIME values (rows bucket-padded via
+ops.knn.bucket_size), so one multi-minute remote TPU compile serves every
+chain in a bucket — the same discipline as ops/knn.py and ops/pipeline.py.
+
+Precision modes (mirroring the single-device facade, evidence.py):
+* "fast":   everything stays on device in f32; ~1e-3 lnZ envelope.
+* "refine": host f64 whitening -> f32 ring SELECTION ONLY (with extra
+  candidates) -> candidate indices cross the link -> host f64 distance
+  refinement + f64 estimator.  Matches the f64/sklearn oracle to ~1e-12,
+  while the O(N^2) sweep stays sharded f32 on the MXU.
 """
 
 from __future__ import annotations
@@ -27,15 +40,24 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.estimator import log_ball_volume_const
+from ..ops.estimator import log_ball_volume_const, log_evidence_from_knn_np
+from ..ops.knn import bucket_size, refine_knn_f64
+
+_PROGRAM_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.devices.shape,
+            tuple(mesh.axis_names))
 
 
 def _ring_knn_local(q: jnp.ndarray, r: jnp.ndarray, k: int, axis: str,
-                    n_global: int, self_mode: bool
+                    n_global, self_mode: bool
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-device body: rotate ref shards around the ring, merge top-k.
 
     ``q``: (nq_loc, d) local query shard; ``r``: (nr_loc, d) local ref shard.
+    ``n_global``: RUNTIME int32 scalar — true (unpadded) reference count.
     Global row ids are shard-major (device p owns rows [p*loc, (p+1)*loc)).
     Rows with global id >= n_global are padding and never selected.
     In self mode the (global) diagonal pair is pinned to -1 => slot 0.
@@ -45,6 +67,7 @@ def _ring_knn_local(q: jnp.ndarray, r: jnp.ndarray, k: int, axis: str,
     nq_loc = q.shape[0]
     nr_loc = r.shape[0]
     k = min(k, nr_loc * p_num)
+    n_global = jnp.asarray(n_global, jnp.int32)
 
     q_sq = jnp.sum(q * q, axis=1, keepdims=True)
     qrow = p_idx * nq_loc + jnp.arange(nq_loc, dtype=jnp.int32)[:, None]
@@ -82,6 +105,7 @@ def _ring_knn_local(q: jnp.ndarray, r: jnp.ndarray, k: int, axis: str,
             neg_blk, loc = jax.lax.top_k(-d2, kb)
             blk_idx = jnp.take_along_axis(
                 jnp.broadcast_to(gcol, d2.shape), loc, axis=1)
+            blk_idx = jnp.where(jnp.isinf(neg_blk), -1, blk_idx)
             cat_neg = jnp.concatenate([run_negd2, neg_blk], axis=1)
             cat_idx = jnp.concatenate([run_idx, blk_idx], axis=1)
             run_negd2, pos = jax.lax.top_k(cat_neg, k)
@@ -126,7 +150,8 @@ def _whiten_local(s: jnp.ndarray, n_real, axis: str):
 def _reduce_mle(dknn2, lnlike, weights, valid, log_j, *, kmax, n_global,
                 ndim, log_prior_volume, k_start, axis):
     """Distributed fused log-space reduction (ops/estimator.py semantics,
-    psum/pmax across shards)."""
+    psum/pmax across shards).  ``n_global`` / ``log_prior_volume`` are
+    runtime scalars (int32 / f32)."""
     lnl_max = jax.lax.pmax(jnp.max(jnp.where(valid > 0, lnlike, -jnp.inf)),
                            axis)
     fs = lnlike - lnl_max
@@ -143,13 +168,16 @@ def _reduce_mle(dknn2, lnlike, weights, valid, log_j, *, kmax, n_global,
     sum_w = jax.lax.psum(jnp.sum(weights * valid), axis)
     k_idx = jnp.arange(kmax)
     k_nn = k_idx if k_start == 1 else k_idx + 1                 # quirk Q2 layout
-    log_amax = log_dotp - jnp.log(n_global * k_nn + 1.0)
+    # S*k+1 in int32 first (exact for any chain the int32 ids can address),
+    # then one f32 log — avoids the f32-cast-of-big-N bias flagged in review.
+    denom = (jnp.asarray(n_global, jnp.int32) * k_nn.astype(jnp.int32) + 1)
+    log_amax = log_dotp - jnp.log(denom.astype(log_dotp.dtype))
     mle = (jnp.log(sum_w) + log_amax + log_j + lnl_max - log_prior_volume)
     return jnp.where(k_idx < k_start, 0.0, mle)
 
 
-def _evidence_step_local(samples, lnlike, weights, valid, *, kmax: int,
-                         n_global: int, ndim: int, log_prior_volume: float,
+def _evidence_step_local(samples, lnlike, weights, valid, n_global,
+                         log_prior_volume, *, kmax: int, ndim: int,
                          axis: str):
     """SPMD auto-evidence for a chain shard (runs under shard_map)."""
     white, log_j, _ = _whiten_local(samples, valid, axis)
@@ -161,10 +189,9 @@ def _evidence_step_local(samples, lnlike, weights, valid, *, kmax: int,
                        axis=axis)
 
 
-def _cross_evidence_step_local(s1, lnl1, w1, valid1, s2, valid2, *,
-                               kmax: int, n1_global: int, n2_global: int,
-                               ndim: int, log_prior_volume: float,
-                               axis: str):
+def _cross_evidence_step_local(s1, lnl1, w1, valid1, s2, valid2, n1_global,
+                               n2_global, log_prior_volume, *,
+                               kmax: int, ndim: int, axis: str):
     """SPMD cross-evidence: NN of s1 shards searched in rotating s2 shards
     (reference split mode, MCEvidence.py:1073-1096; k0=0 semantics).
 
@@ -198,94 +225,100 @@ def _cross_evidence_step_local(s1, lnl1, w1, valid1, s2, valid2, *,
                        axis=axis)
 
 
+# ---------------------------------------------------------------------------
+# cached jitted SPMD programs (chain length / counts / volumes are runtime)
+# ---------------------------------------------------------------------------
+
 def make_sharded_evidence(mesh: Mesh, axis: str = "ring", *, kmax: int,
-                          n_global: int, ndim: int,
-                          log_prior_volume: float = 0.0):
-    """Build the jitted multi-chip auto-evidence program for a mesh.
+                          ndim: int):
+    """Build (or fetch) the jitted multi-chip auto-evidence program.
 
     The returned function takes shard-major padded arrays
-    (samples (Np, d), lnlike (Np,), weights (Np,), valid (Np,)) where
-    Np = ceil(N / P) * P, and returns the (kmax,) MLE row (column 0 unused,
-    matching the single-device estimator's layout).
+    (samples (Np, d), lnlike (Np,), weights (Np,), valid (Np,)) plus the
+    RUNTIME scalars (n_global int32, log_prior_volume f32) and returns the
+    (kmax,) MLE row (column 0 unused, matching the single-device layout).
     """
-    from jax.experimental.shard_map import shard_map
-
-    body = functools.partial(_evidence_step_local, kmax=kmax,
-                             n_global=n_global, ndim=ndim,
-                             log_prior_volume=log_prior_volume, axis=axis)
-    sharded = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P(axis)),
-        out_specs=P(),
-        check_rep=False)
-    return jax.jit(sharded)
+    key = ("auto", _mesh_key(mesh), axis, kmax, ndim)
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        body = functools.partial(_evidence_step_local, kmax=kmax, ndim=ndim,
+                                 axis=axis)
+        sharded = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis), P(axis), P(), P()),
+            out_specs=P(),
+            check_vma=False)
+        fn = jax.jit(sharded)
+        _PROGRAM_CACHE[key] = fn
+    return fn
 
 
 def make_sharded_cross_evidence(mesh: Mesh, axis: str = "ring", *, kmax: int,
-                                n1_global: int, n2_global: int, ndim: int,
-                                log_prior_volume: float = 0.0):
-    """Build the jitted multi-chip cross-evidence program for a mesh.
+                                ndim: int):
+    """Build (or fetch) the jitted multi-chip cross-evidence program.
 
     Takes shard-major padded arrays (s1 (N1p, d), lnl1, w1, valid1,
-    s2 (N2p, d), valid2) and returns the (kmax,) MLE row with k0=0 columns
+    s2 (N2p, d), valid2) plus runtime scalars (n1_global, n2_global,
+    log_prior_volume) and returns the (kmax,) MLE row with k0=0 columns
     (caller slices [1:], preserving quirk Q2)."""
-    from jax.experimental.shard_map import shard_map
+    key = ("cross", _mesh_key(mesh), axis, kmax, ndim)
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        body = functools.partial(_cross_evidence_step_local, kmax=kmax,
+                                 ndim=ndim, axis=axis)
+        sharded = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis), P(axis),
+                      P(axis, None), P(axis), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False)
+        fn = jax.jit(sharded)
+        _PROGRAM_CACHE[key] = fn
+    return fn
 
-    body = functools.partial(
-        _cross_evidence_step_local, kmax=kmax, n1_global=n1_global,
-        n2_global=n2_global, ndim=ndim, log_prior_volume=log_prior_volume,
-        axis=axis)
-    sharded = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P(axis),
-                  P(axis, None), P(axis)),
-        out_specs=P(),
-        check_rep=False)
-    return jax.jit(sharded)
+
+def make_sharded_knn(mesh: Mesh, axis: str = "ring", *, k: int,
+                     self_mode: bool):
+    """Build (or fetch) the jitted sharded kNN SELECTION program.
+
+    fn(q (Nqp, d), r (Nrp, d), n_global int32) -> (d2 (Nqp, k) f32,
+    idx (Nqp, k) int32 global row ids).  This is the multi-chip counterpart
+    of ops.knn.knn_select_xla: selection only, so the host can refine the
+    candidates in f64 for parity-grade accuracy (only the small index
+    matrix crosses the link)."""
+    key = ("knn", _mesh_key(mesh), axis, k, self_mode)
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        def body(q, r, n_global):
+            return _ring_knn_local(q, r, k, axis, n_global,
+                                   self_mode=self_mode)
+        sharded = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P()),
+            out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False)
+        fn = jax.jit(sharded)
+        _PROGRAM_CACHE[key] = fn
+    return fn
 
 
-def sharded_cross_evidence(samples1: np.ndarray, lnlike1: np.ndarray,
-                           samples2: np.ndarray,
-                           weights1: Optional[np.ndarray] = None,
-                           *, kmax: int = 5, prior_volume: float = 1.0,
-                           mesh: Optional[Mesh] = None,
-                           dtype=jnp.float32) -> np.ndarray:
-    """Multi-device cross evidence (same contract as ``evidence_fn`` with
-    ``samples2``): returns ln Z for k = 1..kmax-1."""
-    kmax = max(2, kmax)
-    if mesh is None:
-        devs = np.array(jax.devices())
-        mesh = Mesh(devs, ("ring",))
-    axis = mesh.axis_names[0]
-    pcount = mesh.devices.size
-    n1, ndim = samples1.shape
-    n2 = samples2.shape[0]
-    s1, lnl1, w1, valid1 = pad_for_mesh(samples1, lnlike1, weights1, pcount)
-    npad2 = (-n2) % pcount
-    s2 = np.concatenate([samples2, np.zeros((npad2, ndim))], axis=0)
-    valid2 = np.concatenate([np.ones(n2), np.zeros(npad2)])
-    fn = make_sharded_cross_evidence(
-        mesh, axis, kmax=kmax, n1_global=n1, n2_global=n2, ndim=ndim,
-        log_prior_volume=math.log(prior_volume))
-    sh1 = NamedSharding(mesh, P(axis))
-    sh2 = NamedSharding(mesh, P(axis, None))
-    args = (jax.device_put(jnp.asarray(s1, dtype), sh2),
-            jax.device_put(jnp.asarray(lnl1, dtype), sh1),
-            jax.device_put(jnp.asarray(w1, dtype), sh1),
-            jax.device_put(jnp.asarray(valid1, dtype), sh1),
-            jax.device_put(jnp.asarray(s2, dtype), sh2),
-            jax.device_put(jnp.asarray(valid2, dtype), sh1))
-    mle = np.asarray(fn(*args))
-    return mle[1:]
-
+# ---------------------------------------------------------------------------
+# host-facing wrappers
+# ---------------------------------------------------------------------------
 
 def pad_for_mesh(samples: np.ndarray, lnlike: np.ndarray,
-                 weights: Optional[np.ndarray], n_devices: int):
-    """Pad arrays to a multiple of the mesh size; returns (s, lnl, w, valid)."""
+                 weights: Optional[np.ndarray], n_devices: int,
+                 bucket: bool = True):
+    """Pad arrays so each device gets an equal shard; returns
+    (s, lnl, w, valid).  With ``bucket=True`` rows are first padded up to
+    the ops.knn compile-bucket grid so one TPU compile serves every chain
+    in a bucket (true counts travel as runtime scalars)."""
     n, d = samples.shape
     if weights is None:
         weights = np.ones(n)
-    npad = (-n) % n_devices
+    total = bucket_size(n) if bucket else n
+    total = ((total + n_devices - 1) // n_devices) * n_devices
+    npad = total - n
     s = np.concatenate([samples, np.zeros((npad, d))], axis=0)
     lnl = np.concatenate([lnlike, np.full(npad, -1e30)])
     w = np.concatenate([weights, np.ones(npad)])
@@ -293,40 +326,173 @@ def pad_for_mesh(samples: np.ndarray, lnlike: np.ndarray,
     return s, lnl, w, valid
 
 
-def sharded_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
-                          weights: Optional[np.ndarray] = None,
-                          *, kmax: int = 5, prior_volume: float = 1.0,
-                          mesh: Optional[Mesh] = None,
-                          dtype=jnp.float32) -> np.ndarray:
-    """Multi-device auto evidence: convenience wrapper around the SPMD step.
+def _pad_rows(arr: np.ndarray, total: int) -> np.ndarray:
+    npad = total - arr.shape[0]
+    if npad <= 0:
+        return arr
+    return np.concatenate([arr, np.zeros((npad,) + arr.shape[1:],
+                                         arr.dtype)])
 
-    Returns ln Z for k = 1..kmax-1 (same contract as ``evidence_fn``).
-    """
-    kmax = max(2, kmax)
+
+def _default_mesh(mesh: Optional[Mesh]) -> Mesh:
     if mesh is None:
         devs = np.array(jax.devices())
         mesh = Mesh(devs, ("ring",))
-    axis = mesh.axis_names[0]
-    pcount = mesh.devices.size
+    return mesh
+
+
+def sharded_knn_candidates(query64: np.ndarray, ref64: Optional[np.ndarray],
+                           k_sel: int, *, mesh: Mesh,
+                           dtype=jnp.float32) -> np.ndarray:
+    """Ring-select k_sel candidate indices for (already whitened) f64 points.
+
+    ``ref64=None`` means self mode (auto evidence).  Returns (Nq, k_sel)
+    int32 global row indices into the reference set (-1 = absent).
+    """
+    axis = mesh.axis_names[-1]
+    pcount = mesh.shape[axis]
+    self_mode = ref64 is None
+    r64 = query64 if self_mode else ref64
+    nq, nr = query64.shape[0], r64.shape[0]
+    qb = ((bucket_size(nq) + pcount - 1) // pcount) * pcount
+    rb = qb if self_mode else ((bucket_size(nr) + pcount - 1) // pcount) * pcount
+    q_in = _pad_rows(np.asarray(query64, np.float64), qb)
+    r_in = q_in if self_mode else _pad_rows(np.asarray(r64, np.float64), rb)
+
+    fn = make_sharded_knn(mesh, axis, k=min(k_sel, nr), self_mode=self_mode)
+    sh2 = NamedSharding(mesh, P(axis, None))
+    q_dev = jax.device_put(jnp.asarray(q_in, dtype), sh2)
+    r_dev = q_dev if self_mode else jax.device_put(jnp.asarray(r_in, dtype),
+                                                   sh2)
+    _, idx = fn(q_dev, r_dev, jnp.asarray(nr, jnp.int32))
+    return np.asarray(idx)[:nq]
+
+
+def sharded_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
+                          weights: Optional[np.ndarray] = None,
+                          *, kmax: int = 5, prior_volume: float = 1.0,
+                          sum_adjusted_weights: Optional[float] = None,
+                          mesh: Optional[Mesh] = None,
+                          precision: str = "fast",
+                          pad_candidates: int = 4,
+                          dtype=jnp.float32) -> np.ndarray:
+    """Multi-device auto evidence (same contract as ``evidence_fn``):
+    returns ln Z for k = 1..kmax-1.
+
+    ``precision='fast'``: one fused SPMD program, all-f32 on device.
+    ``precision='refine'``: host f64 whitening, sharded f32 ring selection
+    of kmax+pad_candidates candidates, host f64 refinement + estimator —
+    the parity path (<1e-6 vs the sklearn/f64 oracle) at multi-chip scale.
+    """
+    kmax = max(2, kmax)
+    mesh = _default_mesh(mesh)
+    axis = mesh.axis_names[-1]
+    pcount = mesh.shape[axis]
     n, ndim = samples.shape
-    s, lnl, w, valid = pad_for_mesh(samples, lnlike, weights, pcount)
-    fn = make_sharded_evidence(mesh, axis, kmax=kmax, n_global=n, ndim=ndim,
-                               log_prior_volume=math.log(prior_volume))
+    samples = np.asarray(samples, np.float64)
+    lnlike = np.asarray(lnlike, np.float64)
+    w_np = np.ones(n) if weights is None else np.asarray(weights, np.float64)
+    sumw = float(np.sum(w_np)) if sum_adjusted_weights is None \
+        else float(sum_adjusted_weights)
+
+    if precision == "refine":
+        from ..ops.whiten import apply_whiten, whiten_stats
+        stats = whiten_stats(samples)
+        s1w = apply_whiten(samples, stats)
+        idx = sharded_knn_candidates(s1w, None,
+                                     min(n, kmax + pad_candidates),
+                                     mesh=mesh, dtype=dtype)
+        dknn = refine_knn_f64(s1w, s1w, idx, min(kmax, n), self_mode=True)
+        mle = log_evidence_from_knn_np(
+            dknn, lnlike, w_np, sumw, ndim,
+            log_jacobian=stats.log_jacobian,
+            log_prior_volume=math.log(prior_volume), k_start=1, nsamples=n)
+        return mle[1:]
+
+    s, lnl, w, valid = pad_for_mesh(samples, lnlike, w_np, pcount)
+    fn = make_sharded_evidence(mesh, axis, kmax=kmax, ndim=ndim)
     sharding = NamedSharding(mesh, P(axis))
     sharding2 = NamedSharding(mesh, P(axis, None))
-    s = jax.device_put(jnp.asarray(s, dtype), sharding2)
+    s_dev = jax.device_put(jnp.asarray(s, dtype), sharding2)
     args = [jax.device_put(jnp.asarray(a, dtype), sharding)
             for a in (lnl, w, valid)]
-    mle = fn(s, *args)
-    return np.asarray(mle)[1:]
+    mle = np.asarray(fn(s_dev, *args, jnp.asarray(n, jnp.int32),
+                        jnp.asarray(math.log(prior_volume), dtype)),
+                     np.float64)
+    if sum_adjusted_weights is not None:
+        # importance reweighting enters only through SumW (quirk Q7)
+        shift = np.log(sumw) - np.log(float(np.sum(w_np)))
+        mle[1:] = mle[1:] + shift
+    return mle[1:]
+
+
+def sharded_cross_evidence(samples1: np.ndarray, lnlike1: np.ndarray,
+                           samples2: np.ndarray,
+                           weights1: Optional[np.ndarray] = None,
+                           *, kmax: int = 5, prior_volume: float = 1.0,
+                           sum_adjusted_weights: Optional[float] = None,
+                           mesh: Optional[Mesh] = None,
+                           precision: str = "fast",
+                           pad_candidates: int = 4,
+                           dtype=jnp.float32) -> np.ndarray:
+    """Multi-device cross evidence (same contract as ``evidence_fn`` with
+    ``samples2``): returns ln Z for k = 1..kmax-1.  See
+    ``sharded_auto_evidence`` for the precision modes."""
+    kmax = max(2, kmax)
+    mesh = _default_mesh(mesh)
+    axis = mesh.axis_names[-1]
+    pcount = mesh.shape[axis]
+    n1, ndim = samples1.shape
+    n2 = samples2.shape[0]
+    samples1 = np.asarray(samples1, np.float64)
+    samples2 = np.asarray(samples2, np.float64)
+    lnlike1 = np.asarray(lnlike1, np.float64)
+    w1_np = (np.ones(n1) if weights1 is None
+             else np.asarray(weights1, np.float64))
+    sumw = float(np.sum(w1_np)) if sum_adjusted_weights is None \
+        else float(sum_adjusted_weights)
+
+    if precision == "refine":
+        from ..ops.whiten import apply_whiten, whiten_stats
+        # covtype='all' (quirk Q1): one covariance over both partitions
+        stats = whiten_stats(np.concatenate([samples1, samples2]))
+        s1w = apply_whiten(samples1, stats)
+        s2w = apply_whiten(samples2, stats)
+        idx = sharded_knn_candidates(s1w, s2w,
+                                     min(n2, kmax + pad_candidates),
+                                     mesh=mesh, dtype=dtype)
+        dknn = refine_knn_f64(s1w, s2w, idx, min(kmax, n2), self_mode=False)
+        mle = log_evidence_from_knn_np(
+            dknn, lnlike1, w1_np, sumw, ndim,
+            log_jacobian=stats.log_jacobian,
+            log_prior_volume=math.log(prior_volume), k_start=0, nsamples=n1)
+        return mle[1:]
+
+    s1, lnl1, w1, valid1 = pad_for_mesh(samples1, lnlike1, w1_np, pcount)
+    nb2 = ((bucket_size(n2) + pcount - 1) // pcount) * pcount
+    s2 = _pad_rows(samples2, nb2)
+    valid2 = np.concatenate([np.ones(n2), np.zeros(nb2 - n2)])
+    fn = make_sharded_cross_evidence(mesh, axis, kmax=kmax, ndim=ndim)
+    sh1 = NamedSharding(mesh, P(axis))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    args = (jax.device_put(jnp.asarray(s1, dtype), sh2),
+            jax.device_put(jnp.asarray(lnl1, dtype), sh1),
+            jax.device_put(jnp.asarray(w1, dtype), sh1),
+            jax.device_put(jnp.asarray(valid1, dtype), sh1),
+            jax.device_put(jnp.asarray(s2, dtype), sh2),
+            jax.device_put(jnp.asarray(valid2, dtype), sh1),
+            jnp.asarray(n1, jnp.int32), jnp.asarray(n2, jnp.int32),
+            jnp.asarray(math.log(prior_volume), dtype))
+    mle = np.asarray(fn(*args), np.float64)
+    if sum_adjusted_weights is not None:
+        shift = np.log(sumw) - np.log(float(np.sum(w1_np)))
+        mle = mle + shift
+    return mle[1:]
 
 
 # ---------------------------------------------------------------------------
 # 2-D mesh: data-parallel over chains x ring over samples
 # ---------------------------------------------------------------------------
-
-_GRID_PROGRAM_CACHE: dict = {}
-
 
 def make_sharded_grid_evidence(mesh: Mesh, axes=("dp", "ring"), *, kmax: int,
                                ndim: int):
@@ -335,65 +501,68 @@ def make_sharded_grid_evidence(mesh: Mesh, axes=("dp", "ring"), *, kmax: int,
     used MPI ranks for), each chain's samples ring-sharded over ``ring``.
 
     Takes stacked padded arrays (B, Np, d) / (B, Np) ... plus per-chain
-    true counts (B,) and log prior volumes (B,); returns (B, kmax) MLE rows.
-    B must be a multiple of the dp axis size; Np of the ring axis size.
+    true counts (B,) int32 and log prior volumes (B,); returns (B, kmax)
+    MLE rows.  B must be a multiple of the dp axis size; Np of the ring
+    axis size.
     """
-    from jax.experimental.shard_map import shard_map
-
     dp, ring = axes
     # one jitted program per (mesh, kmax, ndim): rebuilding the shard_map
     # closure per call would defeat JAX's jit cache and recompile
     # identical-shape programs on every dataset.
-    key = (tuple(d.id for d in mesh.devices.flat), tuple(mesh.axis_names),
-           axes, kmax, ndim)
-    cached = _GRID_PROGRAM_CACHE.get(key)
+    key = ("grid", _mesh_key(mesh), axes, kmax, ndim)
+    cached = _PROGRAM_CACHE.get(key)
     if cached is not None:
         return cached
 
     def single(s, lnl, w, v, n_glob, log_pv, sumw_shift):
         mle = _evidence_step_local(
-            s, lnl, w, v, kmax=kmax, n_global=n_glob, ndim=ndim,
-            log_prior_volume=log_pv, axis=ring)
+            s, lnl, w, v, n_glob, log_pv, kmax=kmax, ndim=ndim, axis=ring)
         # importance reweighting enters only through SumW (quirk Q7):
         # applied as a per-chain log shift ln(SumW_adj / SumW).
         k_idx = jnp.arange(kmax)
         return jnp.where(k_idx < 1, mle, mle + sumw_shift)
 
     batched = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, 0))
-    sharded = shard_map(
+    sharded = jax.shard_map(
         batched, mesh=mesh,
         in_specs=(P(dp, ring, None), P(dp, ring), P(dp, ring), P(dp, ring),
                   P(dp), P(dp), P(dp)),
         out_specs=P(dp),
-        check_rep=False)
+        check_vma=False)
     fn = jax.jit(sharded)
-    _GRID_PROGRAM_CACHE[key] = fn
+    _PROGRAM_CACHE[key] = fn
     return fn
 
 
-def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
-                               prior_volumes=None,
-                               sumw_log_shifts=None,
-                               mesh: Optional[Mesh] = None,
-                               dtype=jnp.float32) -> np.ndarray:
-    """Auto evidence for MANY chains in one SPMD program.
+def make_sharded_grid_knn(mesh: Mesh, axes=("dp", "ring"), *, k: int):
+    """Batched sharded kNN selection (self mode): a batch of chains over
+    ``dp``, each ring-sharded; whitening happens on the HOST (f64) so the
+    returned candidate indices support f64 refinement — the parity-grade
+    counterpart of ``make_sharded_grid_evidence``.
 
-    ``chains``: sequence of (samples, lnlike[, weights]) tuples (or dicts
-    with those keys).  All chains are padded to a common bucketed length and
-    the batch is padded to the dp axis size; padding chains/rows never
-    contribute.  Returns (len(chains), kmax-1) ln Z values.
+    fn(white (B, Np, d), NG (B,) int32) -> (d2 (B, Np, k), idx (B, Np, k)).
     """
-    from ..ops.knn import bucket_size
+    dp, ring = axes
+    key = ("grid_knn", _mesh_key(mesh), axes, k)
+    cached = _PROGRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
 
-    from ..utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    kmax = max(2, kmax)
-    if mesh is None:
-        devs = np.array(jax.devices())
-        mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
-    dp_n = mesh.shape["dp"]
-    ring_n = mesh.shape["ring"]
+    def single(s, n_glob):
+        return _ring_knn_local(s, s, k, ring, n_glob, self_mode=True)
 
+    batched = jax.vmap(single, in_axes=(0, 0))
+    sharded = jax.shard_map(
+        batched, mesh=mesh,
+        in_specs=(P(dp, ring, None), P(dp)),
+        out_specs=(P(dp, ring, None), P(dp, ring, None)),
+        check_vma=False)
+    fn = jax.jit(sharded)
+    _PROGRAM_CACHE[key] = fn
+    return fn
+
+
+def _normalize_chains(chains):
     norm = []
     for c in chains:
         if isinstance(c, dict):
@@ -406,11 +575,15 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
             w = (np.asarray(c[2], np.float64) if len(c) > 2
                  else np.ones(len(s)))
         norm.append((s, l, w))
+    return norm
+
+
+def _grid_batch_layout(norm, mesh):
+    """Common padded-batch geometry for the 2-D-mesh programs."""
+    dp_n = mesh.shape["dp"]
+    ring_n = mesh.shape["ring"]
     b_true = len(norm)
     ndim = norm[0][0].shape[1]
-    if prior_volumes is None:
-        prior_volumes = np.ones(b_true)
-
     n_pad = bucket_size(max(s.shape[0] for s, _, _ in norm))
     n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
     # bucket the batch axis too (next power of two, then dp-divisible):
@@ -419,12 +592,37 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
     while b_pad < b_true:
         b_pad *= 2
     b_pad = ((b_pad + dp_n - 1) // dp_n) * dp_n
+    return b_true, b_pad, n_pad, ndim
+
+
+def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
+                               prior_volumes=None,
+                               sumw_log_shifts=None,
+                               mesh: Optional[Mesh] = None,
+                               dtype=jnp.float32) -> np.ndarray:
+    """Auto evidence for MANY chains in one SPMD program (f32 fast path).
+
+    ``chains``: sequence of (samples, lnlike[, weights]) tuples (or dicts
+    with those keys).  All chains are padded to a common bucketed length and
+    the batch is padded to the dp axis size; padding chains/rows never
+    contribute.  Returns (len(chains), kmax-1) ln Z values.
+    """
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    kmax = max(2, kmax)
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    norm = _normalize_chains(chains)
+    b_true, b_pad, n_pad, ndim = _grid_batch_layout(norm, mesh)
+    if prior_volumes is None:
+        prior_volumes = np.ones(b_true)
 
     S = np.zeros((b_pad, n_pad, ndim))
     L = np.full((b_pad, n_pad), -1e30)
     W = np.ones((b_pad, n_pad))
     V = np.zeros((b_pad, n_pad))
-    NG = np.ones(b_pad)
+    NG = np.ones(b_pad, np.int32)
     LPV = np.zeros(b_pad)
     SWS = np.zeros(b_pad)
     if sumw_log_shifts is not None:
@@ -451,8 +649,71 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
             jax.device_put(jnp.asarray(L, dtype), sh2),
             jax.device_put(jnp.asarray(W, dtype), sh2),
             jax.device_put(jnp.asarray(V, dtype), sh2),
-            jax.device_put(jnp.asarray(NG, dtype), sh1),
+            jax.device_put(jnp.asarray(NG), sh1),
             jax.device_put(jnp.asarray(LPV, dtype), sh1),
             jax.device_put(jnp.asarray(SWS, dtype), sh1))
     mle = np.asarray(fn(*args))
     return mle[:b_true, 1:]
+
+
+def sharded_grid_auto_evidence_refine(chains, *, kmax: int = 2,
+                                      prior_volumes=None,
+                                      sum_adjusted_weights=None,
+                                      pad_candidates: int = 4,
+                                      mesh: Optional[Mesh] = None,
+                                      dtype=jnp.float32) -> np.ndarray:
+    """Parity-grade batched auto evidence: host f64 whitening per chain,
+    ONE batched SPMD selection program for the O(N^2) sweeps, host f64
+    candidate refinement + f64 estimator.  Returns (len(chains), kmax-1).
+
+    Matches the sklearn/f64 oracle to ~1e-12 while keeping the per-cell
+    device cost of the fast grid mode (only int32 candidate indices cross
+    the device->host link beyond the sample upload).
+    """
+    from ..ops.whiten import apply_whiten, whiten_stats
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    kmax = max(2, kmax)
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    norm = _normalize_chains(chains)
+    b_true, b_pad, n_pad, ndim = _grid_batch_layout(norm, mesh)
+    if prior_volumes is None:
+        prior_volumes = np.ones(b_true)
+
+    k_sel = min(kmax + pad_candidates,
+                min(s.shape[0] for s, _, _ in norm))
+    whitened = []
+    stats_list = []
+    S = np.zeros((b_pad, n_pad, ndim))
+    NG = np.ones(b_pad, np.int32)
+    for i, (s, l, w) in enumerate(norm):
+        stats = whiten_stats(s[:, :ndim])
+        sw = apply_whiten(s[:, :ndim], stats)
+        whitened.append(sw)
+        stats_list.append(stats)
+        S[i, : s.shape[0]] = sw
+        NG[i] = s.shape[0]
+
+    fn = make_sharded_grid_knn(mesh, ("dp", "ring"), k=k_sel)
+    sh3 = NamedSharding(mesh, P("dp", "ring", None))
+    sh1 = NamedSharding(mesh, P("dp"))
+    _, idx = fn(jax.device_put(jnp.asarray(S, dtype), sh3),
+                jax.device_put(jnp.asarray(NG), sh1))
+    idx = np.asarray(idx)
+
+    out = np.zeros((b_true, kmax - 1))
+    for i, ((s, l, w), sw) in enumerate(zip(norm, whitened)):
+        n = s.shape[0]
+        dknn = refine_knn_f64(sw, sw, idx[i, :n], min(kmax, n),
+                              self_mode=True)
+        sumw = (float(np.sum(w)) if sum_adjusted_weights is None
+                else float(sum_adjusted_weights[i]))
+        mle = log_evidence_from_knn_np(
+            dknn, l, w, sumw, ndim,
+            log_jacobian=stats_list[i].log_jacobian,
+            log_prior_volume=math.log(prior_volumes[i]),
+            k_start=1, nsamples=n)
+        out[i] = mle[1:]
+    return out

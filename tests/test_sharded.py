@@ -68,6 +68,57 @@ def test_sharded_cross_uneven(rng, mesh8):
     np.testing.assert_allclose(multi, single, atol=2e-3)
 
 
+# --- refine precision: the sharded parity path must match the host f64
+# refine path (same whitening, same refined distances) to float64 noise.
+def test_sharded_refine_matches_refine_oracle(rng, mesh8):
+    theta, lnl = make_gaussian_chain(rng, n=1003, ndim=4)
+    single = evidence_fn(theta, lnl, kmax=4, precision="refine",
+                         engine="xla")
+    multi = sharded_auto_evidence(theta, lnl, kmax=4, mesh=mesh8,
+                                  precision="refine")
+    np.testing.assert_allclose(multi, single, atol=1e-9)
+
+
+def test_sharded_refine_weighted(rng, mesh8):
+    theta, lnl = make_gaussian_chain(rng, n=777, ndim=3)
+    w = rng.integers(1, 5, size=len(theta)).astype(float)
+    single = evidence_fn(theta, lnl, weights=w, kmax=3, precision="refine",
+                         engine="xla")
+    multi = sharded_auto_evidence(theta, lnl, weights=w, kmax=3, mesh=mesh8,
+                                  precision="refine")
+    np.testing.assert_allclose(multi, single, atol=1e-9)
+
+
+def test_sharded_cross_refine_matches_refine_oracle(rng, mesh8):
+    from mcevidence_tpu.parallel.ring import sharded_cross_evidence
+    theta, lnl = make_gaussian_chain(rng, n=1600, ndim=3)
+    s1, l1 = theta[:901], lnl[:901]
+    s2 = theta[901:]
+    single = evidence_fn(s1, l1, samples2=s2, kmax=3, precision="refine",
+                         engine="xla")
+    multi = sharded_cross_evidence(s1, l1, s2, kmax=3, mesh=mesh8,
+                                   precision="refine")
+    np.testing.assert_allclose(multi, single, atol=1e-9)
+
+
+def test_grid_refine_matches_refine_oracle(rng):
+    from mcevidence_tpu.parallel.ring import sharded_grid_auto_evidence_refine
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("dp", "ring"))
+    chains = []
+    for n in (700, 903, 801):
+        theta, lnl = make_gaussian_chain(rng, n=n, ndim=3)
+        chains.append((theta, lnl))
+    out = sharded_grid_auto_evidence_refine(
+        chains, kmax=3, mesh=mesh2, prior_volumes=[1.0, 2.0, 1.0])
+    assert out.shape == (3, 2)
+    for i, (theta, lnl) in enumerate(chains):
+        single = evidence_fn(theta, lnl, kmax=3, precision="refine",
+                             engine="xla",
+                             prior_volume=[1.0, 2.0, 1.0][i])
+        np.testing.assert_allclose(out[i], single, atol=1e-9)
+
+
 def test_grid_evidence_2d_mesh(rng):
     from mcevidence_tpu.parallel.ring import sharded_grid_auto_evidence
     devs = np.array(jax.devices()[:8]).reshape(2, 4)
