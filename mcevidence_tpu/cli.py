@@ -119,8 +119,17 @@ def main(argv=None) -> int:
     from .evidence import MCEvidence   # deferred: jax import is slow
     print()
     print("Using file: ", args.root_name)
-    mce = MCEvidence(args.root_name, split=args.cross, ndim=ndim,
-                     priorvolume=prior_volume, idchain=args.idchain,
+    # parse each chain file exactly ONCE: the raw per-chain arrays feed both
+    # the combined estimate and the per-chain error bars (chain parsing is
+    # the documented host bottleneck; re-ingesting for --error doubled it)
+    from .chains.reader import load_chains
+    try:
+        chains = load_chains(args.root_name, idchain=args.idchain)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    mce = MCEvidence(chains, split=args.cross, ndim=ndim,
+                     priorvolume=prior_volume,
                      kmax=args.kmax, verbose=args.verbose,
                      burnlen=args.burnlen, thinlen=args.thinlen,
                      seed=args.seed, engine=args.engine,
@@ -132,7 +141,7 @@ def main(argv=None) -> int:
         from .evidence import evidence_with_error
         try:
             mean, err, _ = evidence_with_error(
-                args.root_name, kmax=args.kmax, ndim=ndim,
+                chains, kmax=args.kmax, ndim=ndim,
                 priorvolume=prior_volume, burnlen=args.burnlen,
                 thinlen=args.thinlen, seed=args.seed, engine=args.engine,
                 precision=args.precision)

@@ -9,14 +9,20 @@ compare-by-eye.
 
 * ``glm_eg``       — 3-param quadratic Gaussian linear model with closed-form
                      ln Z (reference examples.py:42-172) + Gibbs sampler.
+* ``glm_nuts``     — the same GLM sampled with the native JAX NUTS
+                     (replaces the reference's PyStan harness,
+                     examples.py:347-418).
 * ``gaussian_eg``  — N-dim Gaussian with known truth (examples.py:267-342).
 * ``model_2d``     — 2-param straight-line likelihood for ensemble samplers
                      (examples.py:182-263).
 * ``make_emcee_chain`` / ``gaussian_emcee`` — emcee integration, gated on
   emcee availability (examples.py:424-531).
 
-Run: ``python -m mcevidence_tpu.examples [gaussian_eg|glm_eg|gaussian_emcee]
-[nsamples]``.
+Together with the iid Gaussian sampler this covers the reference's three
+sampler families (Gibbs, NUTS, ensemble/iid) with asserting tests.
+
+Run: ``python -m mcevidence_tpu.examples
+[gaussian_eg|glm_eg|glm_nuts|gaussian_emcee] [nsamples]``.
 """
 
 from __future__ import annotations
@@ -166,6 +172,46 @@ class gaussian_eg:
                 "normalized likelihood (lnZ -> -ln V_prior).")
 
 
+class glm_nuts:
+    """NUTS chain for the GLM — the third sampler family of the reference's
+    validation harness (its ``glm_stan`` ran PyStan NUTS,
+    examples.py:347-418; here the native JAX NUTS from
+    ``mcevidence_tpu.samplers`` replaces the external dependency).
+    """
+
+    def __init__(self, model: Optional[glm_eg] = None, seed: int = 0,
+                 warmup: int = 400, verbose: int = 0):
+        self.model = model if model is not None \
+            else glm_eg(verbose=verbose, rng=np.random.default_rng(seed))
+        self.seed = seed
+        self.warmup = warmup
+        self.ndim = self.model.ndim
+        self.ptheta = self.model.ptheta
+        import jax.numpy as jnp
+        b = jnp.asarray(self.model.b)
+        D = jnp.asarray(self.model.D)
+
+        def lnprob(x):
+            r = b - D @ x
+            return -0.5 * jnp.dot(r, r)
+
+        self.lnprob = lnprob
+
+    def evidence(self) -> float:
+        """Closed-form ln Z of the underlying GLM."""
+        return self.model.evidence()
+
+    def Sampler(self, nsamples=2000):
+        from .samplers import nuts_sample
+        return nuts_sample(self.lnprob, self.model.theta_sample,
+                           int(nsamples), warmup=self.warmup,
+                           seed=self.seed)
+
+    def info(self):
+        return ("NUTS (No-U-Turn, dual-averaging step size) chain for the "
+                "Gaussian linear model with closed-form evidence.")
+
+
 class model_2d:
     """2-param straight-line likelihood for ensemble samplers
     (reference examples.py:182-263)."""
@@ -268,7 +314,7 @@ def main(argv=None) -> int:
     method = argv[0] if argv else "gaussian_eg"
     nsamples = int(argv[1]) if len(argv) > 1 else 10000
 
-    if method in ("gaussian_eg", "glm_eg"):
+    if method in ("gaussian_eg", "glm_eg", "glm_nuts"):
         from .evidence import MCEvidence
         cls = globals()[method]
         model = cls(verbose=1)
@@ -278,7 +324,7 @@ def main(argv=None) -> int:
         mle = MCEvidence(chain, thinlen=2, burnlen=0.1, verbose=1,
                          ischain=True).evidence()
         print("estimated ln Z (k=1..):", mle)
-        if method == "glm_eg":
+        if method.startswith("glm"):
             truth = model.evidence() + np.log(model.ptheta.prod())
             print("analytic ln Z (without prior volume):", truth)
         else:

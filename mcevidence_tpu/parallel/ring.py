@@ -534,27 +534,31 @@ def make_sharded_grid_evidence(mesh: Mesh, axes=("dp", "ring"), *, kmax: int,
     return fn
 
 
-def make_sharded_grid_knn(mesh: Mesh, axes=("dp", "ring"), *, k: int):
-    """Batched sharded kNN selection (self mode): a batch of chains over
-    ``dp``, each ring-sharded; whitening happens on the HOST (f64) so the
-    returned candidate indices support f64 refinement — the parity-grade
-    counterpart of ``make_sharded_grid_evidence``.
+def make_sharded_grid_knn(mesh: Mesh, axes=("dp", "ring"), *, k: int,
+                          self_mode: bool = True):
+    """Batched sharded kNN selection: a batch of chains over ``dp``, each
+    ring-sharded; whitening happens on the HOST (f64) so the returned
+    candidate indices support f64 refinement — the parity-grade counterpart
+    of ``make_sharded_grid_evidence``.
 
-    fn(white (B, Np, d), NG (B,) int32) -> (d2 (B, Np, k), idx (B, Np, k)).
+    fn(Q (B, Np, d), R (B, Mp, d), NG_ref (B,) int32)
+        -> (d2 (B, Np, k), idx (B, Np, k)).
+    In self mode pass R = Q (auto evidence); cross mode searches each
+    chain's queries in its own reference partition (k0=0 semantics).
     """
     dp, ring = axes
-    key = ("grid_knn", _mesh_key(mesh), axes, k)
+    key = ("grid_knn", _mesh_key(mesh), axes, k, self_mode)
     cached = _PROGRAM_CACHE.get(key)
     if cached is not None:
         return cached
 
-    def single(s, n_glob):
-        return _ring_knn_local(s, s, k, ring, n_glob, self_mode=True)
+    def single(q, r, n_glob):
+        return _ring_knn_local(q, r, k, ring, n_glob, self_mode=self_mode)
 
-    batched = jax.vmap(single, in_axes=(0, 0))
+    batched = jax.vmap(single, in_axes=(0, 0, 0))
     sharded = jax.shard_map(
         batched, mesh=mesh,
-        in_specs=(P(dp, ring, None), P(dp)),
+        in_specs=(P(dp, ring, None), P(dp, ring, None), P(dp)),
         out_specs=(P(dp, ring, None), P(dp, ring, None)),
         check_vma=False)
     fn = jax.jit(sharded)
@@ -656,15 +660,21 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
     return mle[:b_true, 1:]
 
 
-def sharded_grid_auto_evidence_refine(chains, *, kmax: int = 2,
-                                      prior_volumes=None,
-                                      sum_adjusted_weights=None,
-                                      pad_candidates: int = 4,
-                                      mesh: Optional[Mesh] = None,
-                                      dtype=jnp.float32) -> np.ndarray:
-    """Parity-grade batched auto evidence: host f64 whitening per chain,
-    ONE batched SPMD selection program for the O(N^2) sweeps, host f64
+def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
+                                 prior_volumes=None,
+                                 sum_adjusted_weights=None,
+                                 chains2=None,
+                                 pad_candidates: int = 4,
+                                 mesh: Optional[Mesh] = None,
+                                 dtype=jnp.float32) -> np.ndarray:
+    """Parity-grade batched evidence: host f64 whitening per chain, ONE
+    batched SPMD selection program for the O(N^2) sweeps, host f64
     candidate refinement + f64 estimator.  Returns (len(chains), kmax-1).
+
+    Auto mode when ``chains2`` is None; cross mode when ``chains2`` is a
+    matching sequence of reference-partition sample arrays (per-chain NNs
+    of s1 searched in s2, k0=0 semantics; whitening uses the combined
+    s1+s2 covariance — covtype='all', quirk Q1).
 
     Matches the sklearn/f64 oracle to ~1e-12 while keeping the per-cell
     device cost of the fast grid mode (only int32 candidate indices cross
@@ -677,43 +687,72 @@ def sharded_grid_auto_evidence_refine(chains, *, kmax: int = 2,
     if mesh is None:
         devs = np.array(jax.devices())
         mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    ring_n = mesh.shape["ring"]
     norm = _normalize_chains(chains)
     b_true, b_pad, n_pad, ndim = _grid_batch_layout(norm, mesh)
     if prior_volumes is None:
         prior_volumes = np.ones(b_true)
+    cross = chains2 is not None
+    if cross:
+        refs = [np.asarray(s2, np.float64)[:, :ndim] for s2 in chains2]
+        if len(refs) != b_true:
+            raise ValueError("chains2 must match chains 1:1")
+        m_pad = bucket_size(max(r.shape[0] for r in refs))
+        m_pad = ((m_pad + ring_n - 1) // ring_n) * ring_n
+        n_refs = [r.shape[0] for r in refs]
+    else:
+        refs = None
+        m_pad = n_pad
+        n_refs = [s.shape[0] for s, _, _ in norm]
 
-    k_sel = min(kmax + pad_candidates,
-                min(s.shape[0] for s, _, _ in norm))
-    whitened = []
+    k_sel = min(kmax + pad_candidates, min(n_refs))
+    q_white = []
+    r_white = []
     stats_list = []
-    S = np.zeros((b_pad, n_pad, ndim))
+    Q = np.zeros((b_pad, n_pad, ndim))
+    R = Q if not cross else np.zeros((b_pad, m_pad, ndim))
     NG = np.ones(b_pad, np.int32)
     for i, (s, l, w) in enumerate(norm):
-        stats = whiten_stats(s[:, :ndim])
-        sw = apply_whiten(s[:, :ndim], stats)
-        whitened.append(sw)
+        s1 = s[:, :ndim]
+        if cross:
+            stats = whiten_stats(np.concatenate([s1, refs[i]]))
+            rw = apply_whiten(refs[i], stats)
+            R[i, : rw.shape[0]] = rw
+            r_white.append(rw)
+        else:
+            stats = whiten_stats(s1)
+        sw = apply_whiten(s1, stats)
+        q_white.append(sw)
         stats_list.append(stats)
-        S[i, : s.shape[0]] = sw
-        NG[i] = s.shape[0]
+        Q[i, : s1.shape[0]] = sw
+        NG[i] = n_refs[i]
 
-    fn = make_sharded_grid_knn(mesh, ("dp", "ring"), k=k_sel)
+    fn = make_sharded_grid_knn(mesh, ("dp", "ring"), k=k_sel,
+                               self_mode=not cross)
     sh3 = NamedSharding(mesh, P("dp", "ring", None))
     sh1 = NamedSharding(mesh, P("dp"))
-    _, idx = fn(jax.device_put(jnp.asarray(S, dtype), sh3),
-                jax.device_put(jnp.asarray(NG), sh1))
+    q_dev = jax.device_put(jnp.asarray(Q, dtype), sh3)
+    r_dev = q_dev if not cross else jax.device_put(jnp.asarray(R, dtype),
+                                                   sh3)
+    _, idx = fn(q_dev, r_dev, jax.device_put(jnp.asarray(NG), sh1))
     idx = np.asarray(idx)
 
     out = np.zeros((b_true, kmax - 1))
-    for i, ((s, l, w), sw) in enumerate(zip(norm, whitened)):
+    for i, ((s, l, w), sw) in enumerate(zip(norm, q_white)):
         n = s.shape[0]
-        dknn = refine_knn_f64(sw, sw, idx[i, :n], min(kmax, n),
-                              self_mode=True)
+        rw = r_white[i] if cross else sw
+        dknn = refine_knn_f64(sw, rw, idx[i, :n], min(kmax, n_refs[i]),
+                              self_mode=not cross)
         sumw = (float(np.sum(w)) if sum_adjusted_weights is None
                 else float(sum_adjusted_weights[i]))
         mle = log_evidence_from_knn_np(
             dknn, l, w, sumw, ndim,
             log_jacobian=stats_list[i].log_jacobian,
             log_prior_volume=math.log(prior_volumes[i]),
-            k_start=1, nsamples=n)
+            k_start=0 if cross else 1, nsamples=n)
         out[i] = mle[1:]
     return out
+
+
+# back-compat alias (pre-cross name)
+sharded_grid_auto_evidence_refine = sharded_grid_evidence_refine

@@ -174,18 +174,25 @@ def _tabulate(df: pd.DataFrame) -> str:
 
 
 def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
-                           burnfrac, thinfrac, use_h0_prior, mce, info):
+                           burnfrac, thinfrac, use_h0_prior, mce, info,
+                           precision: str = "refine", cross: bool = False,
+                           seed=None):
     """Fill the evidence matrix by batching cells into 2-D-mesh SPMD calls.
 
     All of a dataset's (model, chain) cells with the same cosmological
-    dimensionality run as ONE jitted program (parallel/ring.py grid mode) —
-    amortizing dispatch/transfer per cell; f32 ('fast') fidelity.
+    dimensionality run as ONE jitted program (parallel/ring.py grid mode),
+    amortizing dispatch/transfer per cell.  ``precision='refine'`` (default)
+    adds host f64 whitening + candidate refinement around the batched f32
+    selection — parity-grade lnZ at batched-mode speed; ``'fast'`` keeps
+    everything f32 on device.  ``cross=True`` splits each chain and runs
+    cross-evidence (always on the refine path).
     """
     from .chains.reader import ingest
-    from .parallel.ring import sharded_grid_auto_evidence
+    from .parallel.ring import (sharded_grid_auto_evidence,
+                                sharded_grid_evidence_refine)
 
     vol_norm = 1.0
-    cells = []   # (imm, icc, ndim, samples, lnl, w, prior_volume, sumw_shift)
+    cells = []   # (imm, icc, ndim, s1, lnl, w, s2, prior_volume, sumw_adj)
     for imm, (mm, fname) in enumerate(zip(names, path_list)):
         if not _glob.glob(fname + "*.txt"):
             logger.warning("*** not available: %s", fname)
@@ -204,34 +211,54 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         for icc, ext in enumerate(chain_exts):
             try:
                 pair = ingest(fname + ext, burnlen=burnfrac,
-                              thinlen=thinfrac)
+                              thinlen=thinfrac, split=cross,
+                              rng=np.random.default_rng(seed))
                 p = pair.s1
-                sumw_shift = 0.0
+                s2 = pair.s2.samples[:, :par.ndim] if cross else None
+                sumw_adj = None
                 if h0i is not None:
+                    # quirk Q7: importance reweighting enters only SumW
                     neg = make_h0_gauss_lnp(h0i)(p.samples)
-                    adj = np.sum(p.weights * np.exp(-neg))
-                    sumw_shift = float(np.log(adj) - np.log(np.sum(p.weights)))
+                    sumw_adj = float(np.sum(p.weights * np.exp(-neg)))
                 cells.append((imm, icc, par.ndim,
                               p.samples[:, :par.ndim], p.lnp(), p.weights,
-                              prior_volume, sumw_shift))
+                              s2, prior_volume, sumw_adj))
+                # same strings the per-cell mode takes from the info dict
+                # (post-burn/thin s1 count; N_used lists every partition)
                 nc_read += f"{p.nsamples},"
-                nc_use += f"{p.nsamples},"
+                parts = [p.nsamples] + ([pair.s2.nsamples] if cross else [])
+                nc_use += ", ".join(str(x) for x in parts) + ","
             except Exception as exc:
                 logger.warning("ingest failed for %s: %s", fname + ext, exc)
         info["N_read"].append(nc_read)
         info["N_used"].append(nc_use)
+
+    if cross and precision != "refine":
+        logger.info("batched cross-evidence always runs on the refine path")
+        precision = "refine"
 
     # one SPMD batch per dimensionality group
     by_ndim: Dict[int, list] = {}
     for cell in cells:
         by_ndim.setdefault(cell[2], []).append(cell)
     for ndim, group in by_ndim.items():
-        out = sharded_grid_auto_evidence(
-            [(c[3], c[4], c[5]) for c in group], kmax=kmax,
-            prior_volumes=[c[6] for c in group],
-            sumw_log_shifts=[c[7] for c in group])
+        chains = [(c[3], c[4], c[5]) for c in group]
+        pv = [c[7] for c in group]
+        if precision == "refine":
+            sumw = [c[8] if c[8] is not None else float(np.sum(c[5]))
+                    for c in group]
+            out = sharded_grid_evidence_refine(
+                chains, kmax=kmax, prior_volumes=pv,
+                sum_adjusted_weights=sumw,
+                chains2=[c[6] for c in group] if cross else None)
+        else:
+            shifts = [0.0 if c[8] is None
+                      else float(np.log(c[8]) - np.log(np.sum(c[5])))
+                      for c in group]
+            out = sharded_grid_auto_evidence(
+                chains, kmax=kmax, prior_volumes=pv, sumw_log_shifts=shifts)
         for (imm, icc, *_), lnz in zip(group, out):
-            mce[imm, icc] = lnz[0]
+            mce[imm, icc, :] = lnz
 
 
 def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
@@ -239,7 +266,8 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
                      burnfrac: float = 0.0, thinfrac: float = 0.0,
                      use_h0_prior: bool = True, verbose: int = 1,
                      engine: str = "auto", precision: str = "refine",
-                     batch_cells: bool = False,
+                     batch_cells: bool = False, cross: bool = False,
+                     seed=None,
                      parse_workers: int = 2) -> Optional[pd.DataFrame]:
     """Evidence for every available model of one dataset.
 
@@ -247,6 +275,9 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
     ``nchain=n``: per-chain mode over ``_1..n.txt`` with Mean/Err columns.
     Prior volumes are normalized by the base model's volume (reference
     planck_mcevidence.py:324-331).  Missing model cells become NaN rows.
+    ``cross=True`` runs split/cross-evidence per cell (TPU extension; the
+    reference grid driver is auto-only).  With ``kmax>2`` extra ``_k<k>``
+    columns carry the higher-k estimates (the reference emits only k=1).
     """
     from .evidence import MCEvidence
 
@@ -263,13 +294,14 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
         cols = [f"chain{i}" for i in range(1, nchain + 1)]
         chain_exts = [f"_{i}.txt" for i in range(1, nchain + 1)]
 
-    mce = np.full((len(path_list), len(cols)), np.nan)
+    mce = np.full((len(path_list), len(cols), kmax - 1), np.nan)
     info: Dict[str, list] = {k: [] for k in INFO_COLS}
 
     if batch_cells:
         _dataset_cells_batched(path_list, names, chain_exts, kmax=kmax,
                                burnfrac=burnfrac, thinfrac=thinfrac,
-                               use_h0_prior=use_h0_prior, mce=mce, info=info)
+                               use_h0_prior=use_h0_prior, mce=mce, info=info,
+                               precision=precision, cross=cross, seed=seed)
         if np.all(np.isnan(mce)):
             return None
         return _build_dataset_frame(mce, names, cols, nchain, info)
@@ -320,10 +352,10 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
                 e, einfo = MCEvidence(
                     chains, ndim=ndim, isfunc=isfunc,
                     priorvolume=prior_volume, kmax=kmax, verbose=verbose,
-                    burnlen=burnfrac, thinlen=thinfrac,
-                    engine=engine, precision=precision,
+                    burnlen=burnfrac, thinlen=thinfrac, split=cross,
+                    seed=seed, engine=engine, precision=precision,
                 ).evidence(info=True, pos_lnp=False)
-                mce[imm, icc] = e[0]
+                mce[imm, icc, :] = e
                 nc_read += f"{einfo['Nsamples_read']},"
                 nc_use += f"{einfo['Nsamples']},"
             except Exception as exc:
@@ -339,13 +371,21 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
 
 def _build_dataset_frame(mce, names, cols, nchain, info) -> pd.DataFrame:
     """Per-dataset table: Mean/Err/delta columns + info columns
-    (reference planck_mcevidence.py:363-375)."""
-    df = pd.DataFrame(mce, index=names, columns=cols)
+    (reference planck_mcevidence.py:363-375).
+
+    ``mce`` is (models, chains, kmax-1); the reference's table layout uses
+    k=1 only, so for kmax>2 the higher-k estimates go into extra
+    ``<col>_k<k>`` columns appended before the info block (instead of being
+    silently dropped)."""
+    df = pd.DataFrame(mce[:, :, 0], index=names, columns=cols)
     df_mean = df.mean(axis=1)
     if nchain > 0:
         df["Mean_lnE_k1"] = df_mean
         df["Err_lnE_k1"] = df.loc[:, cols].std(axis=1) / np.sqrt(float(nchain))
     df["delta_lnE_k1"] = df_mean - df_mean.max()
+    for k in range(2, mce.shape[2] + 1):
+        for j, col in enumerate(cols):
+            df[f"{col}_k{k}"] = mce[:, j, k - 1]
     for k in INFO_COLS:
         df[k] = info[k]
     return df
@@ -362,7 +402,7 @@ def run_grid(rootdir: str, outdir: str, *, basename: str = "mce",
              use_h0_prior: bool = True, verbose: int = 1,
              num_shards: int = 1, shard_id: int = 0,
              engine: str = "auto", precision: str = "refine",
-             batch_cells: bool = False,
+             batch_cells: bool = False, cross: bool = False, seed=None,
              resume: bool = False) -> Dict:
     """Run the evidence grid for this shard's datasets; write per-dataset
     txt/csv.  Returns {dataset: delta_lnE series}.
@@ -395,7 +435,8 @@ def run_grid(rootdir: str, outdir: str, *, basename: str = "mce",
             rootdir, dataset, kmax=kmax, nchain=nchain, nmodel=nmodel,
             burnfrac=burnfrac, thinfrac=thinfrac,
             use_h0_prior=use_h0_prior, verbose=verbose,
-            engine=engine, precision=precision, batch_cells=batch_cells)
+            engine=engine, precision=precision, batch_cells=batch_cells,
+            cross=cross, seed=seed)
         if df is None:
             continue
         all_df[dataset] = df["delta_lnE_k1"]
@@ -500,23 +541,88 @@ def build_parser() -> ArgumentParser:
                    help="split the dataset list over this many driver "
                         "processes (multi-host fan-out)")
     p.add_argument("--shard-id", default=0, type=int)
+    p.add_argument("--procs", default=1, type=int,
+                   help="single-command fan-out: fork this many shard "
+                        "processes and auto-aggregate when all finish (the "
+                        "reference's 'mpirun -np N' UX, "
+                        "planck_mcevidence.py:27-29)")
     p.add_argument("--aggregate-only", action="store_true",
                    help="only merge existing per-dataset outputs")
+    p.add_argument("--no-aggregate", action="store_true",
+                   help="never merge (shard workers forked by --procs)")
     p.add_argument("--resume", action="store_true",
                    help="skip datasets whose csv output already exists")
     p.add_argument("--batch-cells", action="store_true",
                    help="batch a dataset's cells into single SPMD programs "
-                        "(dp x ring mesh; fastest, f32 fidelity)")
+                        "(dp x ring mesh; fastest)")
+    p.add_argument("--cross", action="store_true",
+                   help="split/cross-evidence per cell (TPU extension; the "
+                        "reference grid driver is auto-only)")
+    p.add_argument("--seed", default=None, type=int,
+                   help="RNG seed for the cross-evidence split")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "pallas", "pallas_exact", "pallas_binned", "xla"])
     p.add_argument("--precision", default="refine",
                    choices=["refine", "fast"])
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() for a multi-host "
+                        "slice (coordinator/process env vars must be set)")
     return p
+
+
+def _expected_csvs(outdir, basename, nchain, datasets, rootdir) -> List[str]:
+    """Per-dataset csv paths a complete run must have produced: one for
+    every dataset that is actually discoverable under the chain rootdir."""
+    mode_dir = "AllChains" if nchain == 0 else "SingleChains"
+    out_csv = os.path.join(outdir, mode_dir, "csv")
+    return [os.path.join(out_csv, f"{basename}_{d}.csv") for d in datasets
+            if _glob.glob(f"{rootdir}/*/*/*_{d}_1.txt")]
+
+
+def _launch_procs(argv, procs: int) -> int:
+    """Fork ``procs`` shard workers with the same flags, wait, aggregate.
+
+    The single-command replacement for the reference's
+    ``mpirun -np N python planck_mcevidence.py`` launch."""
+    import subprocess
+    raw = list(sys.argv[1:] if argv is None else argv)
+    # strip --procs so workers don't recurse
+    base = []
+    skip = False
+    for a in raw:
+        if skip:
+            skip = False
+            continue
+        if a == "--procs":
+            skip = True
+            continue
+        if a.startswith("--procs="):
+            continue
+        base.append(a)
+    workers = []
+    for sid in range(procs):
+        cmd = [sys.executable, "-m", "mcevidence_tpu.planck", *base,
+               "--num-shards", str(procs), "--shard-id", str(sid),
+               "--no-aggregate"]
+        workers.append(subprocess.Popen(cmd))
+    rc = 0
+    for w in workers:
+        rc = max(rc, w.wait())
+    if rc != 0:
+        logger.error("a shard worker failed (rc=%d); aggregating anyway "
+                     "so completed datasets are merged", rc)
+    agg = main([*base, "--aggregate-only"])
+    return max(rc, agg)
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     assert args.kmax >= 2, "kmax must be >= 2"
+    if args.procs > 1:
+        return _launch_procs(argv, args.procs)
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
     configure(args.verbose)
@@ -533,11 +639,28 @@ def main(argv=None) -> int:
             verbose=args.verbose, num_shards=args.num_shards,
             shard_id=args.shard_id, engine=args.engine,
             precision=args.precision, batch_cells=args.batch_cells,
-            resume=args.resume)
+            cross=args.cross, seed=args.seed, resume=args.resume)
+    if args.no_aggregate:
+        return 0
     # last shard (or a dedicated --aggregate-only run) merges everything
     if args.aggregate_only or args.num_shards == 1 \
             or args.shard_id == args.num_shards - 1:
         datasets = DATASETS[:args.ndata] if args.ndata > 0 else DATASETS
+        if args.num_shards > 1 and not args.aggregate_only:
+            # other shard processes may still be running: only merge when
+            # every expected per-dataset csv is already on disk (a partial
+            # merge would silently drop datasets from the grid artifacts)
+            missing = [f for f in _expected_csvs(args.outdir, args.name,
+                                                 args.nchain, datasets,
+                                                 args.rootdir)
+                       if not os.path.exists(f)]
+            if missing:
+                logger.warning(
+                    "not aggregating: %d per-dataset csv(s) still missing "
+                    "(other shards running?). Run with --aggregate-only "
+                    "once all shards finish. Missing: %s",
+                    len(missing), ", ".join(missing))
+                return 3
         aggregate(args.outdir, basename=args.name, nchain=args.nchain,
                   rootdir=args.rootdir, datasets=datasets,
                   all_df=all_df if args.num_shards == 1 else None)

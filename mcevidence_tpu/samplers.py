@@ -1,0 +1,172 @@
+"""Gradient-based MCMC: a self-contained No-U-Turn Sampler.
+
+The reference validated the evidence estimator on chains from three sampler
+families — Gibbs, emcee, and PyStan NUTS (reference examples.py:347-418).
+PyStan is not a dependency of this build, so the NUTS leg is provided
+natively: Hoffman & Gelman (2014) Algorithm 3 (efficient NUTS with slice
+sampling and dynamic tree doubling) plus Algorithm 6's dual-averaging
+step-size adaptation, with gradients from ``jax.grad`` so any
+JAX-differentiable log-density works out of the box.
+
+The tree recursion runs on the host (chain generation is a validation
+utility, not a production hot path — the targets are a handful of
+dimensions); only the (value, gradient) evaluation is jitted.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+_DELTA_MAX = 1000.0      # divergence threshold (Hoffman & Gelman eq. after Alg. 3)
+
+
+def _make_vgrad(lnprob: Callable):
+    import jax
+    import jax.numpy as jnp
+
+    vg = jax.jit(jax.value_and_grad(lambda x: jnp.sum(lnprob(x))))
+
+    def f(x: np.ndarray) -> Tuple[float, np.ndarray]:
+        v, g = vg(x)
+        return float(v), np.asarray(g, np.float64)
+
+    return f
+
+
+def _leapfrog(f, x, p, grad, eps):
+    p1 = p + 0.5 * eps * grad
+    x1 = x + eps * p1
+    lp1, grad1 = f(x1)
+    p1 = p1 + 0.5 * eps * grad1
+    return x1, p1, lp1, grad1
+
+
+def _find_reasonable_epsilon(f, x, rng) -> float:
+    """Heuristic initial step size (Hoffman & Gelman, Algorithm 4)."""
+    eps = 1.0
+    p = rng.standard_normal(x.shape)
+    lp, grad = f(x)
+    x1, p1, lp1, _ = _leapfrog(f, x, p, grad, eps)
+    joint0 = lp - 0.5 * p @ p
+    joint1 = lp1 - 0.5 * p1 @ p1
+    if not np.isfinite(joint1):
+        joint1 = -np.inf
+    a = 1.0 if joint1 - joint0 > math.log(0.5) else -1.0
+    while a * (joint1 - joint0) > -a * math.log(2.0):
+        eps = eps * (2.0 ** a)
+        if eps > 1e7 or eps < 1e-7:
+            break
+        x1, p1, lp1, _ = _leapfrog(f, x, p, grad, eps)
+        joint1 = lp1 - 0.5 * p1 @ p1
+        if not np.isfinite(joint1):
+            joint1 = -np.inf
+    return eps
+
+
+def _build_tree(f, x, p, grad, logu, v, j, eps, joint0, rng):
+    """One NUTS subtree (Hoffman & Gelman, Algorithm 3 / 6)."""
+    if j == 0:
+        x1, p1, lp1, grad1 = _leapfrog(f, x, p, grad, v * eps)
+        joint = lp1 - 0.5 * p1 @ p1
+        if not np.isfinite(joint):
+            joint = -np.inf
+        n1 = int(logu <= joint)
+        s1 = int(logu < joint + _DELTA_MAX)
+        alpha = min(1.0, math.exp(min(0.0, joint - joint0)))
+        return (x1, p1, grad1, x1, p1, grad1, x1, lp1, grad1,
+                n1, s1, alpha, 1)
+    (xm, pm, gm, xp, pp, gp, x1, lp1, g1,
+     n1, s1, alpha, nalpha) = _build_tree(f, x, p, grad, logu, v, j - 1,
+                                          eps, joint0, rng)
+    if s1 == 1:
+        if v == -1:
+            (xm, pm, gm, _, _, _, x2, lp2, g2,
+             n2, s2, a2, na2) = _build_tree(f, xm, pm, gm, logu, v, j - 1,
+                                            eps, joint0, rng)
+        else:
+            (_, _, _, xp, pp, gp, x2, lp2, g2,
+             n2, s2, a2, na2) = _build_tree(f, xp, pp, gp, logu, v, j - 1,
+                                            eps, joint0, rng)
+        if n1 + n2 > 0 and rng.random() < n2 / (n1 + n2):
+            x1, lp1, g1 = x2, lp2, g2
+        alpha += a2
+        nalpha += na2
+        dx = xp - xm
+        s1 = s2 * int(dx @ pm >= 0) * int(dx @ pp >= 0)
+        n1 += n2
+    return xm, pm, gm, xp, pp, gp, x1, lp1, g1, n1, s1, alpha, nalpha
+
+
+def nuts_sample(lnprob: Callable, x0: np.ndarray, nsamples: int, *,
+                warmup: int = 500, seed: Optional[int] = None,
+                target_accept: float = 0.8, max_depth: int = 10
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Draw ``nsamples`` post-warmup NUTS samples from ``lnprob``.
+
+    Args:
+      lnprob: JAX-differentiable log density f(x: (d,)) -> scalar.
+      x0: (d,) start point.
+      warmup: dual-averaging adaptation steps (discarded).
+      target_accept: dual-averaging target acceptance statistic.
+
+    Returns (samples (nsamples, d) float64, lnp (nsamples,) float64).
+    """
+    rng = np.random.default_rng(seed)
+    f = _make_vgrad(lnprob)
+    x = np.asarray(x0, np.float64)
+    lp, grad = f(x)
+    d = x.shape[0]
+
+    eps = _find_reasonable_epsilon(f, x, rng)
+    mu = math.log(10.0 * eps)
+    log_eps_bar, h_bar = 0.0, 0.0
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    total = warmup + nsamples
+    samples = np.zeros((nsamples, d))
+    lnps = np.zeros(nsamples)
+    for m in range(1, total + 1):
+        p0 = rng.standard_normal(d)
+        joint0 = lp - 0.5 * p0 @ p0
+        logu = joint0 + math.log(rng.random())
+        xm = xp = x
+        pm = pp = p0
+        gm = gp = grad
+        x_new, lp_new, g_new = x, lp, grad
+        j, n, s = 0, 1, 1
+        alpha, nalpha = 0.0, 1
+        while s == 1 and j < max_depth:
+            v = 1 if rng.random() < 0.5 else -1
+            if v == -1:
+                (xm, pm, gm, _, _, _, x1, lp1, g1,
+                 n1, s1, alpha, nalpha) = _build_tree(
+                    f, xm, pm, gm, logu, v, j, eps, joint0, rng)
+            else:
+                (_, _, _, xp, pp, gp, x1, lp1, g1,
+                 n1, s1, alpha, nalpha) = _build_tree(
+                    f, xp, pp, gp, logu, v, j, eps, joint0, rng)
+            if s1 == 1 and rng.random() < min(1.0, n1 / n):
+                x_new, lp_new, g_new = x1, lp1, g1
+            n += n1
+            dx = xp - xm
+            s = s1 * int(dx @ pm >= 0) * int(dx @ pp >= 0)
+            j += 1
+        x, lp, grad = x_new, lp_new, g_new
+
+        if m <= warmup:     # dual averaging (Algorithm 6)
+            frac = 1.0 / (m + t0)
+            h_bar = (1.0 - frac) * h_bar + frac * (
+                target_accept - alpha / max(nalpha, 1))
+            log_eps = mu - math.sqrt(m) / gamma * h_bar
+            w = m ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            eps = math.exp(log_eps)
+            if m == warmup:
+                eps = math.exp(log_eps_bar)
+        else:
+            samples[m - warmup - 1] = x
+            lnps[m - warmup - 1] = lp
+    return samples, lnps

@@ -98,6 +98,31 @@ def test_cli_error_flag(tmp_path, rng, capsys):
     assert "per-chain ln(B)[k=1]" in out and "+/-" in out
 
 
+def test_cli_error_flag_parses_once(tmp_path, rng, capsys, monkeypatch):
+    # --error must reuse the already-parsed chains (parsing is the host
+    # bottleneck; it used to re-ingest every file from disk)
+    ndim, n = 3, 500
+    mean = np.array([0.0226, 0.112, 1.041])
+    sig = np.array([0.0002, 0.002, 0.0005])
+    for c in (1, 2):
+        theta = rng.normal(mean, sig, size=(n, ndim))
+        neglnl = 0.5 * np.sum(((theta - mean) / sig) ** 2, axis=1)
+        np.savetxt(tmp_path / f"toy_{c}.txt",
+                   np.column_stack([np.ones(n), neglnl, theta]))
+    (tmp_path / "toy.ranges").write_text(
+        "omegabh2 0.019 0.026\nomegach2 0.09 0.14\ntheta 1.03 1.05\n")
+    from mcevidence_tpu.chains import reader
+    calls = []
+    real = reader.parse_chain_file
+    monkeypatch.setattr(reader, "parse_chain_file",
+                        lambda p: (calls.append(p), real(p))[1])
+    from mcevidence_tpu.cli import main
+    rc = main([str(tmp_path / "toy"), "-k", "2", "-vb", "0",
+               "--engine", "xla", "--error"])
+    assert rc == 0
+    assert len(calls) == 2          # one parse per file, total
+
+
 def test_mcsamples_thin_chain_argument(files, rng):
     gd = MCSamples(files, seed=2)
     chain = np.column_stack([np.full(30, 2.0), np.zeros(30),

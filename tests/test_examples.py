@@ -56,6 +56,23 @@ def test_glm_evidence_formula_selfconsistent(rng):
     assert np.isclose(z1 - z2, 3 * np.log(2.0))
 
 
+def test_glm_nuts_analytic_evidence(rng):
+    # third sampler family (gradient-based NUTS; the reference used PyStan,
+    # examples.py:347-418) — the estimator must be sampler-agnostic
+    from mcevidence_tpu.examples import glm_nuts
+    nuts = glm_nuts(seed=3)
+    samples, lnl = nuts.Sampler(nsamples=2500)
+    # NUTS must actually track the GLM posterior: mean near the ML solution
+    ml = nuts.model.theta_sample
+    sig = np.sqrt(np.diag(np.linalg.inv(nuts.model.D.T @ nuts.model.D)))
+    assert np.all(np.abs(samples.mean(axis=0) - ml) < 6 * sig)
+    mle = MCEvidence({"samples": samples, "loglikes": lnl}, verbose=0,
+                     engine="xla", priorvolume=float(nuts.ptheta.prod()),
+                     kmax=2).evidence()
+    truth = nuts.evidence()
+    assert abs(mle[0] - truth) < 0.3, (mle, truth)
+
+
 def test_examples_main_runs(capsys, rng):
     from mcevidence_tpu.examples import main
     main(["gaussian_eg", "1500"])

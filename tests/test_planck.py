@@ -137,14 +137,78 @@ def test_grid_resume_skips(minigrid, tmp_path, caplog):
     assert any("skipping" in r.message for r in caplog.records)
 
 
-def test_grid_batched_cells_mode(minigrid, tmp_path):
+def test_grid_batched_cells_matches_per_cell(minigrid, tmp_path):
+    # batched (refine, default) and per-cell modes must produce IDENTICAL
+    # tables: same values to f64 noise, same info columns (VERDICT r1 #4).
+    rootdir, ds = minigrid
+    out_ref = planck.dataset_evidence(rootdir, ds, kmax=3, verbose=0,
+                                      engine="xla")
+    out_bat = planck.dataset_evidence(rootdir, ds, kmax=3, verbose=0,
+                                      batch_cells=True)
+    assert list(out_bat.index) == list(out_ref.index)
+    assert list(out_bat.columns) == list(out_ref.columns)
+    np.testing.assert_allclose(out_bat["AllChains"], out_ref["AllChains"],
+                               atol=1e-9)
+    # kmax=3 emits the k=2 column too (the reference dropped k>1 silently)
+    assert "AllChains_k2" in out_bat.columns
+    np.testing.assert_allclose(out_bat["AllChains_k2"],
+                               out_ref["AllChains_k2"], atol=1e-9)
+    np.testing.assert_allclose(out_bat["PriorVol"], out_ref["PriorVol"])
+    for col in ("N_read", "N_used", "ndim"):
+        assert list(out_bat[col]) == list(out_ref[col])
+
+
+def test_grid_batched_cells_fast_mode(minigrid, tmp_path):
     rootdir, ds = minigrid
     out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
                                       engine="xla")
     out_bat = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
-                                      batch_cells=True)
-    assert list(out_bat.index) == list(out_ref.index)
+                                      batch_cells=True, precision="fast")
     # f32 batched vs f64 refine per-cell: ~1e-3 envelope
     np.testing.assert_allclose(out_bat["AllChains"], out_ref["AllChains"],
                                atol=5e-3)
-    np.testing.assert_allclose(out_bat["PriorVol"], out_ref["PriorVol"])
+
+
+def test_grid_batched_cross_matches_per_cell(minigrid, tmp_path):
+    # cross-evidence in the grid program (VERDICT r1 #4): same split seed
+    # => identical tables between batched and per-cell modes.
+    rootdir, ds = minigrid
+    out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                      engine="xla", cross=True, seed=11)
+    out_bat = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                      batch_cells=True, cross=True, seed=11)
+    np.testing.assert_allclose(out_bat["AllChains"], out_ref["AllChains"],
+                               atol=1e-9)
+    for col in ("N_read", "N_used"):
+        assert list(out_bat[col]) == list(out_ref[col])
+    # split mode: N_used lists both partitions
+    assert "," in out_bat["N_used"].iloc[0].rstrip(",")
+
+
+def test_procs_launcher(minigrid, tmp_path):
+    # single-command multi-process fan-out + auto-aggregation (the
+    # reference's mpirun -np N UX, planck_mcevidence.py:27-29)
+    rootdir, ds = minigrid
+    outdir = str(tmp_path / "outp")
+    rc = planck.main(["--rootdir", rootdir, "-o", outdir, "-v", "0",
+                      "--engine", "xla", "--procs", "2"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(outdir, "AllChains",
+                                       "delta_lnE_all.txt"))
+    csv = os.path.join(outdir, "AllChains", "csv", f"mce_{ds}.csv")
+    assert os.path.exists(csv)
+
+
+def test_shard_aggregate_guard(minigrid, tmp_path):
+    # a premature last-shard must NOT merge while other shards' csvs are
+    # missing (ADVICE r1): it warns and exits 3 instead.
+    rootdir, ds = minigrid
+    outdir = str(tmp_path / "outg")
+    rc = planck.main(["--rootdir", rootdir, "-o", outdir, "-v", "0",
+                      "--engine", "xla", "--num-shards", "2",
+                      "--shard-id", "1"])
+    # shard 1 of 2 owns no dataset here (only 1 dataset exists) -> its csv
+    # is missing -> guard refuses to aggregate
+    assert rc == 3
+    assert not os.path.exists(os.path.join(outdir, "AllChains",
+                                           "delta_lnE_all.txt"))

@@ -1,0 +1,44 @@
+"""The native NUTS sampler must actually sample its target (the reference
+took this on faith from PyStan; here it is asserted)."""
+
+import numpy as np
+
+from mcevidence_tpu.samplers import nuts_sample
+
+
+def test_nuts_gaussian_moments():
+    import jax.numpy as jnp
+
+    mean = np.array([1.0, -2.0])
+    sig = np.array([0.5, 2.0])
+
+    def lnprob(x):
+        z = (x - jnp.asarray(mean)) / jnp.asarray(sig)
+        return -0.5 * jnp.dot(z, z)
+
+    samples, lnp = nuts_sample(lnprob, np.zeros(2), 3000, warmup=400,
+                               seed=42)
+    assert samples.shape == (3000, 2)
+    # moments within MCMC error (correlated draws: generous 5-sigma-ish)
+    np.testing.assert_allclose(samples.mean(axis=0), mean,
+                               atol=5 * sig.max() / np.sqrt(500))
+    np.testing.assert_allclose(samples.std(axis=0), sig, rtol=0.15)
+    # the returned lnp must be the actual log density at each sample
+    z = (samples[:50] - mean) / sig
+    np.testing.assert_allclose(lnp[:50], -0.5 * np.sum(z * z, axis=1),
+                               atol=1e-4)
+
+
+def test_nuts_correlated_target():
+    import jax.numpy as jnp
+
+    cov = np.array([[1.0, 0.9], [0.9, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def lnprob(x):
+        return -0.5 * x @ prec @ x
+
+    samples, _ = nuts_sample(lnprob, np.array([3.0, -3.0]), 4000,
+                             warmup=400, seed=7)
+    c = np.cov(samples.T)
+    np.testing.assert_allclose(c, cov, atol=0.2)
