@@ -71,10 +71,14 @@ def main():
     on_tpu = backend == "tpu"
 
     if on_tpu:
-        from mcevidence_tpu.ops.knn_pallas import knn_select_pallas
+        # the packed kernel is the production selection path (ops/knn.py
+        # dispatch); its 2^-12 distance quantization shows up in the
+        # fast-path dlnz below — the refine path (production default)
+        # recomputes candidates in f64 and is parity-grade (BASELINE.md).
+        from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packed
 
         def select(w):
-            return knn_select_pallas(w, w, KMAX, self_mode=True)
+            return knn_select_pallas_packed(w, w, KMAX, self_mode=True)
     else:
         from mcevidence_tpu.ops.knn import knn_select_xla
 

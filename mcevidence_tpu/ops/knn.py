@@ -33,6 +33,7 @@ Two selection engines share this interface:
 from __future__ import annotations
 
 import functools
+import logging
 import math
 from typing import Optional, Tuple
 
@@ -40,6 +41,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 BUCKET_QUANTUM = 512
 
@@ -153,6 +156,11 @@ def refine_knn_f64(query64: np.ndarray, ref64: np.ndarray,
     per row as float64.  Cost is O(Nq * k_sel * d) — negligible next to the
     O(N^2 d) selection sweep.
     """
+    return _refine_knn_f64_all(query64, ref64, idx, self_mode)[:, :k]
+
+
+def _refine_knn_f64_all(query64, ref64, idx, self_mode) -> np.ndarray:
+    """All candidate distances, refined in f64 and sorted ascending."""
     idx = np.asarray(idx)
     safe = np.maximum(idx, 0)
     diff = query64[:, None, :] - ref64[safe]              # (Nq, k_sel, d)
@@ -161,14 +169,14 @@ def refine_knn_f64(query64: np.ndarray, ref64: np.ndarray,
     if self_mode:
         d2[idx == np.arange(idx.shape[0])[:, None]] = 0.0
     d2.sort(axis=1)
-    return np.sqrt(d2[:, :k])
+    return np.sqrt(d2)
 
 
 def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
               *, refine: bool = True, pad_candidates: int = 4,
               engine: str = "auto", block_size: int = 2048,
               select_dtype=jnp.float32,
-              bucket: bool = True) -> np.ndarray:
+              bucket: bool = True, _retry: bool = False) -> np.ndarray:
     """Sorted kNN distances — the full parity pipeline.
 
     Args:
@@ -179,8 +187,13 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
       refine: recompute candidate distances exactly in float64 (host).  When
         False the f32 device distances are returned directly (speed mode).
       pad_candidates: extra f32-selected candidates per row; guards against
-        f32 rounding flipping the selection boundary before refinement.
-      engine: "xla", "pallas", or "auto" (pallas on TPU when available).
+        f32 rounding flipping the selection boundary before refinement.  A
+        runtime sufficiency guard compares the refined k-th distance against
+        the candidate boundary and re-runs once with 4x the padding if the
+        margin is thinner than the selection's ranking noise.
+      engine: "xla", "pallas" (k-dependent dispatch between the packed and
+        binned kernels), "pallas_exact", "pallas_packed", "pallas_binned",
+        or "auto" (pallas on TPU when available).
       bucket: pad rows to the compile-bucket grid (recommended on TPU; the
         true counts are passed as runtime scalars).
 
@@ -208,14 +221,21 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
     q32 = jnp.asarray(q_in, select_dtype)
     r32 = q32 if self_mode else jnp.asarray(r_in, select_dtype)
 
-    if engine in ("pallas", "pallas_exact", "pallas_binned"):
-        from .knn_pallas import knn_select_pallas, knn_select_pallas_binned
-        # measured crossover (docs/KERNEL_NOTES.md): the binned kernel's VPU
-        # cost is k-independent and overtakes the exact iterative kernel at
-        # k_sel ~ 7.
-        use_binned = (engine == "pallas_binned"
-                      or (engine == "pallas" and k_sel >= 7))
-        sel = knn_select_pallas_binned if use_binned else knn_select_pallas
+    if engine.startswith("pallas"):
+        from .knn_pallas import (knn_select_pallas, knn_select_pallas_binned,
+                                 knn_select_pallas_packed)
+        # measured crossover (docs/KERNEL_NOTES.md): the packed kernel costs
+        # ~1.5 ms per extra k, the binned kernel is flat ~34 ms — packed
+        # wins until k_sel ~ 14 (e.g. the guard's retry pass).  Packed's
+        # 2^-12 distance quantization is immaterial here: the refine stage
+        # recomputes candidates in f64 and the sufficiency guard catches
+        # boundary ties.
+        if engine == "pallas_binned" or (engine == "pallas" and k_sel >= 14):
+            sel = knn_select_pallas_binned
+        elif engine == "pallas_exact":
+            sel = knn_select_pallas
+        else:
+            sel = knn_select_pallas_packed
         d2, idx = sel(q32, r32, k_sel, self_mode=self_mode, nr=nr)
     else:
         d2, idx = knn_select_xla(q32, r32, k_sel, self_mode=self_mode,
@@ -227,5 +247,33 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
         # only the candidate indices cross the (slow) device->host link;
         # distances are recomputed exactly in f64 anyway.
         idx = np.asarray(idx)[:nq]
-        return refine_knn_f64(q_np, r_np, idx, k, self_mode=self_mode)
+        d_all = _refine_knn_f64_all(q_np, r_np, idx, self_mode)
+        d = d_all[:, :k]
+        if k_sel < nr and d_all.shape[1] > k:
+            # sufficiency guard: a true neighbour can hide outside the
+            # candidate set only if its f32/packed ranking key tied with the
+            # boundary candidate, i.e. when the refined k-th distance sits
+            # within the ranking noise (~2^-11 relative) of the refined
+            # candidate boundary.
+            boundary = d_all[:, -1]
+            thin = ((d[:, k - 1] > boundary * (1.0 - 2.0 ** -10))
+                    & np.isfinite(boundary) & (boundary > 0))
+            if thin.any():
+                if not _retry:
+                    logger.info(
+                        "kNN candidate margin thin for %d/%d rows; "
+                        "re-selecting with %d extra candidates",
+                        int(thin.sum()), nq, 4 * pad_candidates + 8)
+                    return exact_knn(
+                        query, ref, k, refine=True,
+                        pad_candidates=4 * pad_candidates + 8,
+                        engine=engine, block_size=block_size,
+                        select_dtype=select_dtype, bucket=bucket,
+                        _retry=True)
+                logger.warning(
+                    "kNN candidate margin still thin for %d/%d rows after "
+                    "re-selection (near-tied neighbour distances); parity "
+                    "may be limited by genuine ties, which leave the "
+                    "evidence unchanged to O(tie gap)", int(thin.sum()), nq)
+        return d
     return np.sqrt(np.asarray(d2, np.float64))[:nq, :k]

@@ -93,6 +93,87 @@ def _knn_kernel(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     idx_out[:] = jnp.concatenate(idxs, axis=1)
 
 
+# --- packed-selection variant -------------------------------------------
+# The iterative extraction above costs ~6 VPU sweeps of the (TQ, k+TR) tile
+# per extracted neighbour (argmin, eq-mask, min, masked idx max, invalidate).
+# Packing the distance and the candidate's local column into ONE int32 —
+# high bits = f32 distance bit pattern (monotone under integer compare for
+# values in {-1.0} U [0, inf]), low LOW_BITS = lane column — turns each pass
+# into min + eq + select: ~3 sweeps, and the winners carry their indices for
+# free.  The cost: the low LOW_BITS of the f32 mantissa are truncated, so
+# returned distances are quantized DOWN by <= 2^-12 relative and near-ties
+# may swap rank.  The f64 refinement stage (exact_knn default) recomputes
+# candidate distances exactly, and its sufficiency guard retries with more
+# candidates if the boundary margin is thinner than this quantization.
+
+LOW_BITS = 11
+LOW_MASK = (1 << LOW_BITS) - 1
+assert TR <= (1 << LOW_BITS), "local column ids must fit the packed low bits"
+
+
+def _knn_kernel_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
+                       self_mode: bool):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        d2_out[:] = jnp.full_like(d2_out, jnp.inf)
+        idx_out[:] = jnp.full_like(idx_out, -1)
+
+    nr = nr_ref[0]
+    q = q_ref[:]
+    r = r_ref[:]
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+    r_sq = jnp.sum(r * r, axis=1)[None, :]
+    # full-f32 MXU pass: Mosaic lowers only DEFAULT/HIGHEST, and DEFAULT
+    # (bf16) measured *slower* than HIGHEST here (docs/KERNEL_NOTES.md)
+    d2 = q_sq + r_sq - 2.0 * jnp.dot(q, r.T,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
+
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 1)
+    gcol = j * TR + lcol
+    # clamp genuine distances to >= 0 BEFORE packing: f32 cancellation can
+    # produce tiny negatives, and negative floats sort reversed under the
+    # integer compare — only the exact self pin (-1.0) may stay negative.
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(gcol < nr, d2, jnp.inf)
+    if self_mode:
+        grow = i * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 0)
+        d2 = jnp.where(gcol == grow, -1.0, d2)
+
+    pk = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    pk = (pk & jnp.int32(~LOW_MASK)) | lcol
+    winners = []
+    int_max = jnp.int32(2147483647)
+    for _ in range(k):
+        m = jnp.min(pk, axis=1, keepdims=True)     # packed (distance, col)
+        winners.append(m)
+        pk = jnp.where(pk == m, int_max, pk)       # packed keys are unique
+    w = jnp.concatenate(winners, axis=1)            # (TQ, k) int32
+    dq = jax.lax.bitcast_convert_type(w & jnp.int32(~LOW_MASK), jnp.float32)
+    gidx = j * TR + (w & jnp.int32(LOW_MASK))
+    gidx = jnp.where(jnp.isinf(dq), -1, gidx)
+
+    # merge with the running top-k: tiny (TQ, 2k) exact extraction
+    cat = jnp.concatenate([d2_out[:], dq], axis=1)
+    cat_idx = jnp.concatenate([idx_out[:], gidx], axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
+    vals = []
+    idxs = []
+    neg_big = jnp.int32(-2147483648)
+    for _ in range(k):
+        am = jnp.argmin(cat, axis=1)[:, None]
+        mask = col == am
+        vals.append(jnp.min(cat, axis=1, keepdims=True))
+        idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
+                            keepdims=True))
+        cat = jnp.where(mask, jnp.inf, cat)
+    d2_out[:] = jnp.concatenate(vals, axis=1)
+    idx_out[:] = jnp.concatenate(idxs, axis=1)
+
+
 # Depth of the per-lane bin store in the binned kernel: candidate j lands in
 # bin (j mod 128) and each bin retains its BINS_DEPTH smallest.  A true
 # neighbour is lost only when > BINS_DEPTH of a row's true top-k collide in
@@ -244,19 +325,16 @@ def knn_select_pallas_binned(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     return jnp.maximum(d2[:nq], 0.0), idx[:nq]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
-def knn_select_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int,
-                      self_mode: bool = False, interpret: bool = False,
-                      nr=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact kNN selection on TPU; same contract as ``knn_select_xla``.
+_ITER_KERNELS = {"exact": _knn_kernel, "packed": _knn_kernel_packed}
 
-    ``nr``: true number of valid reference rows (ref rows beyond it are
-    padding and never selected); defaults to ref.shape[0].  Runtime value —
-    does not trigger recompilation.
 
-    Returns (d2, idx): (Nq, k) ascending squared distances and ref-row
-    indices; absent slots carry +inf / -1.
-    """
+@functools.partial(jax.jit,
+                   static_argnames=("k", "self_mode", "interpret", "variant"))
+def _knn_select_iter(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                     self_mode: bool = False, interpret: bool = False,
+                     nr=None, variant: str = "exact"
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared wrapper for the iterative-extraction kernels (exact/packed)."""
     nq, d = query.shape
     if nr is None:
         nr = ref.shape[0]
@@ -274,7 +352,8 @@ def knn_select_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
 
     grid = (nq_pad // TQ, nr_pad // TR)
-    kernel = functools.partial(_knn_kernel, k=k, self_mode=self_mode)
+    kernel = functools.partial(_ITER_KERNELS[variant], k=k,
+                               self_mode=self_mode)
     flops_mm = 2 * nq_pad * nr_pad * dpad
     d2, idx = pl.pallas_call(
         kernel,
@@ -302,3 +381,30 @@ def knn_select_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         interpret=interpret,
     )(nr_arr, q, r)
     return jnp.maximum(d2[:nq], 0.0), idx[:nq]
+
+
+def knn_select_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                      self_mode: bool = False, interpret: bool = False,
+                      nr=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact kNN selection on TPU; same contract as ``knn_select_xla``.
+
+    ``nr``: true number of valid reference rows (ref rows beyond it are
+    padding and never selected); defaults to ref.shape[0].  Runtime value —
+    does not trigger recompilation.
+
+    Returns (d2, idx): (Nq, k) ascending squared distances and ref-row
+    indices; absent slots carry +inf / -1.
+    """
+    return _knn_select_iter(query, ref, k, self_mode=self_mode,
+                            interpret=interpret, nr=nr, variant="exact")
+
+
+def knn_select_pallas_packed(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                             self_mode: bool = False, interpret: bool = False,
+                             nr=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed value+index selection: ~2x cheaper top-k extraction; returned
+    squared distances are quantized down by <= 2^-12 relative (the low
+    mantissa bits carry the candidate column).  Same contract otherwise —
+    pair with f64 refinement for parity-grade distances."""
+    return _knn_select_iter(query, ref, k, self_mode=self_mode,
+                            interpret=interpret, nr=nr, variant="packed")

@@ -64,10 +64,16 @@ def fused_auto_evidence(samples, lnlike, weights, valid, n_true,
     Returns (kmax,) MLE row (column 0 unused — quirk Q2 layout).
     """
     white, log_j = _masked_whiten(samples, valid)
-    if engine in ("pallas", "pallas_exact", "pallas_binned"):
-        from .knn_pallas import knn_select_pallas, knn_select_pallas_binned
-        sel = (knn_select_pallas_binned if engine == "pallas_binned"
-               else knn_select_pallas)
+    if engine.startswith("pallas"):
+        from .knn_pallas import (knn_select_pallas, knn_select_pallas_binned,
+                                 knn_select_pallas_packed)
+        # fast mode consumes the selection distances directly, so the
+        # default dispatch keeps the exact (unquantized) kernels; packed is
+        # opt-in here (its <= 2^-12 quantization is within fast-mode's f32
+        # envelope but not free).
+        sel = {"pallas_binned": knn_select_pallas_binned,
+               "pallas_packed": knn_select_pallas_packed}.get(
+                   engine, knn_select_pallas)
         d2, _ = sel(white, white, kmax, self_mode=True, nr=n_true)
     else:
         from .knn import knn_select_xla

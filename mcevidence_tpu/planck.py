@@ -237,11 +237,16 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         logger.info("batched cross-evidence always runs on the refine path")
         precision = "refine"
 
-    # one SPMD batch per dimensionality group
-    by_ndim: Dict[int, list] = {}
+    # one SPMD batch per (dimensionality, row-bucket) group: batching by
+    # ndim alone would pad every chain in a dataset to the LONGEST chain's
+    # bucket (up to ~16x wasted upload through a slow host<->device link);
+    # grouping by compile bucket keeps padding waste within a bucket step.
+    from .ops.knn import bucket_size
+    by_group: Dict[tuple, list] = {}
     for cell in cells:
-        by_ndim.setdefault(cell[2], []).append(cell)
-    for ndim, group in by_ndim.items():
+        by_group.setdefault((cell[2], bucket_size(len(cell[4]))),
+                            []).append(cell)
+    for (ndim, _), group in by_group.items():
         chains = [(c[3], c[4], c[5]) for c in group]
         pv = [c[7] for c in group]
         if precision == "refine":
@@ -561,7 +566,7 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--seed", default=None, type=int,
                    help="RNG seed for the cross-evidence split")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "pallas", "pallas_exact", "pallas_binned", "xla"])
+                   choices=["auto", "pallas", "pallas_exact", "pallas_packed", "pallas_binned", "xla"])
     p.add_argument("--precision", default="refine",
                    choices=["refine", "fast"])
     p.add_argument("--distributed", action="store_true",

@@ -96,3 +96,36 @@ def test_bucket_size_properties():
         assert b % 128 == 0
     # buckets collapse nearby sizes to one compile shape
     assert bucket_size(26862) == bucket_size(28418)
+
+
+def test_exact_knn_candidate_guard_on_near_ties(rng, caplog):
+    # points on a shell whose radial gaps (~1e-8 relative) are far below the
+    # f32 ranking noise: the sufficiency guard must detect the thin margin
+    # and re-select with more candidates (ADVICE r1: pad_candidates trust)
+    import logging
+
+    from mcevidence_tpu.ops.knn import exact_knn
+    n, d = 800, 4
+    dirs = rng.normal(size=(n, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radii = 1.0 + 1e-8 * rng.random(n)
+    ref = dirs * radii[:, None]
+    q = np.zeros((3, d))
+    with caplog.at_level(logging.INFO, logger="mcevidence_tpu.ops.knn"):
+        dk = exact_knn(q, ref, 3, refine=True, engine="xla", bucket=False)
+    assert any("re-selecting" in r.message for r in caplog.records)
+    # even with unresolvable f32 ties the refined result is within the tie
+    # gap of the true distances
+    from sklearn.neighbors import NearestNeighbors
+    sk_d, _ = NearestNeighbors(n_neighbors=3).fit(ref).kneighbors(q)
+    np.testing.assert_allclose(dk, sk_d, rtol=1e-7)
+
+
+def test_exact_knn_guard_quiet_on_normal_data(rng, caplog):
+    import logging
+
+    from mcevidence_tpu.ops.knn import exact_knn
+    x = rng.normal(size=(500, 4))
+    with caplog.at_level(logging.INFO, logger="mcevidence_tpu.ops.knn"):
+        exact_knn(x, None, 4, refine=True, engine="xla", bucket=False)
+    assert not any("re-selecting" in r.message for r in caplog.records)

@@ -60,3 +60,46 @@ def test_pallas_binned_cross_interpret(rng):
     np.testing.assert_array_equal(np.sort(np.asarray(idx), axis=1),
                                   np.sort(sk_i, axis=1))
     np.testing.assert_allclose(np.sqrt(np.asarray(d2)), sk_d, atol=1e-4)
+
+
+@pytest.mark.parametrize("n,d,k", [(300, 5, 6), (517, 3, 4)])
+def test_pallas_packed_self_mode_interpret(rng, n, d, k):
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packed
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    d2, idx = knn_select_pallas_packed(jnp.asarray(x), jnp.asarray(x), k,
+                                       self_mode=True, interpret=True)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=k).fit(x).kneighbors(x)
+    assert np.all(idx[:, 0] == np.arange(n))
+    assert np.all(d2[:, 0] == 0.0)
+    np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(sk_i, axis=1))
+    # distances are quantized DOWN by <= 2^-12 relative (low mantissa bits
+    # carry the packed column id)
+    assert np.all(d2 <= sk_d ** 2 + 1e-6)
+    np.testing.assert_allclose(np.sqrt(d2), sk_d, rtol=2.0 ** -12, atol=1e-4)
+
+
+def test_pallas_packed_cross_interpret(rng):
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packed
+    q = rng.normal(size=(130, 4)).astype(np.float32)
+    r = rng.normal(size=(1030, 4)).astype(np.float32)
+    d2, idx = knn_select_pallas_packed(jnp.asarray(q), jnp.asarray(r), 5,
+                                       interpret=True)
+    idx = np.asarray(idx)
+    assert np.all(idx >= 0) and np.all(idx < 1030)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=5).fit(r).kneighbors(q)
+    np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(sk_i, axis=1))
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), sk_d,
+                               rtol=2.0 ** -12, atol=1e-4)
+
+
+def test_pallas_packed_nr_masking(rng):
+    # rows beyond the runtime nr scalar are padding and must never win
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packed
+    r = rng.normal(size=(600, 3)).astype(np.float32)
+    q = r[:100]
+    r_padded = np.concatenate([r, np.zeros((200, 3), np.float32)])
+    d2, idx = knn_select_pallas_packed(jnp.asarray(q), jnp.asarray(r_padded),
+                                       4, self_mode=True, interpret=True,
+                                       nr=600)
+    assert np.all(np.asarray(idx) < 600)
