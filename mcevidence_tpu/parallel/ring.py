@@ -660,6 +660,18 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
     return mle[:b_true, 1:]
 
 
+# Fixed coordinate width for the refine-mode selection program: whitened
+# coords are zero-padded to this many columns (zero columns leave pairwise
+# distances unchanged), so ONE compiled program serves every ndim <= GRID_DPAD
+# — remote TPU compiles cost minutes and the Planck grid mixes ndim 6..9.
+GRID_DPAD = 16
+# Fixed batch quantum: chains are processed in chunks of exactly this many,
+# killing the batch dimension as a compile-shape degree of freedom.  Kept
+# small because padding chains upload real (zero) bytes through a slow
+# host<->device link.
+GRID_BATCH_QUANTUM = 4
+
+
 def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
                                  prior_volumes=None,
                                  sum_adjusted_weights=None,
@@ -667,9 +679,9 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
                                  pad_candidates: int = 4,
                                  mesh: Optional[Mesh] = None,
                                  dtype=jnp.float32) -> np.ndarray:
-    """Parity-grade batched evidence: host f64 whitening per chain, ONE
-    batched SPMD selection program for the O(N^2) sweeps, host f64
-    candidate refinement + f64 estimator.  Returns (len(chains), kmax-1).
+    """Parity-grade batched evidence: host f64 whitening per chain, batched
+    SPMD selection programs for the O(N^2) sweeps, host f64 candidate
+    refinement + f64 estimator.  Returns (len(chains), kmax-1).
 
     Auto mode when ``chains2`` is None; cross mode when ``chains2`` is a
     matching sequence of reference-partition sample arrays (per-chain NNs
@@ -678,7 +690,10 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
 
     Matches the sklearn/f64 oracle to ~1e-12 while keeping the per-cell
     device cost of the fast grid mode (only int32 candidate indices cross
-    the device->host link beyond the sample upload).
+    the device->host link beyond the sample upload).  Chains may mix
+    dimensionalities (coords are zero-padded to GRID_DPAD columns) and are
+    processed in GRID_BATCH_QUANTUM-sized chunks, so the whole Planck grid
+    needs one compile per (row-bucket, k_sel) only.
     """
     from ..ops.whiten import apply_whiten, whiten_stats
     from ..utils.cache import enable_compilation_cache
@@ -687,66 +702,84 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
     if mesh is None:
         devs = np.array(jax.devices())
         mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    dp_n = mesh.shape["dp"]
     ring_n = mesh.shape["ring"]
     norm = _normalize_chains(chains)
-    b_true, b_pad, n_pad, ndim = _grid_batch_layout(norm, mesh)
+    b_true = len(norm)
+    ndims = [s.shape[1] for s, _, _ in norm]
+    if max(ndims) > GRID_DPAD:
+        raise ValueError(f"ndim {max(ndims)} > GRID_DPAD {GRID_DPAD}")
     if prior_volumes is None:
         prior_volumes = np.ones(b_true)
     cross = chains2 is not None
     if cross:
-        refs = [np.asarray(s2, np.float64)[:, :ndim] for s2 in chains2]
+        refs = [np.asarray(s2, np.float64) for s2 in chains2]
         if len(refs) != b_true:
             raise ValueError("chains2 must match chains 1:1")
-        m_pad = bucket_size(max(r.shape[0] for r in refs))
-        m_pad = ((m_pad + ring_n - 1) // ring_n) * ring_n
         n_refs = [r.shape[0] for r in refs]
     else:
         refs = None
-        m_pad = n_pad
         n_refs = [s.shape[0] for s, _, _ in norm]
 
     k_sel = min(kmax + pad_candidates, min(n_refs))
     q_white = []
     r_white = []
     stats_list = []
-    Q = np.zeros((b_pad, n_pad, ndim))
-    R = Q if not cross else np.zeros((b_pad, m_pad, ndim))
-    NG = np.ones(b_pad, np.int32)
     for i, (s, l, w) in enumerate(norm):
-        s1 = s[:, :ndim]
         if cross:
-            stats = whiten_stats(np.concatenate([s1, refs[i]]))
-            rw = apply_whiten(refs[i], stats)
-            R[i, : rw.shape[0]] = rw
-            r_white.append(rw)
+            stats = whiten_stats(np.concatenate([s, refs[i]]))
+            r_white.append(apply_whiten(refs[i], stats))
         else:
-            stats = whiten_stats(s1)
-        sw = apply_whiten(s1, stats)
-        q_white.append(sw)
+            stats = whiten_stats(s)
+        q_white.append(apply_whiten(s, stats))
         stats_list.append(stats)
-        Q[i, : s1.shape[0]] = sw
-        NG[i] = n_refs[i]
 
+    # chunked selection: fixed batch size, fixed coord width, bucketed rows
+    chunk = max(GRID_BATCH_QUANTUM,
+                ((dp_n + GRID_BATCH_QUANTUM - 1) // GRID_BATCH_QUANTUM)
+                * GRID_BATCH_QUANTUM)
     fn = make_sharded_grid_knn(mesh, ("dp", "ring"), k=k_sel,
                                self_mode=not cross)
     sh3 = NamedSharding(mesh, P("dp", "ring", None))
     sh1 = NamedSharding(mesh, P("dp"))
-    q_dev = jax.device_put(jnp.asarray(Q, dtype), sh3)
-    r_dev = q_dev if not cross else jax.device_put(jnp.asarray(R, dtype),
-                                                   sh3)
-    _, idx = fn(q_dev, r_dev, jax.device_put(jnp.asarray(NG), sh1))
-    idx = np.asarray(idx)
+    idx_per_chain: list = [None] * b_true
+    for c0 in range(0, b_true, chunk):
+        members = list(range(c0, min(c0 + chunk, b_true)))
+        n_pad = bucket_size(max(q_white[i].shape[0] for i in members))
+        n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
+        if cross:
+            m_pad = bucket_size(max(n_refs[i] for i in members))
+            m_pad = ((m_pad + ring_n - 1) // ring_n) * ring_n
+        else:
+            m_pad = n_pad
+        Q = np.zeros((chunk, n_pad, GRID_DPAD))
+        R = Q if not cross else np.zeros((chunk, m_pad, GRID_DPAD))
+        NG = np.ones(chunk, np.int32)
+        for b, i in enumerate(members):
+            qw = q_white[i]
+            Q[b, : qw.shape[0], : qw.shape[1]] = qw
+            if cross:
+                rw = r_white[i]
+                R[b, : rw.shape[0], : rw.shape[1]] = rw
+            NG[b] = n_refs[i]
+        q_dev = jax.device_put(jnp.asarray(Q, dtype), sh3)
+        r_dev = q_dev if not cross else jax.device_put(
+            jnp.asarray(R, dtype), sh3)
+        _, idx = fn(q_dev, r_dev, jax.device_put(jnp.asarray(NG), sh1))
+        idx = np.asarray(idx)
+        for b, i in enumerate(members):
+            idx_per_chain[i] = idx[b, : q_white[i].shape[0]]
 
     out = np.zeros((b_true, kmax - 1))
     for i, ((s, l, w), sw) in enumerate(zip(norm, q_white)):
         n = s.shape[0]
         rw = r_white[i] if cross else sw
-        dknn = refine_knn_f64(sw, rw, idx[i, :n], min(kmax, n_refs[i]),
-                              self_mode=not cross)
+        dknn = refine_knn_f64(sw, rw, idx_per_chain[i],
+                              min(kmax, n_refs[i]), self_mode=not cross)
         sumw = (float(np.sum(w)) if sum_adjusted_weights is None
                 else float(sum_adjusted_weights[i]))
         mle = log_evidence_from_knn_np(
-            dknn, l, w, sumw, ndim,
+            dknn, l, w, sumw, ndims[i],
             log_jacobian=stats_list[i].log_jacobian,
             log_prior_volume=math.log(prior_volumes[i]),
             k_start=0 if cross else 1, nsamples=n)

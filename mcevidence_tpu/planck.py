@@ -237,16 +237,19 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         logger.info("batched cross-evidence always runs on the refine path")
         precision = "refine"
 
-    # one SPMD batch per (dimensionality, row-bucket) group: batching by
-    # ndim alone would pad every chain in a dataset to the LONGEST chain's
-    # bucket (up to ~16x wasted upload through a slow host<->device link);
-    # grouping by compile bucket keeps padding waste within a bucket step.
+    # one SPMD batch per row-bucket group: batching by ndim alone would pad
+    # every chain in a dataset to the LONGEST chain's bucket (up to ~16x
+    # wasted upload through a slow host<->device link); grouping by compile
+    # bucket keeps padding waste within a bucket step.  The refine program
+    # zero-pads coords to a fixed width, so mixed-ndim groups are fine
+    # there; the fast program whitens on device and needs uniform ndim.
     from .ops.knn import bucket_size
     by_group: Dict[tuple, list] = {}
     for cell in cells:
-        by_group.setdefault((cell[2], bucket_size(len(cell[4]))),
-                            []).append(cell)
-    for (ndim, _), group in by_group.items():
+        key = (bucket_size(len(cell[4])),) if precision == "refine" \
+            else (cell[2], bucket_size(len(cell[4])))
+        by_group.setdefault(key, []).append(cell)
+    for _, group in by_group.items():
         chains = [(c[3], c[4], c[5]) for c in group]
         pv = [c[7] for c in group]
         if precision == "refine":
