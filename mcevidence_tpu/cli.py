@@ -80,9 +80,11 @@ def build_parser() -> ArgumentParser:
                    choices=["auto", "pallas", "pallas_exact", "pallas_packed", "pallas_binned", "xla"],
                    help="kNN selection engine")
     p.add_argument("--precision", default="refine",
-                   choices=["refine", "fast"],
-                   help="'refine': f32 select + f64 exact refinement "
-                        "(sklearn-parity); 'fast': all-f32 device path")
+                   choices=["device", "refine", "fast"],
+                   help="'refine': f32 select + host f64 refinement "
+                        "(sklearn parity ~1e-14); 'device': double-float "
+                        "refinement on device, scalars-only fetch (~1e-7, "
+                        "fastest on relay-attached TPUs); 'fast': all-f32")
     p.add_argument("--unit-volume-fallback", action="store_true",
                    help="proceed with prior_volume=1 when metadata files are "
                         "missing (results then include the prior ratio)")

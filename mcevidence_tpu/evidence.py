@@ -69,6 +69,16 @@ def evidence_fn(samples: np.ndarray,
         else float(sum_adjusted_weights)
 
     cross = samples2 is not None
+    if precision == "device":
+        # device-resident parity path (~1e-7): f32 selection + double-float
+        # refinement/estimator on device, scalars-only fetch.  Auto mode
+        # only; cross falls through to the host-refine parity path.
+        if not cross and prewhiten:
+            from .ops.pipeline import device_refine_auto_evidence
+            return device_refine_auto_evidence(
+                samples, lnlike, w, kmax=kmax, prior_volume=prior_volume,
+                sum_adjusted_weights=sumw, engine=engine)
+        precision = "refine"
     if cross:
         samples2 = np.atleast_2d(np.asarray(samples2, np.float64))
 
@@ -275,6 +285,30 @@ class MCEvidence:
         mle = np.zeros((self.nbatch, kmax))
         t_whiten = t_knn = t_est = 0.0
 
+        # Device-resident parity path (~1e-7, scalars-only fetch) for the
+        # common case (one batch covering the whole chain, auto mode:
+        # covtype 'all' and 'single' coincide); split/batched requests fall
+        # through to the host-refine path below.
+        if (self.precision == "device" and not self.split
+                and self.brange is None and prewhiten):
+            from .ops.pipeline import device_refine_auto_evidence
+            s, lnl, w = self._get_batch("s1", 0, False)
+            if pos_lnp:
+                lnl = -lnl
+            t0 = time.perf_counter()
+            out = device_refine_auto_evidence(
+                s, lnl, w, kmax=kmax, prior_volume=math.exp(log_pv),
+                sum_adjusted_weights=float(
+                    np.sum(self.pair.s1.adjusted_weights)),
+                engine=self.engine)
+            self.timings["fused_s"] = time.perf_counter() - t0
+            if verbose > 0:
+                for k in range(1, kmax):
+                    logger.info("   ln(B)[k=%d] = %s", k, out[k - 1])
+            if info:
+                return out, self.info
+            return out
+
         # Fully-fused single-jit device program for the common fast-mode
         # case (one batch covering the whole chain, auto mode: covtype
         # 'all' and 'single' coincide).
@@ -345,7 +379,7 @@ class MCEvidence:
 
             t0 = time.perf_counter()
             dknn = exact_knn(s1w, ref, kmax,
-                             refine=self.precision == "refine",
+                             refine=self.precision in ("refine", "device"),
                              engine=self.engine)
             t_knn += time.perf_counter() - t0
 

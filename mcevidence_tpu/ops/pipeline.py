@@ -14,6 +14,8 @@ This is the "speed mode" counterpart of the facade's default refine path
 from __future__ import annotations
 
 import functools
+import logging
+import math
 from typing import Optional
 
 import numpy as np
@@ -23,6 +25,8 @@ import jax.numpy as jnp
 
 from .estimator import log_ball_volume_const
 from .knn import bucket_size
+
+logger = logging.getLogger(__name__)
 
 
 def _masked_whiten(samples, valid):
@@ -95,6 +99,181 @@ def fused_auto_evidence(samples, lnlike, weights, valid, n_true,
     log_amax = log_dotp - jnp.log(n_true * k_idx + 1.0)
     mle = jnp.log(sum_w) + log_amax + log_j + lnl_max - log_prior_volume
     return jnp.where(k_idx < 1, 0.0, mle)
+
+
+# ---------------------------------------------------------------------------
+# device-resident parity path ("device" precision): f32 selection + double-
+# float refinement + double-float estimator, ALL on device — only (kmax, 2)
+# scalars cross the device->host link.  Built for relay-attached TPUs where
+# device->host transfers are orders of magnitude slower than host->device:
+# the host-refine path's index fetch is the bottleneck there.
+# Accuracy: ~1e-7 in ln Z (f32 exp/log ulp noise averaging over samples);
+# the host-refine path stays the 1e-14 reference.
+# ---------------------------------------------------------------------------
+
+MAX_HALF_POW = 8        # supports ndim <= 17 at runtime
+
+
+@functools.partial(jax.jit, static_argnames=("k_sel", "kmax", "engine"))
+def fused_refine_auto_dotp(qhi, qlo, fsh, fsl, weights, valid, n_true,
+                           ndim, inv_s2, *, k_sel: int, kmax: int,
+                           engine: str = "pallas"):
+    """Device core: returns (kmax, 2) double-float dotp_k = sum_j
+    (d2_jk * inv_s2)^(ndim/2) * exp(fs_j) / w_j  plus (1,) thin-margin
+    count for the candidate-sufficiency guard.
+
+    Host-side bookkeeping (all f64): ball-volume constant, SumW, Jacobian,
+    lnL_max, prior volume, the (S*k+1) denominators and the inv_s2
+    unscaling — so device arithmetic only ever sees O(1) magnitudes.
+    ``ndim`` is a RUNTIME scalar (the power loop is statically unrolled to
+    MAX_HALF_POW and masked), so one compile serves every dimensionality.
+    """
+    from .dfloat import (candidate_d2_df, df_mul, df_mul_f32, df_reduce_sum,
+                         df_sqrt)
+    if engine.startswith("pallas"):
+        from .knn_pallas import knn_select_pallas_packed
+        _, idx = knn_select_pallas_packed(qhi, qhi, k_sel, self_mode=True,
+                                          nr=n_true)
+    else:
+        from .knn import knn_select_xla
+        _, idx = knn_select_xla(qhi, qhi, k_sel, self_mode=True, nr=n_true)
+
+    d2h, d2l = candidate_d2_df(qhi, qlo, qhi, qlo, idx)
+    row = jnp.arange(qhi.shape[0], dtype=jnp.int32)[:, None]
+    selfm = idx == row
+    d2h = jnp.where(selfm, 0.0, d2h)
+    d2l = jnp.where(selfm, 0.0, d2l)
+    key = d2h + d2l
+    order = jnp.argsort(key, axis=1)
+    # sufficiency guard statistic: rows whose kmax-th refined distance sits
+    # within the selection's ranking noise of the worst kept candidate
+    kth = jnp.take_along_axis(key, order[:, kmax - 1:kmax], axis=1)[:, 0]
+    last = jnp.take_along_axis(key, order[:, -1:], axis=1)[:, 0]
+    thin = ((kth > last * (1.0 - 2.0 ** -10)) & jnp.isfinite(last)
+            & (last > 0) & (valid > 0))
+    thin_count = jnp.sum(thin.astype(jnp.float32))
+
+    order = order[:, :kmax]
+    d2h = jnp.take_along_axis(d2h, order, axis=1)
+    d2l = jnp.take_along_axis(d2l, order, axis=1)
+    zh, zl = df_mul_f32(d2h, d2l, inv_s2)
+
+    half = ndim // 2
+    odd = ndim - 2 * half
+    ph = jnp.ones_like(zh)
+    pl = jnp.zeros_like(zh)
+    for i in range(MAX_HALF_POW):
+        nh, nl = df_mul(ph, pl, zh, zl)
+        take = i < half
+        ph = jnp.where(take, nh, ph)
+        pl = jnp.where(take, nl, pl)
+    sqh, sql = df_sqrt(zh, zl)
+    nh, nl = df_mul(ph, pl, sqh, sql)
+    ph = jnp.where(odd == 1, nh, ph)
+    pl = jnp.where(odd == 1, nl, pl)
+
+    scal = jnp.exp(fsh) * (1.0 + fsl) / weights           # (N,)
+    th, tl = df_mul_f32(ph, pl, scal[:, None])
+    mask = (valid[:, None] > 0) & jnp.isfinite(zh)
+    th = jnp.where(mask, th, 0.0)
+    tl = jnp.where(mask, tl, 0.0)
+    dh, dl = df_reduce_sum(th, tl, axis=0)                # (kmax,)
+    return jnp.stack([dh, dl], axis=-1), thin_count
+
+
+def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
+                           engine):
+    """Host prep for the device-resident path; returns (device args dict,
+    host constants dict)."""
+    from ..parallel.ring import _dpad_class
+    from .dfloat import df_from_f64_np
+    from .whiten import apply_whiten, whiten_stats
+
+    n, ndim = samples.shape
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    stats = whiten_stats(np.asarray(samples, np.float64))
+    sw = apply_whiten(np.asarray(samples, np.float64), stats)
+    lnl = np.asarray(lnlike, np.float64)
+    lnl_max = float(np.max(lnl))
+    fs = lnl - lnl_max
+    w = np.ones(n) if weights is None else np.asarray(weights, np.float64)
+
+    nb = bucket_size(n)
+    dpad = _dpad_class(ndim)
+    q = np.zeros((nb, dpad))
+    q[:n, :ndim] = sw
+    fs_p = np.full(nb, -1e30)
+    fs_p[:n] = fs
+    w_p = np.ones(nb, np.float32)
+    w_p[:n] = w
+    valid = np.zeros(nb, np.float32)
+    valid[:n] = 1.0
+    qhi, qlo = df_from_f64_np(q)
+    fsh, fsl = df_from_f64_np(fs_p)
+    inv_s2 = np.float32(n ** (2.0 / ndim) / ndim)
+    k_sel = min(kmax + pad_candidates, n)
+    dev = dict(qhi=jnp.asarray(qhi), qlo=jnp.asarray(qlo),
+               fsh=jnp.asarray(fsh), fsl=jnp.asarray(fsl),
+               weights=jnp.asarray(w_p), valid=jnp.asarray(valid),
+               n_true=jnp.asarray(n, jnp.int32),
+               ndim=jnp.asarray(ndim, jnp.int32),
+               inv_s2=jnp.asarray(inv_s2))
+    host = dict(n=n, ndim=ndim, lnl_max=lnl_max,
+                log_j=stats.log_jacobian, sum_w=float(np.sum(w)),
+                inv_s2=float(inv_s2), k_sel=k_sel, engine=engine)
+    return dev, host
+
+
+def _device_refine_finalize(dotp, thin_count, host, kmax, prior_volume,
+                            sum_adjusted_weights):
+    """f64 host bookkeeping around the fetched (kmax, 2) device dotp."""
+    from .estimator import log_ball_volume_const
+    dotp = np.asarray(dotp, np.float64)
+    n, ndim = host["n"], host["ndim"]
+    sumw = (host["sum_w"] if sum_adjusted_weights is None
+            else float(sum_adjusted_weights))
+    log_c = log_ball_volume_const(ndim)
+    vals = dotp[:, 0] + dotp[:, 1]
+    k_idx = np.arange(kmax)
+    with np.errstate(divide="ignore"):
+        log_dotp = (np.log(vals) - 0.5 * ndim * math.log(host["inv_s2"])
+                    + log_c)
+    log_amax = log_dotp - np.log(n * k_idx + 1.0)
+    mle = (math.log(sumw) + log_amax + host["log_j"] + host["lnl_max"]
+           - math.log(prior_volume))
+    mle[0] = 0.0
+    if float(thin_count) > 0:
+        logger.warning(
+            "device-refine: %d rows had thin candidate margins (near-tied "
+            "neighbour distances); increase pad_candidates or use "
+            "precision='refine' if exact tie ordering matters",
+            int(float(thin_count)))
+    return mle[1:]
+
+
+def device_refine_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
+                                weights: Optional[np.ndarray] = None, *,
+                                kmax: int = 2, prior_volume: float = 1.0,
+                                sum_adjusted_weights: Optional[float] = None,
+                                pad_candidates: int = 4,
+                                engine: str = "auto") -> np.ndarray:
+    """Parity-grade auto evidence with scalar-only device->host traffic.
+
+    Host f64 whitening -> double-float coordinate upload -> ONE device
+    program (packed selection + double-float refinement + double-float
+    estimator) -> (kmax, 2) fetch -> f64 host bookkeeping.  ~1e-7 lnZ
+    accuracy; returns k = 1..kmax-1 like ``evidence_fn``.
+    """
+    kmax = max(2, kmax)
+    dev, host = _device_refine_prepare(samples, lnlike, weights, kmax,
+                                       pad_candidates, engine)
+    dotp, thin = fused_refine_auto_dotp(
+        dev["qhi"], dev["qlo"], dev["fsh"], dev["fsl"], dev["weights"],
+        dev["valid"], dev["n_true"], dev["ndim"], dev["inv_s2"],
+        k_sel=host["k_sel"], kmax=kmax, engine=host["engine"])
+    return _device_refine_finalize(dotp, thin, host, kmax, prior_volume,
+                                   sum_adjusted_weights)
 
 
 def fast_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,

@@ -660,11 +660,21 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
     return mle[:b_true, 1:]
 
 
-# Fixed coordinate width for the refine-mode selection program: whitened
-# coords are zero-padded to this many columns (zero columns leave pairwise
-# distances unchanged), so ONE compiled program serves every ndim <= GRID_DPAD
-# — remote TPU compiles cost minutes and the Planck grid mixes ndim 6..9.
-GRID_DPAD = 16
+# Fixed coordinate widths for the refine-mode selection program: whitened
+# coords are zero-padded to the next width class (zero columns leave pairwise
+# distances unchanged), so a handful of compiled programs serve every ndim —
+# remote TPU compiles cost minutes and the Planck grid mixes ndim 6..9.
+# Two classes (not one) because uploads ride a slow link: padding ndim<=8
+# to 16 columns would double the H2D bytes of the dominant grid cells.
+GRID_DPAD_CLASSES = (8, 16)
+GRID_DPAD = GRID_DPAD_CLASSES[-1]
+
+
+def _dpad_class(ndim: int) -> int:
+    for w in GRID_DPAD_CLASSES:
+        if ndim <= w:
+            return w
+    raise ValueError(f"ndim {ndim} > GRID_DPAD {GRID_DPAD}")
 # Fixed batch quantum: chains are processed in chunks of exactly this many,
 # killing the batch dimension as a compile-shape degree of freedom.  Kept
 # small because padding chains upload real (zero) bytes through a slow
@@ -734,7 +744,10 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
         q_white.append(apply_whiten(s, stats))
         stats_list.append(stats)
 
-    # chunked selection: fixed batch size, fixed coord width, bucketed rows
+    # chunked selection: fixed batch size, width-class coords, bucketed rows.
+    # Every chunk is DISPATCHED before any result is fetched — jax's async
+    # dispatch then pipelines chunk i+1's H2D transfer under chunk i's
+    # compute, which matters enormously on a slow host<->device link.
     chunk = max(GRID_BATCH_QUANTUM,
                 ((dp_n + GRID_BATCH_QUANTUM - 1) // GRID_BATCH_QUANTUM)
                 * GRID_BATCH_QUANTUM)
@@ -742,31 +755,39 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
                                self_mode=not cross)
     sh3 = NamedSharding(mesh, P("dp", "ring", None))
     sh1 = NamedSharding(mesh, P("dp"))
-    idx_per_chain: list = [None] * b_true
-    for c0 in range(0, b_true, chunk):
-        members = list(range(c0, min(c0 + chunk, b_true)))
-        n_pad = bucket_size(max(q_white[i].shape[0] for i in members))
-        n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
-        if cross:
-            m_pad = bucket_size(max(n_refs[i] for i in members))
-            m_pad = ((m_pad + ring_n - 1) // ring_n) * ring_n
-        else:
-            m_pad = n_pad
-        Q = np.zeros((chunk, n_pad, GRID_DPAD))
-        R = Q if not cross else np.zeros((chunk, m_pad, GRID_DPAD))
-        NG = np.ones(chunk, np.int32)
-        for b, i in enumerate(members):
-            qw = q_white[i]
-            Q[b, : qw.shape[0], : qw.shape[1]] = qw
+    by_class: dict = {}
+    for i in range(b_true):
+        by_class.setdefault(_dpad_class(ndims[i]), []).append(i)
+    pending = []            # (members, idx device array)
+    for dpad, indices in by_class.items():
+        for c0 in range(0, len(indices), chunk):
+            members = indices[c0:c0 + chunk]
+            n_pad = bucket_size(max(q_white[i].shape[0] for i in members))
+            n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
             if cross:
-                rw = r_white[i]
-                R[b, : rw.shape[0], : rw.shape[1]] = rw
-            NG[b] = n_refs[i]
-        q_dev = jax.device_put(jnp.asarray(Q, dtype), sh3)
-        r_dev = q_dev if not cross else jax.device_put(
-            jnp.asarray(R, dtype), sh3)
-        _, idx = fn(q_dev, r_dev, jax.device_put(jnp.asarray(NG), sh1))
-        idx = np.asarray(idx)
+                m_pad = bucket_size(max(n_refs[i] for i in members))
+                m_pad = ((m_pad + ring_n - 1) // ring_n) * ring_n
+            else:
+                m_pad = n_pad
+            Q = np.zeros((chunk, n_pad, dpad), np.float32)
+            R = Q if not cross else np.zeros((chunk, m_pad, dpad),
+                                             np.float32)
+            NG = np.ones(chunk, np.int32)
+            for b, i in enumerate(members):
+                qw = q_white[i]
+                Q[b, : qw.shape[0], : qw.shape[1]] = qw
+                if cross:
+                    rw = r_white[i]
+                    R[b, : rw.shape[0], : rw.shape[1]] = rw
+                NG[b] = n_refs[i]
+            q_dev = jax.device_put(jnp.asarray(Q, dtype), sh3)
+            r_dev = q_dev if not cross else jax.device_put(
+                jnp.asarray(R, dtype), sh3)
+            _, idx = fn(q_dev, r_dev, jax.device_put(jnp.asarray(NG), sh1))
+            pending.append((members, idx))
+    idx_per_chain: list = [None] * b_true
+    for members, idx in pending:
+        idx = np.asarray(idx)           # blocks; later chunks keep flowing
         for b, i in enumerate(members):
             idx_per_chain[i] = idx[b, : q_white[i].shape[0]]
 

@@ -173,6 +173,16 @@ def _tabulate(df: pd.DataFrame) -> str:
         return df.to_string(float_format=lambda x: f"{x:.2f}")
 
 
+def _try_ingest(fchain, burnfrac, thinfrac, cross, seed):
+    """Worker-thread ingest: returns the ChainPair or the exception."""
+    from .chains.reader import ingest
+    try:
+        return ingest(fchain, burnlen=burnfrac, thinlen=thinfrac,
+                      split=cross, rng=np.random.default_rng(seed))
+    except Exception as exc:
+        return exc
+
+
 def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                            burnfrac, thinfrac, use_h0_prior, mce, info,
                            precision: str = "refine", cross: bool = False,
@@ -187,9 +197,18 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
     everything f32 on device.  ``cross=True`` splits each chain and runs
     cross-evidence (always on the refine path).
     """
-    from .chains.reader import ingest
     from .parallel.ring import (sharded_grid_auto_evidence,
                                 sharded_grid_evidence_refine)
+
+    # prefetch file parses on worker threads (the native parser releases the
+    # GIL), overlapping the host-side text parsing with everything else
+    pool = ThreadPoolExecutor(max_workers=2)
+    parse_futures = {
+        fname + ext: pool.submit(
+            lambda f: _try_ingest(f, burnfrac, thinfrac, cross, seed),
+            fname + ext)
+        for fname in path_list for ext in chain_exts
+        if _glob.glob(fname + "*.txt")}
 
     vol_norm = 1.0
     cells = []   # (imm, icc, ndim, s1, lnl, w, s2, prior_volume, sumw_adj)
@@ -210,9 +229,9 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         nc_read, nc_use = "", ""
         for icc, ext in enumerate(chain_exts):
             try:
-                pair = ingest(fname + ext, burnlen=burnfrac,
-                              thinlen=thinfrac, split=cross,
-                              rng=np.random.default_rng(seed))
+                pair = parse_futures.pop(fname + ext).result()
+                if isinstance(pair, Exception):
+                    raise pair
                 p = pair.s1
                 s2 = pair.s2.samples[:, :par.ndim] if cross else None
                 sumw_adj = None
@@ -232,10 +251,35 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                 logger.warning("ingest failed for %s: %s", fname + ext, exc)
         info["N_read"].append(nc_read)
         info["N_used"].append(nc_use)
+    pool.shutdown(wait=False)
 
     if cross and precision != "refine":
         logger.info("batched cross-evidence always runs on the refine path")
         precision = "refine"
+
+    if precision == "device":
+        # device-resident per-cell pipeline: every cell's fused program
+        # (packed selection + double-float refine + estimator) is DISPATCHED
+        # before any result is fetched — only (kmax, 2) scalars ever come
+        # back, so a slow device->host link costs nothing.
+        from .ops.pipeline import (_device_refine_finalize,
+                                   _device_refine_prepare,
+                                   fused_refine_auto_dotp)
+        pend = []
+        for cell in cells:
+            dev, host = _device_refine_prepare(cell[3], cell[4], cell[5],
+                                               kmax, 4, "auto")
+            out = fused_refine_auto_dotp(
+                dev["qhi"], dev["qlo"], dev["fsh"], dev["fsl"],
+                dev["weights"], dev["valid"], dev["n_true"], dev["ndim"],
+                dev["inv_s2"], k_sel=host["k_sel"], kmax=kmax,
+                engine=host["engine"])
+            pend.append((cell, host, out))
+        for (imm, icc, _nd, _s, _l, w, _s2, pv, sumw_adj), host, \
+                (dotp, thin) in pend:
+            mce[imm, icc, :] = _device_refine_finalize(
+                dotp, thin, host, kmax, pv, sumw_adj)
+        return
 
     # one SPMD batch per row-bucket group: batching by ndim alone would pad
     # every chain in a dataset to the LONGEST chain's bucket (up to ~16x
@@ -571,7 +615,7 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "pallas", "pallas_exact", "pallas_packed", "pallas_binned", "xla"])
     p.add_argument("--precision", default="refine",
-                   choices=["refine", "fast"])
+                   choices=["device", "refine", "fast"])
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() for a multi-host "
                         "slice (coordinator/process env vars must be set)")

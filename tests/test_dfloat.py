@@ -1,0 +1,71 @@
+"""Double-float building blocks must deliver ~2^-45 relative precision
+using only f32 ops (they carry the device-resident refinement)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mcevidence_tpu.ops import dfloat as df
+
+
+def _pair(x64):
+    hi, lo = df.df_from_f64_np(x64)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _val(hi, lo):
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+
+def test_two_prod_exact(rng):
+    a = jnp.asarray(rng.normal(size=1000), jnp.float32)
+    b = jnp.asarray(rng.normal(size=1000), jnp.float32)
+    p, e = df.two_prod(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    np.testing.assert_array_equal(_val(p, e), exact)
+
+
+def test_df_mul_precision(rng):
+    x = rng.normal(size=2000)
+    y = rng.normal(size=2000)
+    xh, xl = _pair(x)
+    yh, yl = _pair(y)
+    h, l = df.df_mul(xh, xl, yh, yl)
+    rel = np.abs(_val(h, l) - x * y) / np.abs(x * y)
+    assert rel.max() < 1e-13
+
+
+def test_df_sqrt_precision(rng):
+    x = np.abs(rng.normal(size=2000)) + 1e-6
+    h, l = df.df_sqrt(*_pair(x))
+    rel = np.abs(_val(h, l) - np.sqrt(x)) / np.sqrt(x)
+    assert rel.max() < 1e-13
+
+
+def test_df_reduce_sum_precision(rng):
+    # f32 tree sum of 1e5 terms loses ~1e-6 relative; df reduce must hold
+    # f64-grade accuracy
+    x = rng.normal(size=100001) + 0.5
+    h, l = df.df_reduce_sum(*_pair(x))
+    exact = np.sum(x)
+    assert abs(_val(h, l) - exact) / abs(exact) < 1e-12
+
+
+def test_candidate_d2_df_matches_f64(rng):
+    q = rng.normal(size=(500, 7))
+    idx = rng.integers(0, 500, size=(500, 6)).astype(np.int32)
+    qh, ql = _pair(q)
+    d2h, d2l = df.candidate_d2_df(qh, ql, qh, ql, jnp.asarray(idx))
+    diff = q[:, None, :] - q[idx]
+    exact = np.einsum("nkd,nkd->nk", diff, diff)
+    got = _val(d2h, d2l)
+    nz = exact > 0
+    assert (np.abs(got - exact)[nz] / exact[nz]).max() < 1e-12
+
+
+def test_candidate_d2_df_absent(rng):
+    q = rng.normal(size=(64, 3))
+    idx = np.full((64, 4), -1, np.int32)
+    qh, ql = _pair(q)
+    d2h, _ = df.candidate_d2_df(qh, ql, qh, ql, jnp.asarray(idx))
+    assert np.all(np.isinf(np.asarray(d2h)))

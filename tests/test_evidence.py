@@ -252,3 +252,35 @@ def test_evidence_with_error(tmp_path, rng):
     assert abs(mean[0]) < max(10 * err[0], 0.3)
     with pytest.raises(ValueError, match=">= 2 chains"):
         evidence_with_error(str(tmp_path / "ch_1.txt"), kmax=2)
+
+
+def test_device_precision_matches_refine(rng, gaussian_chain):
+    # device-resident double-float path: ~1e-7 of the f64 refine oracle
+    theta, lnl = gaussian_chain
+    w = rng.integers(1, 4, size=len(theta)).astype(float)
+    ref = evidence_fn(theta, lnl, weights=w, kmax=4, precision="refine",
+                      engine="xla")
+    dev = evidence_fn(theta, lnl, weights=w, kmax=4, precision="device",
+                      engine="xla")
+    np.testing.assert_allclose(dev, ref, atol=1e-6)
+
+
+def test_device_precision_mcevidence(rng, gaussian_chain):
+    theta, lnl = gaussian_chain
+    chain = {"samples": theta, "loglikes": lnl}
+    ref = MCEvidence(chain, verbose=0, kmax=3, engine="xla",
+                     precision="refine").evidence()
+    dev = MCEvidence(chain, verbose=0, kmax=3, engine="xla",
+                     precision="device").evidence()
+    np.testing.assert_allclose(dev, ref, atol=1e-6)
+
+
+def test_device_precision_cross_falls_back(rng, gaussian_chain):
+    # split mode has no device path yet: must silently use the refine path
+    theta, lnl = gaussian_chain
+    s1, l1 = theta[:1100], lnl[:1100]
+    ref = evidence_fn(s1, l1, samples2=theta[1100:], kmax=3,
+                      precision="refine", engine="xla")
+    dev = evidence_fn(s1, l1, samples2=theta[1100:], kmax=3,
+                      precision="device", engine="xla")
+    np.testing.assert_allclose(dev, ref, rtol=0, atol=0)

@@ -212,3 +212,17 @@ def test_shard_aggregate_guard(minigrid, tmp_path):
     assert rc == 3
     assert not os.path.exists(os.path.join(outdir, "AllChains",
                                            "delta_lnE_all.txt"))
+
+
+def test_grid_batched_device_matches_per_cell(minigrid, tmp_path):
+    # device-resident batched mode (scalars-only fetch): ~1e-7 of the
+    # per-cell f64 refine tables
+    rootdir, ds = minigrid
+    out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                      engine="xla")
+    out_dev = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                      batch_cells=True, precision="device")
+    np.testing.assert_allclose(out_dev["AllChains"], out_ref["AllChains"],
+                               atol=1e-6)
+    for col in ("N_read", "N_used", "ndim"):
+        assert list(out_dev[col]) == list(out_ref[col])
