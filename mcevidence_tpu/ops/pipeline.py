@@ -115,18 +115,23 @@ MAX_HALF_POW = 8        # supports ndim <= 17 at runtime
 
 
 @functools.partial(jax.jit, static_argnames=("k_sel", "kmax", "engine"))
-def fused_refine_auto_dotp(qhi, qlo, fsh, fsl, weights, valid, n_true,
+def fused_refine_auto_dotp(qhi, qlo, scalh, scall, valid, n_true,
                            ndim, inv_s2, *, k_sel: int, kmax: int,
                            engine: str = "pallas"):
     """Device core: returns (kmax, 2) double-float dotp_k = sum_j
-    (d2_jk * inv_s2)^(ndim/2) * exp(fs_j) / w_j  plus (1,) thin-margin
-    count for the candidate-sufficiency guard.
+    (d2_jk * inv_s2)^(ndim/2) * scal_j  plus (1,) thin-margin count for the
+    candidate-sufficiency guard.
 
-    Host-side bookkeeping (all f64): ball-volume constant, SumW, Jacobian,
-    lnL_max, prior volume, the (S*k+1) denominators and the inv_s2
-    unscaling — so device arithmetic only ever sees O(1) magnitudes.
-    ``ndim`` is a RUNTIME scalar (the power loop is statically unrolled to
-    MAX_HALF_POW and masked), so one compile serves every dimensionality.
+    ``scal`` = exp(lnL - lnL_max) / w as a double-float pair, PRECOMPUTED
+    on the host in f64: TPU f32 transcendentals carry a systematic ~1e-6
+    relative bias (measured ~8e-7 on exp), so the device program uses no
+    transcendentals at all — only error-free double-float +,-,* and a
+    Newton-corrected sqrt.  Host-side bookkeeping (all f64): ball-volume
+    constant, SumW, Jacobian, lnL_max, prior volume, the (S*k+1)
+    denominators and the inv_s2 unscaling — device arithmetic only ever
+    sees O(1) magnitudes.  ``ndim`` is a RUNTIME scalar (the power loop is
+    statically unrolled to MAX_HALF_POW and masked), so one compile serves
+    every dimensionality.
     """
     from .dfloat import (candidate_d2_df, df_mul, df_mul_f32, df_reduce_sum,
                          df_sqrt)
@@ -172,8 +177,7 @@ def fused_refine_auto_dotp(qhi, qlo, fsh, fsl, weights, valid, n_true,
     ph = jnp.where(odd == 1, nh, ph)
     pl = jnp.where(odd == 1, nl, pl)
 
-    scal = jnp.exp(fsh) * (1.0 + fsl) / weights           # (N,)
-    th, tl = df_mul_f32(ph, pl, scal[:, None])
+    th, tl = df_mul(ph, pl, scalh[:, None], scall[:, None])
     mask = (valid[:, None] > 0) & jnp.isfinite(zh)
     th = jnp.where(mask, th, 0.0)
     tl = jnp.where(mask, tl, 0.0)
@@ -203,19 +207,19 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     dpad = _dpad_class(ndim)
     q = np.zeros((nb, dpad))
     q[:n, :ndim] = sw
-    fs_p = np.full(nb, -1e30)
-    fs_p[:n] = fs
-    w_p = np.ones(nb, np.float32)
-    w_p[:n] = w
+    # exp(fs)/w in f64 on the HOST: TPU f32 transcendentals have ~1e-6
+    # systematic bias, so the scale factors ship as double-float data
+    scal = np.zeros(nb)
+    scal[:n] = np.exp(fs) / w
     valid = np.zeros(nb, np.float32)
     valid[:n] = 1.0
     qhi, qlo = df_from_f64_np(q)
-    fsh, fsl = df_from_f64_np(fs_p)
+    scalh, scall = df_from_f64_np(scal)
     inv_s2 = np.float32(n ** (2.0 / ndim) / ndim)
     k_sel = min(kmax + pad_candidates, n)
     dev = dict(qhi=jnp.asarray(qhi), qlo=jnp.asarray(qlo),
-               fsh=jnp.asarray(fsh), fsl=jnp.asarray(fsl),
-               weights=jnp.asarray(w_p), valid=jnp.asarray(valid),
+               scalh=jnp.asarray(scalh), scall=jnp.asarray(scall),
+               valid=jnp.asarray(valid),
                n_true=jnp.asarray(n, jnp.int32),
                ndim=jnp.asarray(ndim, jnp.int32),
                inv_s2=jnp.asarray(inv_s2))
@@ -269,7 +273,7 @@ def device_refine_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
     dev, host = _device_refine_prepare(samples, lnlike, weights, kmax,
                                        pad_candidates, engine)
     dotp, thin = fused_refine_auto_dotp(
-        dev["qhi"], dev["qlo"], dev["fsh"], dev["fsl"], dev["weights"],
+        dev["qhi"], dev["qlo"], dev["scalh"], dev["scall"],
         dev["valid"], dev["n_true"], dev["ndim"], dev["inv_s2"],
         k_sel=host["k_sel"], kmax=kmax, engine=host["engine"])
     return _device_refine_finalize(dotp, thin, host, kmax, prior_volume,

@@ -270,8 +270,8 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
             dev, host = _device_refine_prepare(cell[3], cell[4], cell[5],
                                                kmax, 4, "auto")
             out = fused_refine_auto_dotp(
-                dev["qhi"], dev["qlo"], dev["fsh"], dev["fsl"],
-                dev["weights"], dev["valid"], dev["n_true"], dev["ndim"],
+                dev["qhi"], dev["qlo"], dev["scalh"], dev["scall"],
+                dev["valid"], dev["n_true"], dev["ndim"],
                 dev["inv_s2"], k_sel=host["k_sel"], kmax=kmax,
                 engine=host["engine"])
             pend.append((cell, host, out))
