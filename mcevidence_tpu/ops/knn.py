@@ -60,6 +60,19 @@ def bucket_size(n: int, quantum: int = BUCKET_QUANTUM) -> int:
     return 2 * base  # unreachable
 
 
+def bucket_size_pow2(n: int, quantum: int = BUCKET_QUANTUM) -> int:
+    """Coarse power-of-two row bucket (>= n).
+
+    For paths whose device compute is cheap relative to per-shape program
+    compile/load cost (the device-resident refine pipeline): halves the
+    number of distinct compiled shapes vs ``bucket_size`` at the price of
+    up to ~2x padded compute."""
+    b = quantum
+    while b < n:
+        b *= 2
+    return b
+
+
 def _pad_rows_np(x: np.ndarray, total: int) -> np.ndarray:
     if x.shape[0] == total:
         return x
@@ -211,6 +224,14 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
 
     q_np = np.ascontiguousarray(query, dtype=np.float64)
     r_np = q_np if self_mode else np.ascontiguousarray(ref64, np.float64)
+    # centre in f64 BEFORE the f32 cast: distances are translation-
+    # invariant, but an uncentred cast loses |offset|*2^-24 absolute
+    # precision per coordinate, which for strongly offset chains (e.g.
+    # whitened-but-unshifted CosmoMC params at ~1e3 sigma) makes the f32
+    # selection ranking too noisy for pad_candidates to absorb.
+    mu64 = np.mean(r_np, axis=0)
+    q_np = q_np - mu64
+    r_np = q_np if self_mode else r_np - mu64
     if bucket:
         qb, rb = bucket_size(nq), bucket_size(nr)
         q_in = _pad_rows_np(q_np, qb)

@@ -182,7 +182,9 @@ def fused_refine_auto_dotp(qhi, qlo, scalh, scall, valid, n_true,
     th = jnp.where(mask, th, 0.0)
     tl = jnp.where(mask, tl, 0.0)
     dh, dl = df_reduce_sum(th, tl, axis=0)                # (kmax,)
-    return jnp.stack([dh, dl], axis=-1), thin_count
+    # one flat result array [dh.., dl.., thin]: each device->host fetch is
+    # a round trip on relay rigs, so everything comes back in ONE
+    return jnp.concatenate([dh, dl, thin_count[None]])
 
 
 def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
@@ -198,23 +200,37 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     stats = whiten_stats(np.asarray(samples, np.float64))
     sw = apply_whiten(np.asarray(samples, np.float64), stats)
+    # centre in f64: distances are translation-invariant and the f32 hi
+    # half of an uncentred coordinate loses |offset|*2^-24 absolute
+    # precision, which poisons the SELECTION ranking (the df refinement
+    # itself would survive, but candidates would be missed)
+    sw = sw - np.mean(sw, axis=0)
     lnl = np.asarray(lnlike, np.float64)
     lnl_max = float(np.max(lnl))
     fs = lnl - lnl_max
     w = np.ones(n) if weights is None else np.asarray(weights, np.float64)
 
-    nb = bucket_size(n)
+    # coarse power-of-2 buckets: the fused program's compute is cheap, so
+    # fewer distinct compiled shapes beats tighter padding (each shape costs
+    # a multi-second program load per process on relay-attached TPUs)
+    from .knn import bucket_size_pow2
+    nb = bucket_size_pow2(n)
     dpad = _dpad_class(ndim)
-    q = np.zeros((nb, dpad))
-    q[:n, :ndim] = sw
+    # split hi/lo on the unpadded f64 data, pad the (half-size) f32 halves
+    hi, lo = df_from_f64_np(sw)
+    qhi = np.zeros((nb, dpad), np.float32)
+    qlo = np.zeros((nb, dpad), np.float32)
+    qhi[:n, :ndim] = hi
+    qlo[:n, :ndim] = lo
     # exp(fs)/w in f64 on the HOST: TPU f32 transcendentals have ~1e-6
     # systematic bias, so the scale factors ship as double-float data
-    scal = np.zeros(nb)
-    scal[:n] = np.exp(fs) / w
+    sh, sl = df_from_f64_np(np.exp(fs) / w)
+    scalh = np.zeros(nb, np.float32)
+    scall = np.zeros(nb, np.float32)
+    scalh[:n] = sh
+    scall[:n] = sl
     valid = np.zeros(nb, np.float32)
     valid[:n] = 1.0
-    qhi, qlo = df_from_f64_np(q)
-    scalh, scall = df_from_f64_np(scal)
     inv_s2 = np.float32(n ** (2.0 / ndim) / ndim)
     k_sel = min(kmax + pad_candidates, n)
     dev = dict(qhi=jnp.asarray(qhi), qlo=jnp.asarray(qlo),
@@ -229,16 +245,18 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     return dev, host
 
 
-def _device_refine_finalize(dotp, thin_count, host, kmax, prior_volume,
+def _device_refine_finalize(flat, host, kmax, prior_volume,
                             sum_adjusted_weights):
-    """f64 host bookkeeping around the fetched (kmax, 2) device dotp."""
+    """f64 host bookkeeping around the fetched flat device result
+    [dotp_hi (kmax), dotp_lo (kmax), thin_count]."""
     from .estimator import log_ball_volume_const
-    dotp = np.asarray(dotp, np.float64)
+    flat = np.asarray(flat, np.float64)
+    thin_count = flat[-1]
     n, ndim = host["n"], host["ndim"]
     sumw = (host["sum_w"] if sum_adjusted_weights is None
             else float(sum_adjusted_weights))
     log_c = log_ball_volume_const(ndim)
-    vals = dotp[:, 0] + dotp[:, 1]
+    vals = flat[:kmax] + flat[kmax:2 * kmax]
     k_idx = np.arange(kmax)
     with np.errstate(divide="ignore"):
         log_dotp = (np.log(vals) - 0.5 * ndim * math.log(host["inv_s2"])
@@ -272,11 +290,11 @@ def device_refine_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
     kmax = max(2, kmax)
     dev, host = _device_refine_prepare(samples, lnlike, weights, kmax,
                                        pad_candidates, engine)
-    dotp, thin = fused_refine_auto_dotp(
+    flat = fused_refine_auto_dotp(
         dev["qhi"], dev["qlo"], dev["scalh"], dev["scall"],
         dev["valid"], dev["n_true"], dev["ndim"], dev["inv_s2"],
         k_sel=host["k_sel"], kmax=kmax, engine=host["engine"])
-    return _device_refine_finalize(dotp, thin, host, kmax, prior_volume,
+    return _device_refine_finalize(flat, host, kmax, prior_volume,
                                    sum_adjusted_weights)
 
 

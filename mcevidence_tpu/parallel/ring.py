@@ -353,6 +353,11 @@ def sharded_knn_candidates(query64: np.ndarray, ref64: Optional[np.ndarray],
     pcount = mesh.shape[axis]
     self_mode = ref64 is None
     r64 = query64 if self_mode else ref64
+    # centre in f64 before the f32 cast (translation-invariant; preserves
+    # the f32 ranking precision for strongly offset coordinates)
+    mu64 = np.mean(np.asarray(r64, np.float64), axis=0)
+    query64 = np.asarray(query64, np.float64) - mu64
+    r64 = query64 if self_mode else np.asarray(r64, np.float64) - mu64
     nq, nr = query64.shape[0], r64.shape[0]
     qb = ((bucket_size(nq) + pcount - 1) // pcount) * pcount
     rb = qb if self_mode else ((bucket_size(nr) + pcount - 1) // pcount) * pcount
@@ -738,10 +743,17 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
     for i, (s, l, w) in enumerate(norm):
         if cross:
             stats = whiten_stats(np.concatenate([s, refs[i]]))
-            r_white.append(apply_whiten(refs[i], stats))
+            rw = apply_whiten(refs[i], stats)
         else:
             stats = whiten_stats(s)
-        q_white.append(apply_whiten(s, stats))
+        qw = apply_whiten(s, stats)
+        # centre in f64 (common shift per chain): keeps the f32 selection
+        # ranking precise for strongly offset coordinates
+        mu = np.mean(rw if cross else qw, axis=0)
+        qw = qw - mu
+        if cross:
+            r_white.append(rw - mu)
+        q_white.append(qw)
         stats_list.append(stats)
 
     # chunked selection: fixed batch size, width-class coords, bucketed rows.

@@ -275,10 +275,10 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                 dev["inv_s2"], k_sel=host["k_sel"], kmax=kmax,
                 engine=host["engine"])
             pend.append((cell, host, out))
-        for (imm, icc, _nd, _s, _l, w, _s2, pv, sumw_adj), host, \
-                (dotp, thin) in pend:
+        for (imm, icc, _nd, _s, _l, w, _s2, pv, sumw_adj), host, flat \
+                in pend:
             mce[imm, icc, :] = _device_refine_finalize(
-                dotp, thin, host, kmax, pv, sumw_adj)
+                flat, host, kmax, pv, sumw_adj)
         return
 
     # one SPMD batch per row-bucket group: batching by ndim alone would pad

@@ -284,3 +284,18 @@ def test_device_precision_cross_falls_back(rng, gaussian_chain):
     dev = evidence_fn(s1, l1, samples2=theta[1100:], kmax=3,
                       precision="device", engine="xla")
     np.testing.assert_allclose(dev, ref, rtol=0, atol=0)
+
+
+def test_device_precision_offset_coordinates(rng):
+    # whitened-but-unshifted chains can sit at ~1e3 sigma offsets; the f32
+    # cast for selection must be centred in f64 first or candidate ranking
+    # noise exceeds what pad_candidates absorbs (regression: 8e-7 bias)
+    mean = np.array([0.0222, 0.12, 1.041])
+    sig = np.array([0.0002, 0.002, 0.0005])
+    theta = rng.normal(mean, sig, size=(4000, 3))
+    dm = (theta - mean) / sig
+    lnl = (-0.5 * np.sum(dm * dm, axis=1)
+           - 1.5 * np.log(2 * np.pi) - np.sum(np.log(sig)))
+    ref = evidence_fn(theta, lnl, kmax=3, precision="refine", engine="xla")
+    dev = evidence_fn(theta, lnl, kmax=3, precision="device", engine="xla")
+    np.testing.assert_allclose(dev, ref, atol=1e-8)
