@@ -122,6 +122,15 @@ def main():
 
     pairs_per_s = N * N / tpu_s
     dlnz = float(np.max(np.abs(mle[1:] - oracle)))
+
+    # parity of the production 'device' mode (double-float refinement on
+    # device, scalars-only fetch) on the same workload
+    from mcevidence_tpu.ops.pipeline import device_refine_auto_evidence
+    t0 = time.perf_counter()
+    dev = device_refine_auto_evidence(theta, lnl, kmax=KMAX)
+    dev_wall = time.perf_counter() - t0
+    dlnz_dev = float(np.max(np.abs(dev - oracle)))
+
     print(json.dumps({
         "metric": "nn_pairs_per_sec_per_chip",
         "value": pairs_per_s,
@@ -132,6 +141,8 @@ def main():
         "backend": backend,
         "workload": f"auto evidence N={N} d={NDIM} kmax={KMAX} reps={REPS}",
         "max_abs_dlnz_vs_f64_oracle_fastpath": dlnz,
+        "max_abs_dlnz_vs_f64_oracle_device_mode": dlnz_dev,
+        "device_mode_wall_s_incl_host_prep": dev_wall,
     }))
 
 
