@@ -70,14 +70,15 @@ def evidence_fn(samples: np.ndarray,
 
     cross = samples2 is not None
     if precision == "device":
-        # device-resident parity path (~1e-7): f32 selection + double-float
-        # refinement/estimator on device, scalars-only fetch.  Auto mode
-        # only; cross falls through to the host-refine parity path.
-        if not cross and prewhiten:
-            from .ops.pipeline import device_refine_auto_evidence
-            return device_refine_auto_evidence(
-                samples, lnlike, w, kmax=kmax, prior_volume=prior_volume,
-                sum_adjusted_weights=sumw, engine=engine)
+        # device-resident parity path (~1e-13): f32 selection + double-
+        # float refinement/estimator on device, scalars-only fetch.
+        # covtype='single' cross whitening falls through to host refine.
+        if prewhiten and (not cross or covtype == "all"):
+            from .ops.pipeline import device_refine_evidence
+            return device_refine_evidence(
+                samples, lnlike, w, samples2=samples2, kmax=kmax,
+                prior_volume=prior_volume, sum_adjusted_weights=sumw,
+                engine=engine)
         precision = "refine"
     if cross:
         samples2 = np.atleast_2d(np.asarray(samples2, np.float64))
@@ -285,19 +286,21 @@ class MCEvidence:
         mle = np.zeros((self.nbatch, kmax))
         t_whiten = t_knn = t_est = 0.0
 
-        # Device-resident parity path (~1e-7, scalars-only fetch) for the
-        # common case (one batch covering the whole chain, auto mode:
-        # covtype 'all' and 'single' coincide); split/batched requests fall
-        # through to the host-refine path below.
-        if (self.precision == "device" and not self.split
-                and self.brange is None and prewhiten):
-            from .ops.pipeline import device_refine_auto_evidence
+        # Device-resident parity path (~1e-13, scalars-only fetch) for the
+        # common cases (one batch covering the whole chain; covtype 'all',
+        # which for auto mode coincides with 'single'); batched or
+        # covtype='single'-split requests fall through to host refine.
+        if (self.precision == "device" and self.brange is None and prewhiten
+                and (not self.split or covtype == "all")):
+            from .ops.pipeline import device_refine_evidence
             s, lnl, w = self._get_batch("s1", 0, False)
+            s2 = self._get_batch("s2", 0, False)[0] if self.split else None
             if pos_lnp:
                 lnl = -lnl
             t0 = time.perf_counter()
-            out = device_refine_auto_evidence(
-                s, lnl, w, kmax=kmax, prior_volume=math.exp(log_pv),
+            out = device_refine_evidence(
+                s, lnl, w, samples2=s2, kmax=kmax,
+                prior_volume=math.exp(log_pv),
                 sum_adjusted_weights=float(
                     np.sum(self.pair.s1.adjusted_weights)),
                 engine=self.engine)

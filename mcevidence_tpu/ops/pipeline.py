@@ -114,22 +114,28 @@ def fused_auto_evidence(samples, lnlike, weights, valid, n_true,
 MAX_HALF_POW = 8        # supports ndim <= 17 at runtime
 
 
-@functools.partial(jax.jit, static_argnames=("k_sel", "kmax", "engine"))
-def fused_refine_auto_dotp(qhi, qlo, scalh, scall, valid, n_true,
-                           ndim, inv_s2, *, k_sel: int, kmax: int,
-                           engine: str = "pallas"):
-    """Device core: returns (kmax, 2) double-float dotp_k = sum_j
-    (d2_jk * inv_s2)^(ndim/2) * scal_j  plus (1,) thin-margin count for the
-    candidate-sufficiency guard.
+@functools.partial(jax.jit,
+                   static_argnames=("k_sel", "kmax", "engine", "self_mode"))
+def fused_refine_dotp(qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref_true,
+                      ndim, inv_s2, *, k_sel: int, kmax: int,
+                      engine: str = "pallas", self_mode: bool = True):
+    """Device core: returns flat [dotp_hi (kmax), dotp_lo (kmax), thin]
+    with dotp_k = sum_j (d2_jk * inv_s2)^(ndim/2) * scal_j  and a
+    thin-margin count for the candidate-sufficiency guard.
+
+    Auto mode (``self_mode=True``): pass rhi/rlo = qhi/qlo; the self match
+    occupies column 0 with distance exactly 0.  Cross mode: NNs of q rows
+    searched among r rows (k0=0 semantics — the host applies the
+    (S*(k+1)+1) denominators).
 
     ``scal`` = exp(lnL - lnL_max) / w as a double-float pair, PRECOMPUTED
     on the host in f64: TPU f32 transcendentals carry a systematic ~1e-6
     relative bias (measured ~8e-7 on exp), so the device program uses no
     transcendentals at all — only error-free double-float +,-,* and a
     Newton-corrected sqrt.  Host-side bookkeeping (all f64): ball-volume
-    constant, SumW, Jacobian, lnL_max, prior volume, the (S*k+1)
-    denominators and the inv_s2 unscaling — device arithmetic only ever
-    sees O(1) magnitudes.  ``ndim`` is a RUNTIME scalar (the power loop is
+    constant, SumW, Jacobian, lnL_max, prior volume, the denominators and
+    the inv_s2 unscaling — device arithmetic only ever sees O(1)
+    magnitudes.  ``ndim`` is a RUNTIME scalar (the power loop is
     statically unrolled to MAX_HALF_POW and masked), so one compile serves
     every dimensionality.
     """
@@ -137,17 +143,19 @@ def fused_refine_auto_dotp(qhi, qlo, scalh, scall, valid, n_true,
                          df_sqrt)
     if engine.startswith("pallas"):
         from .knn_pallas import knn_select_pallas_packed
-        _, idx = knn_select_pallas_packed(qhi, qhi, k_sel, self_mode=True,
-                                          nr=n_true)
+        _, idx = knn_select_pallas_packed(qhi, rhi, k_sel,
+                                          self_mode=self_mode, nr=n_ref_true)
     else:
         from .knn import knn_select_xla
-        _, idx = knn_select_xla(qhi, qhi, k_sel, self_mode=True, nr=n_true)
+        _, idx = knn_select_xla(qhi, rhi, k_sel, self_mode=self_mode,
+                                nr=n_ref_true)
 
-    d2h, d2l = candidate_d2_df(qhi, qlo, qhi, qlo, idx)
-    row = jnp.arange(qhi.shape[0], dtype=jnp.int32)[:, None]
-    selfm = idx == row
-    d2h = jnp.where(selfm, 0.0, d2h)
-    d2l = jnp.where(selfm, 0.0, d2l)
+    d2h, d2l = candidate_d2_df(qhi, qlo, rhi, rlo, idx)
+    if self_mode:
+        row = jnp.arange(qhi.shape[0], dtype=jnp.int32)[:, None]
+        selfm = idx == row
+        d2h = jnp.where(selfm, 0.0, d2h)
+        d2l = jnp.where(selfm, 0.0, d2l)
     key = d2h + d2l
     order = jnp.argsort(key, axis=1)
     # sufficiency guard statistic: rows whose kmax-th refined distance sits
@@ -187,24 +195,51 @@ def fused_refine_auto_dotp(qhi, qlo, scalh, scall, valid, n_true,
     return jnp.concatenate([dh, dl, thin_count[None]])
 
 
-def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
-                           engine):
-    """Host prep for the device-resident path; returns (device args dict,
-    host constants dict)."""
-    from ..parallel.ring import _dpad_class
+def _pad_df_split(x64, nb, dpad=None):
+    """Split f64 data hi/lo and zero-pad the f32 halves to bucket shape."""
     from .dfloat import df_from_f64_np
+    hi, lo = df_from_f64_np(x64)
+    if x64.ndim == 1:
+        out_h = np.zeros(nb, np.float32)
+        out_l = np.zeros(nb, np.float32)
+        out_h[: len(hi)] = hi
+        out_l[: len(lo)] = lo
+    else:
+        out_h = np.zeros((nb, dpad), np.float32)
+        out_l = np.zeros((nb, dpad), np.float32)
+        out_h[: hi.shape[0], : hi.shape[1]] = hi
+        out_l[: lo.shape[0], : lo.shape[1]] = lo
+    return out_h, out_l
+
+
+def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
+                           engine, samples2=None):
+    """Host prep for the device-resident path; returns (device args dict,
+    host constants dict).  ``samples2`` switches to cross mode (NNs of
+    samples searched in samples2; combined covariance — quirk Q1)."""
+    from ..parallel.ring import _dpad_class
+    from .knn import bucket_size_pow2
     from .whiten import apply_whiten, whiten_stats
 
+    cross = samples2 is not None
     n, ndim = samples.shape
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
-    stats = whiten_stats(np.asarray(samples, np.float64))
-    sw = apply_whiten(np.asarray(samples, np.float64), stats)
-    # centre in f64: distances are translation-invariant and the f32 hi
-    # half of an uncentred coordinate loses |offset|*2^-24 absolute
-    # precision, which poisons the SELECTION ranking (the df refinement
-    # itself would survive, but candidates would be missed)
-    sw = sw - np.mean(sw, axis=0)
+    s1 = np.asarray(samples, np.float64)
+    if cross:
+        s2 = np.asarray(samples2, np.float64)
+        stats = whiten_stats(np.concatenate([s1, s2]))
+        rw = apply_whiten(s2, stats)
+    stats = stats if cross else whiten_stats(s1)
+    sw = apply_whiten(s1, stats)
+    # centre in f64 (common shift): distances are translation-invariant and
+    # the f32 hi half of an uncentred coordinate loses |offset|*2^-24
+    # absolute precision, which poisons the SELECTION ranking (the df
+    # refinement itself would survive, but candidates would be missed)
+    mu = np.mean(rw if cross else sw, axis=0)
+    sw = sw - mu
+    if cross:
+        rw = rw - mu
     lnl = np.asarray(lnlike, np.float64)
     lnl_max = float(np.max(lnl))
     fs = lnl - lnl_max
@@ -213,33 +248,33 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     # coarse power-of-2 buckets: the fused program's compute is cheap, so
     # fewer distinct compiled shapes beats tighter padding (each shape costs
     # a multi-second program load per process on relay-attached TPUs)
-    from .knn import bucket_size_pow2
     nb = bucket_size_pow2(n)
     dpad = _dpad_class(ndim)
-    # split hi/lo on the unpadded f64 data, pad the (half-size) f32 halves
-    hi, lo = df_from_f64_np(sw)
-    qhi = np.zeros((nb, dpad), np.float32)
-    qlo = np.zeros((nb, dpad), np.float32)
-    qhi[:n, :ndim] = hi
-    qlo[:n, :ndim] = lo
+    n_ref = s2.shape[0] if cross else n
+    qhi, qlo = _pad_df_split(sw, nb, dpad)
+    if cross:
+        mb = bucket_size_pow2(n_ref)
+        rhi, rlo = _pad_df_split(rw, mb, dpad)
     # exp(fs)/w in f64 on the HOST: TPU f32 transcendentals have ~1e-6
     # systematic bias, so the scale factors ship as double-float data
-    sh, sl = df_from_f64_np(np.exp(fs) / w)
-    scalh = np.zeros(nb, np.float32)
-    scall = np.zeros(nb, np.float32)
-    scalh[:n] = sh
-    scall[:n] = sl
+    scalh, scall = _pad_df_split(np.exp(fs) / w, nb)
     valid = np.zeros(nb, np.float32)
     valid[:n] = 1.0
-    inv_s2 = np.float32(n ** (2.0 / ndim) / ndim)
-    k_sel = min(kmax + pad_candidates, n)
+    inv_s2 = np.float32(n_ref ** (2.0 / ndim) / ndim)
+    k_sel = min(kmax + pad_candidates, n_ref)
     dev = dict(qhi=jnp.asarray(qhi), qlo=jnp.asarray(qlo),
                scalh=jnp.asarray(scalh), scall=jnp.asarray(scall),
                valid=jnp.asarray(valid),
-               n_true=jnp.asarray(n, jnp.int32),
+               n_true=jnp.asarray(n_ref, jnp.int32),
                ndim=jnp.asarray(ndim, jnp.int32),
                inv_s2=jnp.asarray(inv_s2))
-    host = dict(n=n, ndim=ndim, lnl_max=lnl_max,
+    if cross:
+        dev["rhi"] = jnp.asarray(rhi)
+        dev["rlo"] = jnp.asarray(rlo)
+    else:
+        dev["rhi"] = dev["qhi"]
+        dev["rlo"] = dev["qlo"]
+    host = dict(n=n, ndim=ndim, lnl_max=lnl_max, cross=cross,
                 log_j=stats.log_jacobian, sum_w=float(np.sum(w)),
                 inv_s2=float(inv_s2), k_sel=k_sel, engine=engine)
     return dev, host
@@ -258,13 +293,18 @@ def _device_refine_finalize(flat, host, kmax, prior_volume,
     log_c = log_ball_volume_const(ndim)
     vals = flat[:kmax] + flat[kmax:2 * kmax]
     k_idx = np.arange(kmax)
+    # auto: column 0 is the self match (zeroed); cross: k0=0 semantics —
+    # genuine NNs with k_nn = k+1 (reference MCEvidence.py:1120-1123);
+    # the caller slices [1:] either way (quirk Q2)
+    k_nn = k_idx + 1 if host.get("cross") else k_idx
     with np.errstate(divide="ignore"):
         log_dotp = (np.log(vals) - 0.5 * ndim * math.log(host["inv_s2"])
                     + log_c)
-    log_amax = log_dotp - np.log(n * k_idx + 1.0)
+        log_amax = log_dotp - np.log(n * k_nn + 1.0)
     mle = (math.log(sumw) + log_amax + host["log_j"] + host["lnl_max"]
            - math.log(prior_volume))
-    mle[0] = 0.0
+    if not host.get("cross"):
+        mle[0] = 0.0
     if float(thin_count) > 0:
         logger.warning(
             "device-refine: %d rows had thin candidate margins (near-tied "
@@ -274,28 +314,38 @@ def _device_refine_finalize(flat, host, kmax, prior_volume,
     return mle[1:]
 
 
-def device_refine_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
-                                weights: Optional[np.ndarray] = None, *,
-                                kmax: int = 2, prior_volume: float = 1.0,
-                                sum_adjusted_weights: Optional[float] = None,
-                                pad_candidates: int = 4,
-                                engine: str = "auto") -> np.ndarray:
-    """Parity-grade auto evidence with scalar-only device->host traffic.
+def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
+                           weights: Optional[np.ndarray] = None, *,
+                           samples2: Optional[np.ndarray] = None,
+                           kmax: int = 2, prior_volume: float = 1.0,
+                           sum_adjusted_weights: Optional[float] = None,
+                           pad_candidates: int = 4,
+                           engine: str = "auto") -> np.ndarray:
+    """Parity-grade evidence with scalar-only device->host traffic.
 
     Host f64 whitening -> double-float coordinate upload -> ONE device
     program (packed selection + double-float refinement + double-float
-    estimator) -> (kmax, 2) fetch -> f64 host bookkeeping.  ~1e-7 lnZ
-    accuracy; returns k = 1..kmax-1 like ``evidence_fn``.
+    estimator) -> (2*kmax+1,) fetch -> f64 host bookkeeping.  ~1e-13 lnZ
+    parity; returns k = 1..kmax-1 like ``evidence_fn``.  Cross mode when
+    ``samples2`` is given (NNs of ``samples`` searched in ``samples2``).
     """
     kmax = max(2, kmax)
     dev, host = _device_refine_prepare(samples, lnlike, weights, kmax,
-                                       pad_candidates, engine)
-    flat = fused_refine_auto_dotp(
-        dev["qhi"], dev["qlo"], dev["scalh"], dev["scall"],
+                                       pad_candidates, engine,
+                                       samples2=samples2)
+    flat = fused_refine_dotp(
+        dev["qhi"], dev["qlo"], dev["rhi"], dev["rlo"],
+        dev["scalh"], dev["scall"],
         dev["valid"], dev["n_true"], dev["ndim"], dev["inv_s2"],
-        k_sel=host["k_sel"], kmax=kmax, engine=host["engine"])
+        k_sel=host["k_sel"], kmax=kmax, engine=host["engine"],
+        self_mode=samples2 is None)
     return _device_refine_finalize(flat, host, kmax, prior_volume,
                                    sum_adjusted_weights)
+
+
+def device_refine_auto_evidence(samples, lnlike, weights=None, **kw):
+    """Back-compat alias for the auto-mode device path."""
+    return device_refine_evidence(samples, lnlike, weights, **kw)
 
 
 def fast_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,

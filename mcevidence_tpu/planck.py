@@ -253,27 +253,29 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         info["N_used"].append(nc_use)
     pool.shutdown(wait=False)
 
-    if cross and precision != "refine":
-        logger.info("batched cross-evidence always runs on the refine path")
+    if cross and precision == "fast":
+        logger.info("batched cross-evidence runs on the refine path")
         precision = "refine"
 
     if precision == "device":
         # device-resident per-cell pipeline: every cell's fused program
         # (packed selection + double-float refine + estimator) is DISPATCHED
-        # before any result is fetched — only (kmax, 2) scalars ever come
+        # before any result is fetched — only (2*kmax+1,) scalars ever come
         # back, so a slow device->host link costs nothing.
         from .ops.pipeline import (_device_refine_finalize,
                                    _device_refine_prepare,
-                                   fused_refine_auto_dotp)
+                                   fused_refine_dotp)
         pend = []
         for cell in cells:
             dev, host = _device_refine_prepare(cell[3], cell[4], cell[5],
-                                               kmax, 4, "auto")
-            out = fused_refine_auto_dotp(
-                dev["qhi"], dev["qlo"], dev["scalh"], dev["scall"],
+                                               kmax, 4, "auto",
+                                               samples2=cell[6])
+            out = fused_refine_dotp(
+                dev["qhi"], dev["qlo"], dev["rhi"], dev["rlo"],
+                dev["scalh"], dev["scall"],
                 dev["valid"], dev["n_true"], dev["ndim"],
                 dev["inv_s2"], k_sel=host["k_sel"], kmax=kmax,
-                engine=host["engine"])
+                engine=host["engine"], self_mode=not cross)
             pend.append((cell, host, out))
         for (imm, icc, _nd, _s, _l, w, _s2, pv, sumw_adj), host, flat \
                 in pend:

@@ -275,15 +275,15 @@ def test_device_precision_mcevidence(rng, gaussian_chain):
     np.testing.assert_allclose(dev, ref, atol=1e-6)
 
 
-def test_device_precision_cross_falls_back(rng, gaussian_chain):
-    # split mode has no device path yet: must silently use the refine path
+def test_device_precision_cross(rng, gaussian_chain):
+    # cross mode on the device path (combined covariance, k0 semantics)
     theta, lnl = gaussian_chain
     s1, l1 = theta[:1100], lnl[:1100]
     ref = evidence_fn(s1, l1, samples2=theta[1100:], kmax=3,
                       precision="refine", engine="xla")
     dev = evidence_fn(s1, l1, samples2=theta[1100:], kmax=3,
                       precision="device", engine="xla")
-    np.testing.assert_allclose(dev, ref, rtol=0, atol=0)
+    np.testing.assert_allclose(dev, ref, atol=1e-8)
 
 
 def test_device_precision_offset_coordinates(rng):

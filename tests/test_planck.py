@@ -226,3 +226,14 @@ def test_grid_batched_device_matches_per_cell(minigrid, tmp_path):
                                atol=1e-6)
     for col in ("N_read", "N_used", "ndim"):
         assert list(out_dev[col]) == list(out_ref[col])
+
+
+def test_grid_batched_device_cross(minigrid, tmp_path):
+    rootdir, ds = minigrid
+    out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                      engine="xla", cross=True, seed=11)
+    out_dev = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                      batch_cells=True, precision="device",
+                                      cross=True, seed=11)
+    np.testing.assert_allclose(out_dev["AllChains"], out_ref["AllChains"],
+                               atol=1e-8)
