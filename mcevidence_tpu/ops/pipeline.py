@@ -114,11 +114,36 @@ def fused_auto_evidence(samples, lnlike, weights, valid, n_true,
 MAX_HALF_POW = 8        # supports ndim <= 17 at runtime
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k_sel", "kmax", "engine", "self_mode"))
 def fused_refine_dotp(qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref_true,
                       ndim, inv_s2, *, k_sel: int, kmax: int,
                       engine: str = "pallas", self_mode: bool = True):
+    """Jitted wrapper around :func:`_fused_refine_dotp_impl` (row_offset=0:
+    query row i is reference row i in self mode)."""
+    return _fused_refine_dotp_jit(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                                  n_ref_true, ndim, inv_s2,
+                                  jnp.int32(0), k_sel=k_sel, kmax=kmax,
+                                  engine=engine, self_mode=self_mode,
+                                  kernel_self_pin=self_mode)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_sel", "kmax", "engine", "self_mode",
+                                    "kernel_self_pin"))
+def _fused_refine_dotp_jit(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                           n_ref_true, ndim, inv_s2, row_offset, *,
+                           k_sel, kmax, engine, self_mode, kernel_self_pin):
+    return _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                                   n_ref_true, ndim, inv_s2, row_offset,
+                                   k_sel=k_sel, kmax=kmax, engine=engine,
+                                   self_mode=self_mode,
+                                   kernel_self_pin=kernel_self_pin)
+
+
+def _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                            n_ref_true, ndim, inv_s2, row_offset, *,
+                            k_sel: int, kmax: int, engine: str = "pallas",
+                            self_mode: bool = True,
+                            kernel_self_pin: bool = True):
     """Device core: returns flat [dotp_hi (kmax), dotp_lo (kmax), thin]
     with dotp_k = sum_j (d2_jk * inv_s2)^(ndim/2) * scal_j  and a
     thin-margin count for the candidate-sufficiency guard.
@@ -141,18 +166,25 @@ def fused_refine_dotp(qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref_true,
     """
     from .dfloat import (candidate_d2_df, df_mul, df_mul_f32, df_reduce_sum,
                          df_sqrt)
+    # kernel_self_pin: the in-kernel diagonal pin assumes query row i IS
+    # reference row i (single shard).  Sharded self mode (queries are a
+    # shard of the replicated reference set) selects without the pin — the
+    # self candidate wins slot 0 naturally at distance ~0 — and relies on
+    # the offset-aware zeroing below.
     if engine.startswith("pallas"):
         from .knn_pallas import knn_select_pallas_packed
         _, idx = knn_select_pallas_packed(qhi, rhi, k_sel,
-                                          self_mode=self_mode, nr=n_ref_true)
+                                          self_mode=kernel_self_pin,
+                                          nr=n_ref_true)
     else:
         from .knn import knn_select_xla
-        _, idx = knn_select_xla(qhi, rhi, k_sel, self_mode=self_mode,
+        _, idx = knn_select_xla(qhi, rhi, k_sel, self_mode=kernel_self_pin,
                                 nr=n_ref_true)
 
     d2h, d2l = candidate_d2_df(qhi, qlo, rhi, rlo, idx)
     if self_mode:
-        row = jnp.arange(qhi.shape[0], dtype=jnp.int32)[:, None]
+        row = (row_offset
+               + jnp.arange(qhi.shape[0], dtype=jnp.int32)[:, None])
         selfm = idx == row
         d2h = jnp.where(selfm, 0.0, d2h)
         d2l = jnp.where(selfm, 0.0, d2l)

@@ -495,6 +495,85 @@ def sharded_cross_evidence(samples1: np.ndarray, lnlike1: np.ndarray,
     return mle[1:]
 
 
+def make_sharded_device_refine(mesh: Mesh, axis: str = "ring", *,
+                               k_sel: int, kmax: int, engine: str,
+                               self_mode: bool = True):
+    """Multi-chip device-resident parity program: query rows sharded over
+    ``axis``, the reference set replicated (HBM easily holds any chain),
+    each device running the fused packed-selection + double-float
+    refinement + double-float partial estimator on its shard, partials
+    all-gathered.  Only a (P, 2*kmax+1) array of scalars leaves the mesh —
+    the multi-chip counterpart of ops.pipeline.fused_refine_dotp.
+    """
+    key = ("devref", _mesh_key(mesh), axis, k_sel, kmax, engine, self_mode)
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        from ..ops.pipeline import _fused_refine_dotp_impl
+
+        def body(qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref, ndim,
+                 inv_s2):
+            p_idx = jax.lax.axis_index(axis)
+            offset = (p_idx * qhi.shape[0]).astype(jnp.int32)
+            flat = _fused_refine_dotp_impl(
+                qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref, ndim,
+                inv_s2, offset, k_sel=k_sel, kmax=kmax, engine=engine,
+                self_mode=self_mode, kernel_self_pin=False)
+            return jax.lax.all_gather(flat, axis)
+
+        sharded = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(None, None),
+                      P(None, None), P(axis), P(axis), P(axis),
+                      P(), P(), P()),
+            out_specs=P(),
+            check_vma=False)
+        fn = jax.jit(sharded)
+        _PROGRAM_CACHE[key] = fn
+    return fn
+
+
+def sharded_device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
+                                   weights: Optional[np.ndarray] = None, *,
+                                   samples2: Optional[np.ndarray] = None,
+                                   kmax: int = 2, prior_volume: float = 1.0,
+                                   sum_adjusted_weights=None,
+                                   pad_candidates: int = 4,
+                                   mesh: Optional[Mesh] = None,
+                                   engine: str = "auto") -> np.ndarray:
+    """Multi-device 'device' precision evidence: host f64 whitening,
+    double-float upload, sharded fused selection+refinement+estimator,
+    scalars-only fetch, f64 host bookkeeping.  Returns k = 1..kmax-1.
+    Auto mode, or cross when ``samples2`` is given."""
+    from ..ops.pipeline import (_device_refine_finalize,
+                                _device_refine_prepare)
+    kmax = max(2, kmax)
+    mesh = _default_mesh(mesh)
+    axis = mesh.axis_names[-1]
+    dev, host = _device_refine_prepare(samples, lnlike, weights, kmax,
+                                       pad_candidates, engine,
+                                       samples2=samples2)
+    fn = make_sharded_device_refine(mesh, axis, k_sel=host["k_sel"],
+                                    kmax=kmax, engine=host["engine"],
+                                    self_mode=samples2 is None)
+    shq = NamedSharding(mesh, P(axis, None))
+    sh1 = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    rep2 = NamedSharding(mesh, P(None, None))
+    parts = np.asarray(fn(
+        jax.device_put(dev["qhi"], shq), jax.device_put(dev["qlo"], shq),
+        jax.device_put(dev["rhi"], rep2), jax.device_put(dev["rlo"], rep2),
+        jax.device_put(dev["scalh"], sh1), jax.device_put(dev["scall"], sh1),
+        jax.device_put(dev["valid"], sh1),
+        jax.device_put(dev["n_true"], rep), jax.device_put(dev["ndim"], rep),
+        jax.device_put(dev["inv_s2"], rep)), np.float64)
+    # combine the per-device double-float partials exactly in host f64
+    vals = parts[:, :kmax].sum(axis=0) + parts[:, kmax:2 * kmax].sum(axis=0)
+    thin = parts[:, -1].sum()
+    flat = np.concatenate([vals, np.zeros(kmax), [thin]])
+    return _device_refine_finalize(flat, host, kmax, prior_volume,
+                                   sum_adjusted_weights)
+
+
 # ---------------------------------------------------------------------------
 # 2-D mesh: data-parallel over chains x ring over samples
 # ---------------------------------------------------------------------------

@@ -135,3 +135,27 @@ def test_grid_evidence_2d_mesh(rng):
                              engine="xla",
                              prior_volume=[1.0, 2.0, 1.0][i])
         np.testing.assert_allclose(out[i], single, atol=3e-3)
+
+
+def test_sharded_device_refine(rng, mesh8):
+    # multi-chip 'device' precision: sharded fused selection + double-float
+    # refinement, scalars-only fetch — must match the host f64 refine oracle
+    from mcevidence_tpu.parallel.ring import sharded_device_refine_evidence
+    theta, lnl = make_gaussian_chain(rng, n=1003, ndim=4)
+    w = rng.integers(1, 4, size=len(theta)).astype(float)
+    single = evidence_fn(theta, lnl, weights=w, kmax=4, precision="refine",
+                         engine="xla")
+    multi = sharded_device_refine_evidence(theta, lnl, w, kmax=4,
+                                           mesh=mesh8, engine="xla")
+    np.testing.assert_allclose(multi, single, atol=1e-8)
+
+
+def test_sharded_device_refine_cross(rng, mesh8):
+    from mcevidence_tpu.parallel.ring import sharded_device_refine_evidence
+    theta, lnl = make_gaussian_chain(rng, n=1600, ndim=3)
+    s1, l1 = theta[:901], lnl[:901]
+    single = evidence_fn(s1, l1, samples2=theta[901:], kmax=3,
+                         precision="refine", engine="xla")
+    multi = sharded_device_refine_evidence(s1, l1, samples2=theta[901:],
+                                           kmax=3, mesh=mesh8, engine="xla")
+    np.testing.assert_allclose(multi, single, atol=1e-8)
