@@ -159,6 +159,59 @@ def knn_select_xla(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     return d2, idx
 
 
+def center_f64(query64: np.ndarray,
+               ref64: Optional[np.ndarray] = None):
+    """Subtract the reference-set mean in f64 from both sets.
+
+    Distances are translation-invariant, but a later f64->f32 cast loses
+    |offset|*2^-24 absolute precision per coordinate — fatal for the f32
+    selection ranking of strongly offset chains (whitening does not remove
+    the mean; reference behaviour).  Returns (q_centred, r_centred) where
+    r_centred is q_centred in self mode (``ref64=None``)."""
+    q = np.asarray(query64, np.float64)
+    r = q if ref64 is None else np.asarray(ref64, np.float64)
+    mu = np.mean(r, axis=0)
+    q = q - mu
+    r = q if ref64 is None else r - mu
+    return q, r
+
+
+def guarded_refine_knn_f64(query64, ref64, idx, k, *, self_mode,
+                           reselect=None, _retried=False) -> np.ndarray:
+    """f64 candidate refinement + the candidate-sufficiency guard.
+
+    Refines all candidates in ``idx`` and checks that the k-th refined
+    distance sits inside the candidate boundary by more than the f32/packed
+    ranking noise (~2^-11 relative); on a thin margin, calls
+    ``reselect(k_sel)`` once for a larger candidate set, then warns
+    (near-exact ties leave the evidence unchanged to O(tie gap)).
+    """
+    d_all = _refine_knn_f64_all(query64, ref64, idx, self_mode)
+    d = d_all[:, :k]
+    if d_all.shape[1] > k:
+        boundary = d_all[:, -1]
+        thin = ((d[:, k - 1] > boundary * (1.0 - 2.0 ** -10))
+                & np.isfinite(boundary) & (boundary > 0))
+        if thin.any():
+            if reselect is not None and not _retried:
+                k_sel = d_all.shape[1]
+                logger.info(
+                    "kNN candidate margin thin for %d/%d rows; re-selecting "
+                    "with %d candidates", int(thin.sum()), len(d),
+                    min(4 * k_sel + 8, ref64.shape[0]))
+                idx2 = reselect(min(4 * k_sel + 8, ref64.shape[0]))
+                return guarded_refine_knn_f64(query64, ref64, idx2, k,
+                                              self_mode=self_mode,
+                                              reselect=reselect,
+                                              _retried=True)
+            logger.warning(
+                "kNN candidate margin thin for %d/%d rows (near-tied "
+                "neighbour distances); parity may be limited by genuine "
+                "ties, which leave the evidence unchanged to O(tie gap)",
+                int(thin.sum()), len(d))
+    return d
+
+
 def refine_knn_f64(query64: np.ndarray, ref64: np.ndarray,
                    idx: np.ndarray, k: int,
                    self_mode: bool = False) -> np.ndarray:
@@ -222,16 +275,7 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    q_np = np.ascontiguousarray(query, dtype=np.float64)
-    r_np = q_np if self_mode else np.ascontiguousarray(ref64, np.float64)
-    # centre in f64 BEFORE the f32 cast: distances are translation-
-    # invariant, but an uncentred cast loses |offset|*2^-24 absolute
-    # precision per coordinate, which for strongly offset chains (e.g.
-    # whitened-but-unshifted CosmoMC params at ~1e3 sigma) makes the f32
-    # selection ranking too noisy for pad_candidates to absorb.
-    mu64 = np.mean(r_np, axis=0)
-    q_np = q_np - mu64
-    r_np = q_np if self_mode else r_np - mu64
+    q_np, r_np = center_f64(query, None if self_mode else ref64)
     if bucket:
         qb, rb = bucket_size(nq), bucket_size(nr)
         q_in = _pad_rows_np(q_np, qb)
@@ -248,12 +292,13 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
         # measured crossover (docs/KERNEL_NOTES.md): the packed kernel costs
         # ~1.5 ms per extra k, the binned kernel is flat ~34 ms — packed
         # wins until k_sel ~ 14 (e.g. the guard's retry pass).  Packed's
-        # 2^-12 distance quantization is immaterial here: the refine stage
-        # recomputes candidates in f64 and the sufficiency guard catches
-        # boundary ties.
+        # 2^-12 distance quantization is immaterial when refining (the
+        # refine stage recomputes candidates in f64 and the sufficiency
+        # guard catches boundary ties) but would bias fast mode's directly-
+        # used distances, so refine=False keeps the exact kernel.
         if engine == "pallas_binned" or (engine == "pallas" and k_sel >= 14):
             sel = knn_select_pallas_binned
-        elif engine == "pallas_exact":
+        elif engine == "pallas_exact" or (engine == "pallas" and not refine):
             sel = knn_select_pallas
         else:
             sel = knn_select_pallas_packed

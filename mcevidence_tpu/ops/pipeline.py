@@ -253,6 +253,7 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     from .knn import bucket_size_pow2
     from .whiten import apply_whiten, whiten_stats
 
+    from .knn import center_f64
     cross = samples2 is not None
     n, ndim = samples.shape
     if engine == "auto":
@@ -264,14 +265,11 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
         rw = apply_whiten(s2, stats)
     stats = stats if cross else whiten_stats(s1)
     sw = apply_whiten(s1, stats)
-    # centre in f64 (common shift): distances are translation-invariant and
-    # the f32 hi half of an uncentred coordinate loses |offset|*2^-24
-    # absolute precision, which poisons the SELECTION ranking (the df
-    # refinement itself would survive, but candidates would be missed)
-    mu = np.mean(rw if cross else sw, axis=0)
-    sw = sw - mu
-    if cross:
-        rw = rw - mu
+    # centre in f64 (common shift): an uncentred f64->f32 split loses
+    # |offset|*2^-24 absolute precision in the hi half, poisoning the
+    # SELECTION ranking (the df refinement itself would survive, but
+    # candidates would be missed)
+    sw, rw = center_f64(sw, rw if cross else None)
     lnl = np.asarray(lnlike, np.float64)
     lnl_max = float(np.max(lnl))
     fs = lnl - lnl_max
@@ -294,6 +292,7 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     valid[:n] = 1.0
     inv_s2 = np.float32(n_ref ** (2.0 / ndim) / ndim)
     k_sel = min(kmax + pad_candidates, n_ref)
+    kmax_eff = min(kmax, k_sel)     # tiny reference partitions: n_ref < kmax
     dev = dict(qhi=jnp.asarray(qhi), qlo=jnp.asarray(qlo),
                scalh=jnp.asarray(scalh), scall=jnp.asarray(scall),
                valid=jnp.asarray(valid),
@@ -308,23 +307,26 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
         dev["rlo"] = dev["qlo"]
     host = dict(n=n, ndim=ndim, lnl_max=lnl_max, cross=cross,
                 log_j=stats.log_jacobian, sum_w=float(np.sum(w)),
-                inv_s2=float(inv_s2), k_sel=k_sel, engine=engine)
+                inv_s2=float(inv_s2), k_sel=k_sel, kmax_eff=kmax_eff,
+                engine=engine)
     return dev, host
 
 
 def _device_refine_finalize(flat, host, kmax, prior_volume,
-                            sum_adjusted_weights):
+                            sum_adjusted_weights, warn_thin=True):
     """f64 host bookkeeping around the fetched flat device result
-    [dotp_hi (kmax), dotp_lo (kmax), thin_count]."""
+    [dotp_hi (kmax_eff), dotp_lo (kmax_eff), thin_count].  Columns beyond
+    kmax_eff (tiny reference partitions) come back NaN."""
     from .estimator import log_ball_volume_const
     flat = np.asarray(flat, np.float64)
     thin_count = flat[-1]
+    ke = host.get("kmax_eff", kmax)
     n, ndim = host["n"], host["ndim"]
     sumw = (host["sum_w"] if sum_adjusted_weights is None
             else float(sum_adjusted_weights))
     log_c = log_ball_volume_const(ndim)
-    vals = flat[:kmax] + flat[kmax:2 * kmax]
-    k_idx = np.arange(kmax)
+    vals = flat[:ke] + flat[ke:2 * ke]
+    k_idx = np.arange(ke)
     # auto: column 0 is the self match (zeroed); cross: k0=0 semantics —
     # genuine NNs with k_nn = k+1 (reference MCEvidence.py:1120-1123);
     # the caller slices [1:] either way (quirk Q2)
@@ -333,11 +335,12 @@ def _device_refine_finalize(flat, host, kmax, prior_volume,
         log_dotp = (np.log(vals) - 0.5 * ndim * math.log(host["inv_s2"])
                     + log_c)
         log_amax = log_dotp - np.log(n * k_nn + 1.0)
-    mle = (math.log(sumw) + log_amax + host["log_j"] + host["lnl_max"]
-           - math.log(prior_volume))
+    mle = np.full(kmax, np.nan)
+    mle[:ke] = (math.log(sumw) + log_amax + host["log_j"] + host["lnl_max"]
+                - math.log(prior_volume))
     if not host.get("cross"):
         mle[0] = 0.0
-    if float(thin_count) > 0:
+    if warn_thin and float(thin_count) > 0:
         logger.warning(
             "device-refine: %d rows had thin candidate margins (near-tied "
             "neighbour distances); increase pad_candidates or use "
@@ -369,9 +372,21 @@ def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
         dev["qhi"], dev["qlo"], dev["rhi"], dev["rlo"],
         dev["scalh"], dev["scall"],
         dev["valid"], dev["n_true"], dev["ndim"], dev["inv_s2"],
-        k_sel=host["k_sel"], kmax=kmax, engine=host["engine"],
+        k_sel=host["k_sel"], kmax=host["kmax_eff"], engine=host["engine"],
         self_mode=samples2 is None)
-    return _device_refine_finalize(flat, host, kmax, prior_volume,
+    flat_np = np.asarray(flat)
+    if flat_np[-1] > 0 and pad_candidates < 32:
+        # thin candidate margins: one retry with 4x padding (same policy as
+        # exact_knn's sufficiency guard)
+        logger.info("device-refine: thin margins on %d rows; re-running "
+                    "with %d extra candidates", int(flat_np[-1]),
+                    4 * pad_candidates + 8)
+        return device_refine_evidence(
+            samples, lnlike, weights, samples2=samples2, kmax=kmax,
+            prior_volume=prior_volume,
+            sum_adjusted_weights=sum_adjusted_weights,
+            pad_candidates=4 * pad_candidates + 8, engine=engine)
+    return _device_refine_finalize(flat_np, host, kmax, prior_volume,
                                    sum_adjusted_weights)
 
 

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.estimator import log_ball_volume_const, log_evidence_from_knn_np
-from ..ops.knn import bucket_size, refine_knn_f64
+from ..ops.knn import (bucket_size, center_f64, guarded_refine_knn_f64,
+                       refine_knn_f64)
 
 _PROGRAM_CACHE: dict = {}
 
@@ -168,10 +169,12 @@ def _reduce_mle(dknn2, lnlike, weights, valid, log_j, *, kmax, n_global,
     sum_w = jax.lax.psum(jnp.sum(weights * valid), axis)
     k_idx = jnp.arange(kmax)
     k_nn = k_idx if k_start == 1 else k_idx + 1                 # quirk Q2 layout
-    # S*k+1 in int32 first (exact for any chain the int32 ids can address),
-    # then one f32 log — avoids the f32-cast-of-big-N bias flagged in review.
-    denom = (jnp.asarray(n_global, jnp.int32) * k_nn.astype(jnp.int32) + 1)
-    log_amax = log_dotp - jnp.log(denom.astype(log_dotp.dtype))
+    # S*k+1 via the f32 count: exact below 2^24 rows and ~2^-24 relative
+    # beyond (an int32 product would overflow for n_global > 2^31/k —
+    # exactly the huge-chain regime this multi-chip path exists for)
+    denom = (jnp.asarray(n_global, log_dotp.dtype)
+             * k_nn.astype(log_dotp.dtype) + 1.0)
+    log_amax = log_dotp - jnp.log(denom)
     mle = (jnp.log(sum_w) + log_amax + log_j + lnl_max - log_prior_volume)
     return jnp.where(k_idx < k_start, 0.0, mle)
 
@@ -352,12 +355,9 @@ def sharded_knn_candidates(query64: np.ndarray, ref64: Optional[np.ndarray],
     axis = mesh.axis_names[-1]
     pcount = mesh.shape[axis]
     self_mode = ref64 is None
-    r64 = query64 if self_mode else ref64
     # centre in f64 before the f32 cast (translation-invariant; preserves
     # the f32 ranking precision for strongly offset coordinates)
-    mu64 = np.mean(np.asarray(r64, np.float64), axis=0)
-    query64 = np.asarray(query64, np.float64) - mu64
-    r64 = query64 if self_mode else np.asarray(r64, np.float64) - mu64
+    query64, r64 = center_f64(query64, ref64)
     nq, nr = query64.shape[0], r64.shape[0]
     qb = ((bucket_size(nq) + pcount - 1) // pcount) * pcount
     rb = qb if self_mode else ((bucket_size(nr) + pcount - 1) // pcount) * pcount
@@ -407,7 +407,10 @@ def sharded_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
         idx = sharded_knn_candidates(s1w, None,
                                      min(n, kmax + pad_candidates),
                                      mesh=mesh, dtype=dtype)
-        dknn = refine_knn_f64(s1w, s1w, idx, min(kmax, n), self_mode=True)
+        dknn = guarded_refine_knn_f64(
+            s1w, s1w, idx, min(kmax, n), self_mode=True,
+            reselect=lambda ks: sharded_knn_candidates(
+                s1w, None, ks, mesh=mesh, dtype=dtype))
         mle = log_evidence_from_knn_np(
             dknn, lnlike, w_np, sumw, ndim,
             log_jacobian=stats.log_jacobian,
@@ -466,7 +469,10 @@ def sharded_cross_evidence(samples1: np.ndarray, lnlike1: np.ndarray,
         idx = sharded_knn_candidates(s1w, s2w,
                                      min(n2, kmax + pad_candidates),
                                      mesh=mesh, dtype=dtype)
-        dknn = refine_knn_f64(s1w, s2w, idx, min(kmax, n2), self_mode=False)
+        dknn = guarded_refine_knn_f64(
+            s1w, s2w, idx, min(kmax, n2), self_mode=False,
+            reselect=lambda ks: sharded_knn_candidates(
+                s1w, s2w, ks, mesh=mesh, dtype=dtype))
         mle = log_evidence_from_knn_np(
             dknn, lnlike1, w1_np, sumw, ndim,
             log_jacobian=stats.log_jacobian,
@@ -828,10 +834,9 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
         qw = apply_whiten(s, stats)
         # centre in f64 (common shift per chain): keeps the f32 selection
         # ranking precise for strongly offset coordinates
-        mu = np.mean(rw if cross else qw, axis=0)
-        qw = qw - mu
+        qw, rw_c = center_f64(qw, rw if cross else None)
         if cross:
-            r_white.append(rw - mu)
+            r_white.append(rw_c)
         q_white.append(qw)
         stats_list.append(stats)
 
@@ -839,9 +844,7 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
     # Every chunk is DISPATCHED before any result is fetched — jax's async
     # dispatch then pipelines chunk i+1's H2D transfer under chunk i's
     # compute, which matters enormously on a slow host<->device link.
-    chunk = max(GRID_BATCH_QUANTUM,
-                ((dp_n + GRID_BATCH_QUANTUM - 1) // GRID_BATCH_QUANTUM)
-                * GRID_BATCH_QUANTUM)
+    chunk = math.lcm(GRID_BATCH_QUANTUM, dp_n)   # divisible by the dp axis
     fn = make_sharded_grid_knn(mesh, ("dp", "ring"), k=k_sel,
                                self_mode=not cross)
     sh3 = NamedSharding(mesh, P("dp", "ring", None))
@@ -886,8 +889,11 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
     for i, ((s, l, w), sw) in enumerate(zip(norm, q_white)):
         n = s.shape[0]
         rw = r_white[i] if cross else sw
-        dknn = refine_knn_f64(sw, rw, idx_per_chain[i],
-                              min(kmax, n_refs[i]), self_mode=not cross)
+        dknn = guarded_refine_knn_f64(
+            sw, rw, idx_per_chain[i], min(kmax, n_refs[i]),
+            self_mode=not cross,
+            reselect=lambda ks, _q=sw, _r=rw: sharded_knn_candidates(
+                _q, None if not cross else _r, ks, mesh=mesh, dtype=dtype))
         sumw = (float(np.sum(w)) if sum_adjusted_weights is None
                 else float(sum_adjusted_weights[i]))
         mle = log_evidence_from_knn_np(

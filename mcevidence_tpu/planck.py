@@ -186,7 +186,7 @@ def _try_ingest(fchain, burnfrac, thinfrac, cross, seed):
 def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                            burnfrac, thinfrac, use_h0_prior, mce, info,
                            precision: str = "refine", cross: bool = False,
-                           seed=None):
+                           engine: str = "auto", seed=None):
     """Fill the evidence matrix by batching cells into 2-D-mesh SPMD calls.
 
     All of a dataset's (model, chain) cells with the same cosmological
@@ -264,23 +264,34 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         # back, so a slow device->host link costs nothing.
         from .ops.pipeline import (_device_refine_finalize,
                                    _device_refine_prepare,
+                                   device_refine_evidence,
                                    fused_refine_dotp)
         pend = []
         for cell in cells:
             dev, host = _device_refine_prepare(cell[3], cell[4], cell[5],
-                                               kmax, 4, "auto",
+                                               kmax, 4, engine,
                                                samples2=cell[6])
             out = fused_refine_dotp(
                 dev["qhi"], dev["qlo"], dev["rhi"], dev["rlo"],
                 dev["scalh"], dev["scall"],
                 dev["valid"], dev["n_true"], dev["ndim"],
-                dev["inv_s2"], k_sel=host["k_sel"], kmax=kmax,
+                dev["inv_s2"], k_sel=host["k_sel"],
+                kmax=host["kmax_eff"],
                 engine=host["engine"], self_mode=not cross)
             pend.append((cell, host, out))
-        for (imm, icc, _nd, _s, _l, w, _s2, pv, sumw_adj), host, flat \
+        for (imm, icc, _nd, s1, lnl1, w1, s2, pv, sumw_adj), host, flat \
                 in pend:
-            mce[imm, icc, :] = _device_refine_finalize(
-                flat, host, kmax, pv, sumw_adj)
+            flat = np.asarray(flat)
+            if flat[-1] > 0:
+                # rare thin-margin cell: redo synchronously with the
+                # retry-capable wrapper
+                mce[imm, icc, :] = device_refine_evidence(
+                    s1, lnl1, w1, samples2=s2, kmax=kmax,
+                    prior_volume=pv, sum_adjusted_weights=sumw_adj,
+                    pad_candidates=20, engine=engine)
+            else:
+                mce[imm, icc, :] = _device_refine_finalize(
+                    flat, host, kmax, pv, sumw_adj)
         return
 
     # one SPMD batch per row-bucket group: batching by ndim alone would pad
@@ -355,7 +366,8 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
         _dataset_cells_batched(path_list, names, chain_exts, kmax=kmax,
                                burnfrac=burnfrac, thinfrac=thinfrac,
                                use_h0_prior=use_h0_prior, mce=mce, info=info,
-                               precision=precision, cross=cross, seed=seed)
+                               precision=precision, cross=cross,
+                               engine=engine, seed=seed)
         if np.all(np.isnan(mce)):
             return None
         return _build_dataset_frame(mce, names, cols, nchain, info)
