@@ -55,6 +55,8 @@ def test_poisson_thin_properties(w, frac):
 @settings(max_examples=60, deadline=None)
 @given(pos_weights, st.floats(1.0, 8.0))
 def test_weighted_thin_properties(w, unit):
+    from hypothesis import assume
+    assume(int(len(w) // unit) >= 1)    # thin_unit > n legitimately raises
     ix, new_w = weighted_thin(unit, w)
     assert np.all(np.diff(ix) > 0)
     n2 = int(len(w) // unit)
