@@ -138,6 +138,32 @@ def df_from_f64_np(x64):
     return hi, lo
 
 
+def df_split_rows(x64, out_hi, out_lo, chunk: int = 65536):
+    """Chunked hi/lo split of a (n, d) or (n,) f64 array into the leading
+    rows/columns of preallocated f32 buffers (which may be padded larger).
+
+    The naive split makes three full-size temporaries; on memory-bandwidth-
+    starved hosts that triples the cost of what is otherwise two reads and
+    two writes.  Chunking keeps the temporaries cache-resident."""
+    import numpy as np
+    n = x64.shape[0]
+    if x64.ndim == 1:
+        for i in range(0, n, chunk):
+            xc = x64[i:i + chunk]
+            hc = xc.astype(np.float32)
+            out_hi[i:i + len(xc)] = hc
+            out_lo[i:i + len(xc)] = (xc - hc.astype(np.float64)
+                                     ).astype(np.float32)
+    else:
+        d = x64.shape[1]
+        for i in range(0, n, chunk):
+            xc = x64[i:i + chunk]
+            hc = xc.astype(np.float32)
+            out_hi[i:i + len(xc), :d] = hc
+            out_lo[i:i + len(xc), :d] = (xc - hc.astype(np.float64)
+                                         ).astype(np.float32)
+
+
 def candidate_d2_df(qhi, qlo, rhi, rlo, idx):
     """Squared distances between rows of q and their candidate rows of r,
     in double-float precision.

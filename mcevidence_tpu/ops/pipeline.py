@@ -227,21 +227,23 @@ def _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
     return jnp.concatenate([dh, dl, thin_count[None]])
 
 
-def _pad_df_split(x64, nb, dpad=None):
-    """Split f64 data hi/lo and zero-pad the f32 halves to bucket shape."""
-    from .dfloat import df_from_f64_np
-    hi, lo = df_from_f64_np(x64)
-    if x64.ndim == 1:
-        out_h = np.zeros(nb, np.float32)
-        out_l = np.zeros(nb, np.float32)
-        out_h[: len(hi)] = hi
-        out_l[: len(lo)] = lo
-    else:
-        out_h = np.zeros((nb, dpad), np.float32)
-        out_l = np.zeros((nb, dpad), np.float32)
-        out_h[: hi.shape[0], : hi.shape[1]] = hi
-        out_l[: lo.shape[0], : lo.shape[1]] = lo
-    return out_h, out_l
+# Reusable host staging buffers.  On this class of VM, FIRST-TOUCH page
+# faults cost ~30 MB/s while writes to already-faulted pages run at memory
+# speed (~40x faster measured), so fresh per-cell numpy allocations dominate
+# the host prep.  jnp.asarray copies the host array synchronously (verified:
+# mutating the source right after does not change the device value), so
+# reuse across dispatches is safe.  Keyed by (name, shape, dtype); sizes are
+# bucketed, so the pool stays small.
+_HOST_BUFFERS: dict = {}
+
+
+def _pooled(name, shape, dtype):
+    key = (name, tuple(np.atleast_1d(shape)), np.dtype(dtype).str)
+    buf = _HOST_BUFFERS.get(key)
+    if buf is None:
+        buf = np.zeros(shape, dtype)
+        _HOST_BUFFERS[key] = buf
+    return buf
 
 
 def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
@@ -250,29 +252,60 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     host constants dict).  ``samples2`` switches to cross mode (NNs of
     samples searched in samples2; combined covariance — quirk Q1)."""
     from ..parallel.ring import _dpad_class
+    from .dfloat import df_split_rows
     from .knn import bucket_size_pow2
-    from .whiten import apply_whiten, whiten_stats
-
-    from .knn import center_f64
     cross = samples2 is not None
     n, ndim = samples.shape
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     s1 = np.asarray(samples, np.float64)
+
+    # Whitening + centring fused into ONE rotation of pre-centred samples:
+    # (s - mu) @ (eigvecs/sqrt(ev)) is exactly the whitened-then-centred
+    # result (linearity), the centred GEMM gives the covariance without
+    # np.cov's internal copies, and centring before the f32 split preserves
+    # the selection ranking precision for strongly offset chains (the f32
+    # hi half of an uncentred coordinate loses |offset|*2^-24 per coord).
+    def _stats_and_rot(x, xc):
+        cov = (xc.T @ xc) / (x.shape[0] - 1.0)
+        eigvals, eigvecs = np.linalg.eigh(cov)
+        posdef = bool(np.all(eigvals > 0))
+        if not posdef:
+            logger.warning("covariance has non-positive eigenvalues %s: "
+                           "chain not whitened", eigvals)
+            return 0.0, None
+        log_j = 0.5 * float(np.sum(np.log(eigvals)))
+        return log_j, eigvecs / np.sqrt(eigvals)
+
     if cross:
         s2 = np.asarray(samples2, np.float64)
-        stats = whiten_stats(np.concatenate([s1, s2]))
-        rw = apply_whiten(s2, stats)
-    stats = stats if cross else whiten_stats(s1)
-    sw = apply_whiten(s1, stats)
-    # centre in f64 (common shift): an uncentred f64->f32 split loses
-    # |offset|*2^-24 absolute precision in the hi half, poisoning the
-    # SELECTION ranking (the df refinement itself would survive, but
-    # candidates would be missed)
-    sw, rw = center_f64(sw, rw if cross else None)
+        allx = np.concatenate([s1, s2])
+        mu = allx.mean(axis=0)
+        allc = allx - mu
+        log_j, rot = _stats_and_rot(allx, allc)
+        if rot is None:
+            sw, rw = s1 - mu, s2 - mu
+        else:
+            sw = allc[:n] @ rot
+            rw = allc[n:] @ rot
+            # common re-centre on the reference set (selection precision)
+            mu_w = rw.mean(axis=0)
+            sw -= mu_w
+            rw -= mu_w
+    else:
+        nb0 = bucket_size_pow2(n)
+        mu = s1.mean(axis=0)
+        # pooled f64 scratch (bucketed shapes keep the pool small)
+        s1c = _pooled("centered", (nb0, ndim), np.float64)[:n]
+        np.subtract(s1, mu, out=s1c)
+        log_j, rot = _stats_and_rot(s1, s1c)
+        if rot is None:
+            sw = s1c
+        else:
+            sw = _pooled("whitened", (nb0, ndim), np.float64)[:n]
+            np.dot(s1c, rot, out=sw)
     lnl = np.asarray(lnlike, np.float64)
     lnl_max = float(np.max(lnl))
-    fs = lnl - lnl_max
     w = np.ones(n) if weights is None else np.asarray(weights, np.float64)
 
     # coarse power-of-2 buckets: the fused program's compute is cheap, so
@@ -281,32 +314,60 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     nb = bucket_size_pow2(n)
     dpad = _dpad_class(ndim)
     n_ref = s2.shape[0] if cross else n
-    qhi, qlo = _pad_df_split(sw, nb, dpad)
+    qhi = _pooled("qhi", (nb, dpad), np.float32)
+    qlo = _pooled("qlo", (nb, dpad), np.float32)
+    qhi[n:] = 0.0
+    qlo[n:] = 0.0
+    if ndim < dpad:
+        qhi[:n, ndim:] = 0.0
+        qlo[:n, ndim:] = 0.0
+    df_split_rows(sw, qhi, qlo)
     if cross:
         mb = bucket_size_pow2(n_ref)
-        rhi, rlo = _pad_df_split(rw, mb, dpad)
+        rhi = _pooled("rhi", (mb, dpad), np.float32)
+        rlo = _pooled("rlo", (mb, dpad), np.float32)
+        rhi[n_ref:] = 0.0
+        rlo[n_ref:] = 0.0
+        if ndim < dpad:
+            rhi[:n_ref, ndim:] = 0.0
+            rlo[:n_ref, ndim:] = 0.0
+        df_split_rows(rw, rhi, rlo)
     # exp(fs)/w in f64 on the HOST: TPU f32 transcendentals have ~1e-6
     # systematic bias, so the scale factors ship as double-float data
-    scalh, scall = _pad_df_split(np.exp(fs) / w, nb)
-    valid = np.zeros(nb, np.float32)
+    fs = _pooled("fs", (nb,), np.float64)[:n]
+    np.subtract(lnl, lnl_max, out=fs)
+    np.exp(fs, out=fs)
+    np.divide(fs, w, out=fs)
+    scalh = _pooled("scalh", (nb,), np.float32)
+    scall = _pooled("scall", (nb,), np.float32)
+    scalh[n:] = 0.0
+    scall[n:] = 0.0
+    df_split_rows(fs, scalh, scall)
+    valid = _pooled("valid", (nb,), np.float32)
     valid[:n] = 1.0
+    valid[n:] = 0.0
     inv_s2 = np.float32(n_ref ** (2.0 / ndim) / ndim)
     k_sel = min(kmax + pad_candidates, n_ref)
     kmax_eff = min(kmax, k_sel)     # tiny reference partitions: n_ref < kmax
-    dev = dict(qhi=jnp.asarray(qhi), qlo=jnp.asarray(qlo),
-               scalh=jnp.asarray(scalh), scall=jnp.asarray(scall),
-               valid=jnp.asarray(valid),
+    # copy=True: on the CPU backend jnp.asarray ALIASES the numpy buffer
+    # (zero-copy), which would let the next prep overwrite a pooled buffer
+    # still referenced by an in-flight dispatch; on TPU the copy is the H2D
+    # transfer that happens anyway
+    dev = dict(qhi=jnp.array(qhi, copy=True), qlo=jnp.array(qlo, copy=True),
+               scalh=jnp.array(scalh, copy=True),
+               scall=jnp.array(scall, copy=True),
+               valid=jnp.array(valid, copy=True),
                n_true=jnp.asarray(n_ref, jnp.int32),
                ndim=jnp.asarray(ndim, jnp.int32),
                inv_s2=jnp.asarray(inv_s2))
     if cross:
-        dev["rhi"] = jnp.asarray(rhi)
-        dev["rlo"] = jnp.asarray(rlo)
+        dev["rhi"] = jnp.array(rhi, copy=True)
+        dev["rlo"] = jnp.array(rlo, copy=True)
     else:
         dev["rhi"] = dev["qhi"]
         dev["rlo"] = dev["qlo"]
     host = dict(n=n, ndim=ndim, lnl_max=lnl_max, cross=cross,
-                log_j=stats.log_jacobian, sum_w=float(np.sum(w)),
+                log_j=log_j, sum_w=float(np.sum(w)),
                 inv_s2=float(inv_s2), k_sel=k_sel, kmax_eff=kmax_eff,
                 engine=engine)
     return dev, host
