@@ -174,6 +174,124 @@ def _knn_kernel_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     idx_out[:] = jnp.concatenate(idxs, axis=1)
 
 
+def _knn_kernel_packed_batched(nr_ref, q_ref, r_ref, d2_out, idx_out, *,
+                               k: int, self_mode: bool):
+    """Batched packed kernel: grid (B, query tiles, ref tiles); each batch
+    member has its own runtime count nr_ref[b].  Kernel-level batching —
+    one dispatch covers a whole batch of same-bucket chains."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        d2_out[0] = jnp.full_like(d2_out[0], jnp.inf)
+        idx_out[0] = jnp.full_like(idx_out[0], -1)
+
+    nr = nr_ref[b]
+    q = q_ref[0]
+    r = r_ref[0]
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+    r_sq = jnp.sum(r * r, axis=1)[None, :]
+    d2 = q_sq + r_sq - 2.0 * jnp.dot(q, r.T,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
+
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 1)
+    gcol = j * TR + lcol
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(gcol < nr, d2, jnp.inf)
+    if self_mode:
+        grow = i * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 0)
+        d2 = jnp.where(gcol == grow, -1.0, d2)
+
+    pk = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    pk = (pk & jnp.int32(~LOW_MASK)) | lcol
+    winners = []
+    int_max = jnp.int32(2147483647)
+    for _ in range(k):
+        m = jnp.min(pk, axis=1, keepdims=True)
+        winners.append(m)
+        pk = jnp.where(pk == m, int_max, pk)
+    w = jnp.concatenate(winners, axis=1)
+    dq = jax.lax.bitcast_convert_type(w & jnp.int32(~LOW_MASK), jnp.float32)
+    gidx = j * TR + (w & jnp.int32(LOW_MASK))
+    gidx = jnp.where(jnp.isinf(dq), -1, gidx)
+
+    cat = jnp.concatenate([d2_out[0], dq], axis=1)
+    cat_idx = jnp.concatenate([idx_out[0], gidx], axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
+    vals = []
+    idxs = []
+    neg_big = jnp.int32(-2147483648)
+    for _ in range(k):
+        am = jnp.argmin(cat, axis=1)[:, None]
+        mask = col == am
+        vals.append(jnp.min(cat, axis=1, keepdims=True))
+        idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
+                            keepdims=True))
+        cat = jnp.where(mask, jnp.inf, cat)
+    d2_out[0] = jnp.concatenate(vals, axis=1)
+    idx_out[0] = jnp.concatenate(idxs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
+def knn_select_pallas_packed_batched(query, ref, k: int,
+                                     self_mode: bool = False,
+                                     interpret: bool = False,
+                                     nr=None):
+    """Batched packed selection: (B, Nq, d) queries vs (B, Nr, d) refs with
+    per-batch runtime counts ``nr`` (B,).  Same per-member contract as
+    ``knn_select_pallas_packed``; returns (B, Nq, k) d2 and idx."""
+    bsz, nq, d = query.shape
+    nr_full = ref.shape[1]
+    if nr is None:
+        nr = jnp.full((bsz,), nr_full, jnp.int32)
+    nr = jnp.asarray(nr, jnp.int32).reshape(bsz)
+    k = min(k, nr_full)
+
+    # per-member centring (translation-invariant; conditions the identity)
+    mu = (jnp.sum(ref, axis=1, keepdims=True)
+          / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
+    dpad = _round_up(max(d, 1), LANE)
+    nq_pad = _round_up(nq, TQ)
+    nr_pad = _round_up(nr_full, TR)
+    q = jnp.zeros((bsz, nq_pad, dpad), jnp.float32)
+    q = q.at[:, :nq, :d].set((query - mu).astype(jnp.float32))
+    r = jnp.zeros((bsz, nr_pad, dpad), jnp.float32)
+    r = r.at[:, :nr_full, :d].set((ref - mu).astype(jnp.float32))
+
+    grid = (bsz, nq_pad // TQ, nr_pad // TR)
+    kernel = functools.partial(_knn_kernel_packed_batched, k=k,
+                               self_mode=self_mode)
+    d2, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TQ, dpad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR, dpad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TQ, k), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, k), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, nq_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nq_pad, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * nq_pad * nr_pad * dpad,
+            bytes_accessed=(q.size + r.size) * 4, transcendentals=0),
+        interpret=interpret,
+    )(nr, q, r)
+    return jnp.maximum(d2[:, :nq], 0.0), idx[:, :nq]
+
+
 # Depth of the per-lane bin store in the binned kernel: candidate j lands in
 # bin (j mod 128) and each bin retains its BINS_DEPTH smallest.  A true
 # neighbour is lost only when > BINS_DEPTH of a row's true top-k collide in

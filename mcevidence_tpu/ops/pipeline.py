@@ -1,14 +1,18 @@
-"""Fused single-jit evidence pipeline (production fast path).
+"""Fused single-jit evidence pipelines.
 
-One device program: masked-moment whitening -> MXU kNN selection -> fused
-log-space estimator.  Everything stays in f32 on device; the host only sees
-the final (kmax,) MLE row.  Sample counts are padded to compile buckets
-(ops/knn.py) with the true count as a runtime scalar, so one compile serves
-every chain in a bucket — essential when compiles cost minutes.
+Two device-resident paths share this module (same estimator semantics as
+the reference, MCEvidence.py:950-1168; sample counts padded to compile
+buckets with true counts as runtime scalars — one compile per bucket when
+compiles cost minutes):
 
-This is the "speed mode" counterpart of the facade's default refine path
-(host f64 whitening + f64 candidate refinement); same estimator semantics
-(reference MCEvidence.py:950-1168), f32 accuracy (~1e-3 in ln Z).
+* ``fused_auto_evidence`` — the all-f32 "fast" mode: masked-moment
+  whitening -> kNN selection -> log-space estimator in one jit (~1e-3
+  in ln Z).
+* ``fused_refine_dotp`` / ``device_refine_evidence`` — the "device"
+  parity mode: host f64 whitening, double-float (f32-pair) candidate
+  refinement AND estimator on device, scalars-only device->host traffic
+  (~1e-13 in ln Z).  See the section comment below for the precision
+  engineering.
 """
 
 from __future__ import annotations
@@ -139,6 +143,37 @@ def _fused_refine_dotp_jit(qhi, qlo, rhi, rlo, scalh, scall, valid,
                                    kernel_self_pin=kernel_self_pin)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k_sel", "kmax", "engine", "self_mode"))
+def fused_refine_dotp_batch(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                            n_ref_true, ndim, inv_s2, *, k_sel: int,
+                            kmax: int, engine: str = "pallas",
+                            self_mode: bool = True):
+    """Batched fused program: a (B, ...) batch of same-bucket cells in ONE
+    dispatch+fetch round trip (per-cell round trips through a relay cost
+    more than the compute).  Selection runs the kernel-level-batched packed
+    kernel (the per-member runtime count lives in an SMEM array — plain
+    vmap cannot batch an SMEM scalar operand); the double-float refinement
+    and estimator vmap.  Returns (B, 2*kmax+1)."""
+    if engine.startswith("pallas"):
+        from .knn_pallas import knn_select_pallas_packed_batched
+        _, idx = knn_select_pallas_packed_batched(
+            qhi, rhi, k_sel, self_mode=self_mode, nr=n_ref_true)
+    else:
+        from .knn import knn_select_xla
+        _, idx = jax.vmap(
+            lambda q, r, n: knn_select_xla(q, r, k_sel,
+                                           self_mode=self_mode, nr=n)
+        )(qhi, rhi, n_ref_true)
+
+    def post(qh, ql, rh, rl, sh, sl, v, nd, s2, idx_b):
+        return _refine_dotp_post(qh, ql, rh, rl, sh, sl, v, nd, s2, idx_b,
+                                 jnp.int32(0), kmax=kmax,
+                                 self_mode=self_mode)
+    return jax.vmap(post)(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                          ndim, inv_s2, idx)
+
+
 def _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
                             n_ref_true, ndim, inv_s2, row_offset, *,
                             k_sel: int, kmax: int, engine: str = "pallas",
@@ -180,6 +215,18 @@ def _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
         from .knn import knn_select_xla
         _, idx = knn_select_xla(qhi, rhi, k_sel, self_mode=kernel_self_pin,
                                 nr=n_ref_true)
+    return _refine_dotp_post(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                             ndim, inv_s2, idx, row_offset, kmax=kmax,
+                             self_mode=self_mode)
+
+
+def _refine_dotp_post(qhi, qlo, rhi, rlo, scalh, scall, valid, ndim,
+                      inv_s2, idx, row_offset, *, kmax: int,
+                      self_mode: bool):
+    """Everything after selection: double-float refinement, sufficiency
+    statistic, df powers, masked df reduction.  Pure jnp — vmaps cleanly."""
+    from .dfloat import (candidate_d2_df, df_mul, df_mul_f32, df_reduce_sum,
+                         df_sqrt)
 
     d2h, d2l = candidate_d2_df(qhi, qlo, rhi, rlo, idx)
     if self_mode:

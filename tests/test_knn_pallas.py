@@ -103,3 +103,25 @@ def test_pallas_packed_nr_masking(rng):
                                        4, self_mode=True, interpret=True,
                                        nr=600)
     assert np.all(np.asarray(idx) < 600)
+
+
+def test_pallas_packed_batched_interpret(rng):
+    # kernel-level batching: per-member runtime counts in an SMEM array
+    from mcevidence_tpu.ops.knn_pallas import (knn_select_pallas_packed,
+                                               knn_select_pallas_packed_batched)
+    xs = [rng.normal(size=(400, 5)).astype(np.float32) for _ in range(3)]
+    ns = [400, 311, 287]
+    batch = np.zeros((3, 400, 5), np.float32)
+    for b, (x, n) in enumerate(zip(xs, ns)):
+        batch[b, :n] = x[:n]
+    d2b, idxb = knn_select_pallas_packed_batched(
+        jnp.asarray(batch), jnp.asarray(batch), 4, self_mode=True,
+        interpret=True, nr=np.asarray(ns, np.int32))
+    for b, n in enumerate(ns):
+        d2s, idxs = knn_select_pallas_packed(
+            jnp.asarray(batch[b]), jnp.asarray(batch[b]), 4,
+            self_mode=True, interpret=True, nr=n)
+        np.testing.assert_array_equal(np.asarray(idxb)[b, :n],
+                                      np.asarray(idxs)[:n])
+        np.testing.assert_allclose(np.asarray(d2b)[b, :n],
+                                   np.asarray(d2s)[:n], rtol=1e-6)
