@@ -258,63 +258,43 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         precision = "refine"
 
     if precision == "device":
-        # device-resident pipeline: same-bucket cells batch into ONE
-        # vmapped fused program per chunk (packed selection + double-float
-        # refine + estimator), every chunk DISPATCHED before any result is
-        # fetched — only (B, 2*kmax+1) scalars ever come back, and relay
-        # round trips amortize over the chunk.
-        import jax
-        import jax.numpy as jnp
-
+        # device-resident per-cell pipeline: every cell's fused program
+        # (packed selection + double-float refine + estimator) is DISPATCHED
+        # before any result is fetched — only (2*kmax+1,) scalars ever come
+        # back, so a slow device->host link costs nothing.  (Chunked
+        # dispatch via fused_refine_dotp_batch was measured SLOWER here:
+        # padding chunks to a fixed batch recomputes duplicate cells, which
+        # outweighs the saved round trips at this grid's group sizes.)
         from .ops.pipeline import (_device_refine_finalize,
                                    _device_refine_prepare,
                                    device_refine_evidence,
-                                   fused_refine_dotp_batch)
-        B = 4
-        prepped = []
+                                   fused_refine_dotp)
+        pend = []
         for cell in cells:
             dev, host = _device_refine_prepare(cell[3], cell[4], cell[5],
                                                kmax, 4, engine,
                                                samples2=cell[6])
-            prepped.append((cell, dev, host))
-        groups: Dict[tuple, list] = {}
-        for item in prepped:
-            dev, host = item[1], item[2]
-            key = (dev["qhi"].shape, dev["rhi"].shape, host["k_sel"],
-                   host["kmax_eff"], host["engine"])
-            groups.setdefault(key, []).append(item)
-        pend = []
-        for (qshape, rshape, k_sel, kmax_eff, eng), members in \
-                groups.items():
-            for c0 in range(0, len(members), B):
-                chunk = members[c0:c0 + B]
-                while len(chunk) < B:        # stable compile shape
-                    chunk.append(chunk[-1])
-                stack = {k: jnp.stack([it[1][k] for it in chunk])
-                         for k in ("qhi", "qlo", "rhi", "rlo", "scalh",
-                                   "scall", "valid", "n_true", "ndim",
-                                   "inv_s2")}
-                out = fused_refine_dotp_batch(
-                    stack["qhi"], stack["qlo"], stack["rhi"], stack["rlo"],
-                    stack["scalh"], stack["scall"], stack["valid"],
-                    stack["n_true"], stack["ndim"], stack["inv_s2"],
-                    k_sel=k_sel, kmax=kmax_eff, engine=eng,
-                    self_mode=not cross)
-                pend.append((members[c0:c0 + B], out))
-        for chunk, out in pend:
-            out = np.asarray(out)
-            for b, (cell, _dev, host) in enumerate(chunk):
-                imm, icc, _nd, s1, lnl1, w1, s2, pv, sumw_adj = cell
-                if out[b, -1] > 0:
-                    # rare thin-margin cell: redo synchronously with the
-                    # retry-capable wrapper
-                    mce[imm, icc, :] = device_refine_evidence(
-                        s1, lnl1, w1, samples2=s2, kmax=kmax,
-                        prior_volume=pv, sum_adjusted_weights=sumw_adj,
-                        pad_candidates=20, engine=engine)
-                else:
-                    mce[imm, icc, :] = _device_refine_finalize(
-                        out[b], host, kmax, pv, sumw_adj)
+            out = fused_refine_dotp(
+                dev["qhi"], dev["qlo"], dev["rhi"], dev["rlo"],
+                dev["scalh"], dev["scall"],
+                dev["valid"], dev["n_true"], dev["ndim"],
+                dev["inv_s2"], k_sel=host["k_sel"],
+                kmax=host["kmax_eff"],
+                engine=host["engine"], self_mode=not cross)
+            pend.append((cell, host, out))
+        for (imm, icc, _nd, s1, lnl1, w1, s2, pv, sumw_adj), host, flat \
+                in pend:
+            flat = np.asarray(flat)
+            if flat[-1] > 0:
+                # rare thin-margin cell: redo synchronously with the
+                # retry-capable wrapper
+                mce[imm, icc, :] = device_refine_evidence(
+                    s1, lnl1, w1, samples2=s2, kmax=kmax,
+                    prior_volume=pv, sum_adjusted_weights=sumw_adj,
+                    pad_candidates=20, engine=engine)
+            else:
+                mce[imm, icc, :] = _device_refine_finalize(
+                    flat, host, kmax, pv, sumw_adj)
         return
 
     # one SPMD batch per row-bucket group: batching by ndim alone would pad
