@@ -36,22 +36,28 @@ def _make_vgrad(lnprob: Callable):
     return f
 
 
-def _leapfrog(f, x, p, grad, eps):
+def _leapfrog(f, x, p, grad, eps, inv_mass):
+    """One leapfrog step under a diagonal metric: momenta p ~ N(0, M),
+    kinetic = p^T M^-1 p / 2, position update uses M^-1 p."""
     p1 = p + 0.5 * eps * grad
-    x1 = x + eps * p1
+    x1 = x + eps * inv_mass * p1
     lp1, grad1 = f(x1)
     p1 = p1 + 0.5 * eps * grad1
     return x1, p1, lp1, grad1
 
 
-def _find_reasonable_epsilon(f, x, rng) -> float:
+def _kinetic(p, inv_mass):
+    return 0.5 * float(p @ (inv_mass * p))
+
+
+def _find_reasonable_epsilon(f, x, rng, inv_mass) -> float:
     """Heuristic initial step size (Hoffman & Gelman, Algorithm 4)."""
     eps = 1.0
-    p = rng.standard_normal(x.shape)
+    p = rng.standard_normal(x.shape) / np.sqrt(inv_mass)
     lp, grad = f(x)
-    x1, p1, lp1, _ = _leapfrog(f, x, p, grad, eps)
-    joint0 = lp - 0.5 * p @ p
-    joint1 = lp1 - 0.5 * p1 @ p1
+    x1, p1, lp1, _ = _leapfrog(f, x, p, grad, eps, inv_mass)
+    joint0 = lp - _kinetic(p, inv_mass)
+    joint1 = lp1 - _kinetic(p1, inv_mass)
     if not np.isfinite(joint1):
         joint1 = -np.inf
     a = 1.0 if joint1 - joint0 > math.log(0.5) else -1.0
@@ -59,18 +65,18 @@ def _find_reasonable_epsilon(f, x, rng) -> float:
         eps = eps * (2.0 ** a)
         if eps > 1e7 or eps < 1e-7:
             break
-        x1, p1, lp1, _ = _leapfrog(f, x, p, grad, eps)
-        joint1 = lp1 - 0.5 * p1 @ p1
+        x1, p1, lp1, _ = _leapfrog(f, x, p, grad, eps, inv_mass)
+        joint1 = lp1 - _kinetic(p1, inv_mass)
         if not np.isfinite(joint1):
             joint1 = -np.inf
     return eps
 
 
-def _build_tree(f, x, p, grad, logu, v, j, eps, joint0, rng):
+def _build_tree(f, x, p, grad, logu, v, j, eps, joint0, rng, inv_mass):
     """One NUTS subtree (Hoffman & Gelman, Algorithm 3 / 6)."""
     if j == 0:
-        x1, p1, lp1, grad1 = _leapfrog(f, x, p, grad, v * eps)
-        joint = lp1 - 0.5 * p1 @ p1
+        x1, p1, lp1, grad1 = _leapfrog(f, x, p, grad, v * eps, inv_mass)
+        joint = lp1 - _kinetic(p1, inv_mass)
         if not np.isfinite(joint):
             joint = -np.inf
         n1 = int(logu <= joint)
@@ -80,37 +86,44 @@ def _build_tree(f, x, p, grad, logu, v, j, eps, joint0, rng):
                 n1, s1, alpha, 1)
     (xm, pm, gm, xp, pp, gp, x1, lp1, g1,
      n1, s1, alpha, nalpha) = _build_tree(f, x, p, grad, logu, v, j - 1,
-                                          eps, joint0, rng)
+                                          eps, joint0, rng, inv_mass)
     if s1 == 1:
         if v == -1:
             (xm, pm, gm, _, _, _, x2, lp2, g2,
              n2, s2, a2, na2) = _build_tree(f, xm, pm, gm, logu, v, j - 1,
-                                            eps, joint0, rng)
+                                            eps, joint0, rng, inv_mass)
         else:
             (_, _, _, xp, pp, gp, x2, lp2, g2,
              n2, s2, a2, na2) = _build_tree(f, xp, pp, gp, logu, v, j - 1,
-                                            eps, joint0, rng)
+                                            eps, joint0, rng, inv_mass)
         if n1 + n2 > 0 and rng.random() < n2 / (n1 + n2):
             x1, lp1, g1 = x2, lp2, g2
         alpha += a2
         nalpha += na2
+        # U-turn criterion under the metric: velocities are M^-1 p
         dx = xp - xm
-        s1 = s2 * int(dx @ pm >= 0) * int(dx @ pp >= 0)
+        s1 = s2 * int(dx @ (inv_mass * pm) >= 0) \
+            * int(dx @ (inv_mass * pp) >= 0)
         n1 += n2
     return xm, pm, gm, xp, pp, gp, x1, lp1, g1, n1, s1, alpha, nalpha
 
 
 def nuts_sample(lnprob: Callable, x0: np.ndarray, nsamples: int, *,
                 warmup: int = 500, seed: Optional[int] = None,
-                target_accept: float = 0.8, max_depth: int = 10
+                target_accept: float = 0.8, max_depth: int = 10,
+                adapt_mass: bool = True
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Draw ``nsamples`` post-warmup NUTS samples from ``lnprob``.
 
     Args:
       lnprob: JAX-differentiable log density f(x: (d,)) -> scalar.
       x0: (d,) start point.
-      warmup: dual-averaging adaptation steps (discarded).
+      warmup: adaptation steps (discarded).  The first 60% run with a unit
+        metric and dual-averaged step size; a diagonal mass matrix is then
+        estimated from those draws (Stan-style windowed adaptation,
+        simplified to one window) and the step size re-adapted under it.
       target_accept: dual-averaging target acceptance statistic.
+      adapt_mass: disable to keep the unit metric throughout.
 
     Returns (samples (nsamples, d) float64, lnp (nsamples,) float64).
     """
@@ -119,18 +132,23 @@ def nuts_sample(lnprob: Callable, x0: np.ndarray, nsamples: int, *,
     x = np.asarray(x0, np.float64)
     lp, grad = f(x)
     d = x.shape[0]
+    inv_mass = np.ones(d)           # M^-1; momenta ~ N(0, M)
 
-    eps = _find_reasonable_epsilon(f, x, rng)
-    mu = math.log(10.0 * eps)
-    log_eps_bar, h_bar = 0.0, 0.0
+    switch = int(0.6 * warmup) if adapt_mass and warmup >= 100 else warmup
+    warm_draws = np.zeros((switch, d))
+
+    def fresh_dual_averaging():
+        e = _find_reasonable_epsilon(f, x, rng, inv_mass)
+        return e, math.log(10.0 * e), 0.0, 0.0, 0
+    eps, mu, log_eps_bar, h_bar, m_adapt = fresh_dual_averaging()
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
     total = warmup + nsamples
     samples = np.zeros((nsamples, d))
     lnps = np.zeros(nsamples)
     for m in range(1, total + 1):
-        p0 = rng.standard_normal(d)
-        joint0 = lp - 0.5 * p0 @ p0
+        p0 = rng.standard_normal(d) / np.sqrt(inv_mass)
+        joint0 = lp - _kinetic(p0, inv_mass)
         logu = joint0 + math.log(rng.random())
         xm = xp = x
         pm = pp = p0
@@ -143,27 +161,42 @@ def nuts_sample(lnprob: Callable, x0: np.ndarray, nsamples: int, *,
             if v == -1:
                 (xm, pm, gm, _, _, _, x1, lp1, g1,
                  n1, s1, alpha, nalpha) = _build_tree(
-                    f, xm, pm, gm, logu, v, j, eps, joint0, rng)
+                    f, xm, pm, gm, logu, v, j, eps, joint0, rng, inv_mass)
             else:
                 (_, _, _, xp, pp, gp, x1, lp1, g1,
                  n1, s1, alpha, nalpha) = _build_tree(
-                    f, xp, pp, gp, logu, v, j, eps, joint0, rng)
+                    f, xp, pp, gp, logu, v, j, eps, joint0, rng, inv_mass)
             if s1 == 1 and rng.random() < min(1.0, n1 / n):
                 x_new, lp_new, g_new = x1, lp1, g1
             n += n1
             dx = xp - xm
-            s = s1 * int(dx @ pm >= 0) * int(dx @ pp >= 0)
+            s = s1 * int(dx @ (inv_mass * pm) >= 0) \
+                * int(dx @ (inv_mass * pp) >= 0)
             j += 1
         x, lp, grad = x_new, lp_new, g_new
 
         if m <= warmup:     # dual averaging (Algorithm 6)
-            frac = 1.0 / (m + t0)
+            m_adapt += 1
+            frac = 1.0 / (m_adapt + t0)
             h_bar = (1.0 - frac) * h_bar + frac * (
                 target_accept - alpha / max(nalpha, 1))
-            log_eps = mu - math.sqrt(m) / gamma * h_bar
-            w = m ** (-kappa)
+            log_eps = mu - math.sqrt(m_adapt) / gamma * h_bar
+            w = m_adapt ** (-kappa)
             log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
             eps = math.exp(log_eps)
+            if m <= switch:
+                warm_draws[m - 1] = x
+            if m == switch and switch < warmup:
+                # estimate the diagonal metric from the later warm draws
+                # (regularized toward unit, Stan-style), then re-adapt eps
+                tail = warm_draws[switch // 2:]
+                var = np.var(tail, axis=0, ddof=1)
+                nw = len(tail)
+                inv_mass = (nw / (nw + 5.0)) * var \
+                    + (5.0 / (nw + 5.0)) * 1e-3
+                inv_mass = np.maximum(inv_mass, 1e-10)
+                eps, mu, log_eps_bar, h_bar, m_adapt = \
+                    fresh_dual_averaging()
             if m == warmup:
                 eps = math.exp(log_eps_bar)
         else:

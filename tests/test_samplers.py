@@ -42,3 +42,21 @@ def test_nuts_correlated_target():
                              warmup=400, seed=7)
     c = np.cov(samples.T)
     np.testing.assert_allclose(c, cov, atol=0.2)
+
+
+def test_nuts_anisotropic_target():
+    # scales spanning 3 orders of magnitude: the diagonal mass adaptation
+    # must recover correct moments where a unit metric would mix painfully
+    import jax.numpy as jnp
+
+    sig = np.array([0.01, 1.0, 10.0])
+    mean = np.array([0.5, -1.0, 20.0])
+
+    def lnprob(x):
+        z = (x - jnp.asarray(mean)) / jnp.asarray(sig)
+        return -0.5 * jnp.dot(z, z)
+
+    samples, _ = nuts_sample(lnprob, mean + sig, 3000, warmup=600, seed=11)
+    z = np.abs(samples.mean(axis=0) - mean) / sig
+    assert np.all(z < 6.0 / np.sqrt(400)), z
+    np.testing.assert_allclose(samples.std(axis=0), sig, rtol=0.2)
