@@ -124,8 +124,9 @@ def main():
     dlnz = float(np.max(np.abs(mle[1:] - oracle)))
 
     # parity of the production 'device' mode (double-float refinement on
-    # device, scalars-only fetch) on the same workload
+    # device, scalars-only fetch) on the same workload; timed warm
     from mcevidence_tpu.ops.pipeline import device_refine_auto_evidence
+    dev = device_refine_auto_evidence(theta, lnl, kmax=KMAX)
     t0 = time.perf_counter()
     dev = device_refine_auto_evidence(theta, lnl, kmax=KMAX)
     dev_wall = time.perf_counter() - t0

@@ -14,6 +14,7 @@ from .compat import MCSamples, split_var
 from .evidence import MCEvidence, evidence_fn, evidence_with_error
 from .registry import COSMO_PARAMS, extend_cosmo_params, iscosmo_param
 from .priors.params_info import get_prior_volume, params_info
+from .samplers import nuts_sample
 
 # reference-compatible module-level alias (reference MCEvidence.py:84-86)
 cosmo_params_list = list(COSMO_PARAMS)
@@ -24,6 +25,7 @@ __all__ = [
     "split_var",
     "evidence_fn",
     "evidence_with_error",
+    "nuts_sample",
     "COSMO_PARAMS",
     "cosmo_params_list",
     "extend_cosmo_params",
