@@ -11,7 +11,8 @@ scaling across chips via an ICI ring.
 
 from ._version import __version__
 from .compat import MCSamples, split_var
-from .evidence import MCEvidence, evidence_fn, evidence_with_error
+from .evidence import (MCEvidence, evidence_bootstrap, evidence_fn,
+                       evidence_with_error)
 from .registry import COSMO_PARAMS, extend_cosmo_params, iscosmo_param
 from .priors.params_info import get_prior_volume, params_info
 from .samplers import nuts_sample
@@ -25,6 +26,7 @@ __all__ = [
     "split_var",
     "evidence_fn",
     "evidence_with_error",
+    "evidence_bootstrap",
     "nuts_sample",
     "COSMO_PARAMS",
     "cosmo_params_list",

@@ -438,3 +438,71 @@ def evidence_with_error(source, *, kmax: int = 2, nchains: int = 0,
     # (planck_mcevidence.py:370-372), as does planck._build_dataset_frame
     err = per_chain.std(axis=0, ddof=1) / math.sqrt(len(chains))
     return mean, err, per_chain
+
+
+def evidence_bootstrap(source, *, kmax: int = 2, n_boot: int = 100,
+                       seed: int = 0, idpattern: str = "_?.txt",
+                       engine: str = "auto", **kwargs):
+    """ln Z with a Bayesian-bootstrap error bar from ONE chain.
+
+    Holds the sample positions (and hence the kNN volumes) fixed and
+    perturbs each chain row's probability mass with Dirichlet weights
+    (``g_j ~ Exp(1)``, Rubin 1981): the estimator is a product of two row
+    means, ``Z = S^2/(S k + 1) * E_F[w] * E_F[V_k e^{lnL-lnLmax}/w]``
+    (reference MCEvidence.py:1117-1131), and each replicate re-draws F from
+    the Dirichlet posterior over the observed rows.  Multinomial resampling
+    would be the WRONG bootstrap for a kNN statistic — duplicated points
+    acquire zero nearest-neighbour distances and bias the density estimate —
+    while reweighting keeps the point set unique AND lets all replicates
+    share the single O(N^2) kNN pass, so ``n_boot`` replicates cost one
+    device pass plus cheap host reductions.  (The kNN distance noise itself
+    is not resampled; the reported error captures the dominant
+    likelihood-sum variance.)
+
+    Complements :func:`evidence_with_error` (per-chain scatter, the
+    reference's SingleChains recipe): bootstrap works when only a single
+    chain exists.  Auto-evidence mode only (a reference-set bootstrap would
+    need a fresh kNN pass per replicate).
+
+    Returns ``(lnz, err, replicates)``: ``lnz`` the unperturbed estimate for
+    k = 1..kmax-1, ``err`` the replicate standard deviation per k,
+    ``replicates`` the (n_boot, kmax-1) array.
+    """
+    if kwargs.get("split"):
+        raise ValueError("evidence_bootstrap supports auto mode only "
+                         "(cross-mode reference sets cannot be reweighted "
+                         "without a fresh kNN pass per replicate)")
+    mc = MCEvidence(source, kmax=kmax, verbose=0, engine=engine,
+                    idpattern=idpattern, **kwargs)
+    kmax = mc.kmax
+    s, lnl, w = mc._get_batch("s1", 0, False)
+    if np.any(w <= 0):
+        raise ValueError("evidence_bootstrap requires strictly positive "
+                         "weights")
+    stats = whiten_stats(s)
+    s1w = apply_whiten(s, stats)
+    dknn = exact_knn(s1w, None, kmax, refine=True, engine=engine)
+    log_pv = math.log(mc.priorvolume)
+    n = s.shape[0]
+    # importance reweighting enters only through SumW (quirk Q7); carry the
+    # per-point adjusted/raw ratio into each replicate's SumW.
+    adj_ratio = mc.pair.s1.adjusted_weights / mc.pair.s1.weights
+
+    def estimate(wts, sumw):
+        return log_evidence_from_knn_np(
+            dknn, lnl, wts, sumw, mc.ndim,
+            log_jacobian=stats.log_jacobian, log_prior_volume=log_pv,
+            k_start=1, nsamples=n)[1:]
+
+    lnz = estimate(w, float(np.sum(w * adj_ratio)))
+    rng = np.random.default_rng(seed)
+    reps = np.empty((n_boot, kmax - 1))
+    for b in range(n_boot):
+        g = rng.exponential(size=n)
+        # row j's term in dotp gains a factor g_j (weights w/g divide by
+        # w/g), SumW becomes sum(g*w); the 2(ln S - ln sum g) shift restores
+        # the Dirichlet normalization of both row means.
+        shift = 2.0 * (math.log(n) - math.log(float(np.sum(g))))
+        reps[b] = estimate(w / g, float(np.sum(g * w * adj_ratio))) + shift
+    err = reps.std(axis=0, ddof=1)
+    return lnz, err, reps
