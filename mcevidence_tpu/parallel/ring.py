@@ -31,6 +31,7 @@ Precision modes (mirroring the single-device facade, evidence.py):
 from __future__ import annotations
 
 import functools
+import logging
 import math
 from typing import Optional, Tuple
 
@@ -43,6 +44,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.estimator import log_ball_volume_const, log_evidence_from_knn_np
 from ..ops.knn import (bucket_size, center_f64, guarded_refine_knn_f64,
                        refine_knn_f64)
+
+logger = logging.getLogger(__name__)
 
 _PROGRAM_CACHE: dict = {}
 
@@ -907,3 +910,176 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
 
 # back-compat alias (pre-cross name)
 sharded_grid_auto_evidence_refine = sharded_grid_evidence_refine
+
+
+def make_sharded_grid_device_refine(mesh: Mesh, axes=("dp", "ring"), *,
+                                    k_sel: int, kmax: int, engine: str):
+    """dp x ring device-resident parity program: a batch of chains
+    data-parallel over ``dp``; within each ring group the chain's query
+    rows are sharded and the reference set is materialized by a tiled
+    ``all_gather`` of the query shards over ICI (no duplicate host upload).
+    Each device runs batched packed selection + double-float refinement +
+    partial double-float estimator on its shard; the (B_loc, P, 2*kmax+1)
+    partials are all-gathered so only scalars leave the mesh — the
+    multi-chip counterpart of ``ops.pipeline.fused_refine_dotp_batch``.
+    Auto-evidence mode (self matches zeroed via the ring row offset).
+    """
+    dp, ring = axes
+    key = ("grid_devref", _mesh_key(mesh), axes, k_sel, kmax, engine)
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from ..ops.pipeline import _refine_dotp_post
+
+    def body(qhi, qlo, scalh, scall, valid, n_ref, ndim, inv_s2):
+        p_idx = jax.lax.axis_index(ring)
+        nq_loc = qhi.shape[1]
+        offset = (p_idx * nq_loc).astype(jnp.int32)
+        rhi = jax.lax.all_gather(qhi, ring, axis=1, tiled=True)
+        rlo = jax.lax.all_gather(qlo, ring, axis=1, tiled=True)
+        if engine.startswith("pallas"):
+            from ..ops.knn_pallas import knn_select_pallas_packed_batched
+            # no in-kernel diagonal pin: queries are a shard of the
+            # replicated reference, so the self candidate wins slot 0
+            # naturally at distance 0; the post zeroes it via the offset.
+            _, idx = knn_select_pallas_packed_batched(
+                qhi, rhi, k_sel, self_mode=False, nr=n_ref)
+        else:
+            from ..ops.knn import knn_select_xla
+            _, idx = jax.vmap(
+                lambda q, r, n: knn_select_xla(q, r, k_sel, self_mode=False,
+                                               nr=n))(qhi, rhi, n_ref)
+
+        def post(qh, ql, rh, rl, sh, sl, v, nd, s2, ib):
+            return _refine_dotp_post(qh, ql, rh, rl, sh, sl, v, nd, s2, ib,
+                                     offset, kmax=kmax, self_mode=True)
+
+        flat = jax.vmap(post)(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                              ndim, inv_s2, idx)
+        return jax.lax.all_gather(flat, ring, axis=1)   # (B_loc, P, 2k+1)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(dp, ring, None), P(dp, ring, None),
+                  P(dp, ring), P(dp, ring), P(dp, ring),
+                  P(dp), P(dp), P(dp)),
+        out_specs=P(dp, None, None),
+        check_vma=False)
+    fn = jax.jit(sharded)
+    _PROGRAM_CACHE[key] = fn
+    return fn
+
+
+def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
+                                        prior_volumes=None,
+                                        sum_adjusted_weights=None,
+                                        pad_candidates: int = 4,
+                                        mesh: Optional[Mesh] = None,
+                                        engine: str = "auto") -> np.ndarray:
+    """Parity-grade batched auto evidence on a dp x ring mesh with
+    scalars-only device->host traffic: host f64 whitening per chain,
+    double-float coordinate upload, ONE SPMD program per batch (selection +
+    double-float refinement + estimator), f64 host bookkeeping.  The
+    device-resident sibling of :func:`sharded_grid_evidence_refine` — built
+    for relay-attached or pod deployments where fetching per-row candidate
+    indices dominates.  Returns (len(chains), kmax-1) at ~1e-13 lnZ parity.
+    """
+    from ..ops.dfloat import df_split_rows
+    from ..ops.knn import bucket_size_pow2
+    from ..ops.pipeline import _device_refine_finalize
+    from ..ops.whiten import apply_whiten, whiten_stats
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    kmax = max(2, kmax)
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    dp_n = mesh.shape["dp"]
+    ring_n = mesh.shape["ring"]
+    norm = _normalize_chains(chains)
+    b_true = len(norm)
+    ndims = [s.shape[1] for s, _, _ in norm]
+    dpad = _dpad_class(max(ndims))
+    ns = [s.shape[0] for s, _, _ in norm]
+    if min(ns) <= kmax:
+        raise ValueError(f"chains shorter than kmax+1={kmax + 1} rows are "
+                         "not supported by the batched device-refine path; "
+                         "use evidence_fn per chain")
+    n_pad = bucket_size_pow2(max(ns))
+    n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
+    b_pad = 1
+    while b_pad < b_true:
+        b_pad *= 2
+    b_pad = ((b_pad + dp_n - 1) // dp_n) * dp_n
+    k_sel = min(kmax + pad_candidates, min(ns))
+    if prior_volumes is None:
+        prior_volumes = np.ones(b_true)
+
+    QHI = np.zeros((b_pad, n_pad, dpad), np.float32)
+    QLO = np.zeros((b_pad, n_pad, dpad), np.float32)
+    SCH = np.zeros((b_pad, n_pad), np.float32)
+    SCL = np.zeros((b_pad, n_pad), np.float32)
+    VAL = np.zeros((b_pad, n_pad), np.float32)
+    NG = np.ones(b_pad, np.int32)
+    ND = np.ones(b_pad, np.int32)
+    IS2 = np.ones(b_pad, np.float32)
+    hosts = []
+    for i, (s, l, w) in enumerate(norm):
+        n, d = s.shape
+        stats = whiten_stats(s)
+        sw = apply_whiten(s, stats)
+        sw, _ = center_f64(sw, None)
+        df_split_rows(sw, QHI[i], QLO[i])
+        lnl_max = float(np.max(l))
+        fs = np.exp(l - lnl_max) / w
+        df_split_rows(fs, SCH[i], SCL[i])
+        VAL[i, :n] = 1.0
+        NG[i] = n
+        ND[i] = d
+        IS2[i] = np.float32(n ** (2.0 / d) / d)
+        hosts.append(dict(n=n, ndim=d, lnl_max=lnl_max, cross=False,
+                          log_j=stats.log_jacobian, sum_w=float(np.sum(w)),
+                          inv_s2=float(IS2[i]), k_sel=k_sel,
+                          kmax_eff=kmax, engine=engine))
+    for i in range(b_true, b_pad):
+        VAL[i, 0] = 1.0     # one fake valid row keeps pad-chain sums finite
+
+    fn = make_sharded_grid_device_refine(mesh, ("dp", "ring"), k_sel=k_sel,
+                                         kmax=kmax, engine=engine)
+    sh3 = NamedSharding(mesh, P("dp", "ring", None))
+    sh2 = NamedSharding(mesh, P("dp", "ring"))
+    sh1 = NamedSharding(mesh, P("dp"))
+    parts = np.asarray(fn(
+        jax.device_put(jnp.asarray(QHI), sh3),
+        jax.device_put(jnp.asarray(QLO), sh3),
+        jax.device_put(jnp.asarray(SCH), sh2),
+        jax.device_put(jnp.asarray(SCL), sh2),
+        jax.device_put(jnp.asarray(VAL), sh2),
+        jax.device_put(jnp.asarray(NG), sh1),
+        jax.device_put(jnp.asarray(ND), sh1),
+        jax.device_put(jnp.asarray(IS2), sh1)), np.float64)
+
+    thin_true = parts[:b_true, :, -1].sum()
+    if thin_true > 0 and pad_candidates < 32:
+        logger.info("grid device-refine: thin margins on %d rows; re-running "
+                    "with %d extra candidates", int(thin_true),
+                    4 * pad_candidates + 8)
+        return sharded_grid_device_refine_evidence(
+            chains, kmax=kmax, prior_volumes=prior_volumes,
+            sum_adjusted_weights=sum_adjusted_weights,
+            pad_candidates=4 * pad_candidates + 8, mesh=mesh, engine=engine)
+
+    out = np.zeros((b_true, kmax - 1))
+    for i in range(b_true):
+        # exact f64 combine of the per-device double-float partials
+        vals = (parts[i, :, :kmax].sum(axis=0)
+                + parts[i, :, kmax:2 * kmax].sum(axis=0))
+        flat = np.concatenate([vals, np.zeros(kmax), [0.0]])
+        sw_i = (None if sum_adjusted_weights is None
+                else float(sum_adjusted_weights[i]))
+        out[i] = _device_refine_finalize(flat, hosts[i], kmax,
+                                         float(prior_volumes[i]), sw_i,
+                                         warn_thin=False)
+    return out

@@ -159,3 +159,41 @@ def test_sharded_device_refine_cross(rng, mesh8):
     multi = sharded_device_refine_evidence(s1, l1, samples2=theta[901:],
                                            kmax=3, mesh=mesh8, engine="xla")
     np.testing.assert_allclose(multi, single, atol=1e-8)
+
+
+def test_grid_device_refine_matches_oracle(rng):
+    """dp x ring device-resident parity path: batched chains, double-float
+    refinement on device, scalars-only fetch."""
+    from mcevidence_tpu.parallel.ring import (
+        sharded_grid_device_refine_evidence)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("dp", "ring"))
+    pvs = [1.0, 2.0, 0.5]
+    chains = []
+    for i, (n, d) in enumerate([(1100, 3), (700, 4), (1500, 3)]):
+        th, lnl = make_gaussian_chain(np.random.default_rng(50 + i),
+                                      n=n, ndim=d)
+        w = np.random.default_rng(60 + i).integers(1, 4, size=n)
+        chains.append((th, lnl, w.astype(float)))
+    got = sharded_grid_device_refine_evidence(
+        chains, kmax=3, prior_volumes=pvs, mesh=mesh2, engine="xla")
+    assert got.shape == (3, 2)
+    for i, (th, lnl, w) in enumerate(chains):
+        want = evidence_fn(th, lnl, weights=w, kmax=3, prior_volume=pvs[i],
+                           engine="xla")
+        np.testing.assert_allclose(got[i], want, rtol=0, atol=1e-8)
+
+
+def test_grid_device_refine_importance_sumw(rng):
+    from mcevidence_tpu.parallel.ring import (
+        sharded_grid_device_refine_evidence)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("dp", "ring"))
+    th, lnl = make_gaussian_chain(rng, n=900, ndim=3)
+    w = np.ones(900)
+    got = sharded_grid_device_refine_evidence(
+        [(th, lnl, w)], kmax=2, mesh=mesh2, engine="xla",
+        sum_adjusted_weights=[2.0 * w.sum()])
+    want = evidence_fn(th, lnl, weights=w, kmax=2, engine="xla",
+                       sum_adjusted_weights=2.0 * w.sum())
+    np.testing.assert_allclose(got[0], want, rtol=0, atol=1e-8)
