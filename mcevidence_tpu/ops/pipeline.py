@@ -396,6 +396,9 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     inv_s2 = np.float32(n_ref ** (2.0 / ndim) / ndim)
     k_sel = min(kmax + pad_candidates, n_ref)
     kmax_eff = min(kmax, k_sel)     # tiny reference partitions: n_ref < kmax
+    from ..utils.cache import record_shape
+    record_shape("device_refine", rows=nb, dpad=dpad, k_sel=k_sel,
+                 kmax=kmax_eff, cross=cross, engine=engine)
     # copy=True: on the CPU backend jnp.asarray ALIASES the numpy buffer
     # (zero-copy), which would let the next prep overwrite a pooled buffer
     # still referenced by an in-flight dispatch; on TPU the copy is the H2D
@@ -520,6 +523,8 @@ def fast_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     nb = bucket_size(n)
+    from ..utils.cache import record_shape
+    record_shape("fast_auto", rows=nb, ndim=ndim, kmax=kmax, engine=engine)
     s = np.zeros((nb, ndim), np.float32)
     s[:n] = samples
     lnl = np.full(nb, -1e30, np.float32)

@@ -737,6 +737,8 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
         V[i, 0] = 1.0
         L[i, 0] = 0.0
 
+    from ..utils.cache import record_shape
+    record_shape("grid_fast", batch=b_pad, rows=n_pad, ndim=ndim, kmax=kmax)
     fn = make_sharded_grid_evidence(mesh, ("dp", "ring"), kmax=kmax,
                                     ndim=ndim)
     sh3 = NamedSharding(mesh, P("dp", "ring", None))
@@ -877,6 +879,9 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
                     rw = r_white[i]
                     R[b, : rw.shape[0], : rw.shape[1]] = rw
                 NG[b] = n_refs[i]
+            from ..utils.cache import record_shape
+            record_shape("grid_refine_knn", batch=chunk, rows=n_pad,
+                         ref_rows=m_pad, dpad=dpad, k_sel=k_sel)
             q_dev = jax.device_put(jnp.asarray(Q, dtype), sh3)
             r_dev = q_dev if not cross else jax.device_put(
                 jnp.asarray(R, dtype), sh3)
@@ -1046,6 +1051,9 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     for i in range(b_true, b_pad):
         VAL[i, 0] = 1.0     # one fake valid row keeps pad-chain sums finite
 
+    from ..utils.cache import record_shape
+    record_shape("grid_device_refine", batch=b_pad, rows=n_pad, dpad=dpad,
+                 k_sel=k_sel, kmax=kmax, engine=engine)
     fn = make_sharded_grid_device_refine(mesh, ("dp", "ring"), k_sel=k_sel,
                                          kmax=kmax, engine=engine)
     sh3 = NamedSharding(mesh, P("dp", "ring", None))

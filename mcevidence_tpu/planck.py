@@ -709,6 +709,16 @@ def main(argv=None) -> int:
             shard_id=args.shard_id, engine=args.engine,
             precision=args.precision, batch_cells=args.batch_cells,
             cross=args.cross, seed=args.seed, resume=args.resume)
+        # compile-shape audit: distinct device program shapes this run —
+        # each one is a separate XLA compile (minutes on remote TPU) and a
+        # separate relay program load per cold process
+        from .utils.cache import shape_report
+        shapes = shape_report()
+        if shapes:
+            logger.info("compile-shape audit: %d distinct device program "
+                        "shape(s)", len(shapes))
+            for line in shapes:
+                logger.info("  %s", line)
     if args.no_aggregate:
         return 0
     # last shard (or a dedicated --aggregate-only run) merges everything

@@ -45,3 +45,29 @@ def enable_compilation_cache(path: str = "") -> None:
         logger.debug("persistent compilation cache at %s", path)
     except Exception as e:   # never let cache setup break an estimate
         logger.warning("could not enable compilation cache: %s", e)
+
+
+# ---------------------------------------------------------------------------
+# compile-shape audit: every device dispatch path records its padded shape
+# signature here.  Distinct entries correspond ~1:1 to distinct compiled XLA
+# programs; with remote TPU compiles costing minutes per shape (and relay
+# program loads seconds per shape per process), the distinct-shape count is
+# a first-class performance metric for a grid run.
+# ---------------------------------------------------------------------------
+
+_SHAPE_LOG: set = set()
+
+
+def record_shape(tag: str, **dims) -> None:
+    _SHAPE_LOG.add((tag, tuple(sorted(dims.items()))))
+
+
+def shape_report() -> list:
+    """Sorted human-readable audit lines, one per distinct program shape."""
+    return sorted(
+        "%s[%s]" % (tag, ", ".join(f"{k}={v}" for k, v in dims))
+        for tag, dims in _SHAPE_LOG)
+
+
+def reset_shape_log() -> None:
+    _SHAPE_LOG.clear()

@@ -65,3 +65,25 @@ def test_facade_constant_bscale(rng):
     out = mce.evidence()
     assert out.shape == (2, 1)
     assert np.all(np.isfinite(out))
+
+
+def test_compile_shape_audit_records_buckets():
+    """Same-bucket dispatches record one shape; distinct buckets add more."""
+    import numpy as np
+    from mcevidence_tpu.ops.pipeline import device_refine_evidence
+    from mcevidence_tpu.utils.cache import reset_shape_log, shape_report
+
+    rng = np.random.default_rng(0)
+    reset_shape_log()
+
+    def run(n):
+        th = rng.normal(size=(n, 3))
+        lnl = -0.5 * np.sum(th * th, axis=1)
+        device_refine_evidence(th, lnl, kmax=2, engine="xla")
+
+    run(900)
+    run(950)        # same power-of-two bucket -> no new shape
+    n1 = len(shape_report())
+    run(3000)       # new bucket
+    n2 = len(shape_report())
+    assert n1 == 1 and n2 == 2, shape_report()
