@@ -918,34 +918,39 @@ sharded_grid_auto_evidence_refine = sharded_grid_evidence_refine
 
 
 def make_sharded_grid_device_refine(mesh: Mesh, axes=("dp", "ring"), *,
-                                    k_sel: int, kmax: int, engine: str):
+                                    k_sel: int, kmax: int, engine: str,
+                                    cross: bool = False):
     """dp x ring device-resident parity program: a batch of chains
     data-parallel over ``dp``; within each ring group the chain's query
     rows are sharded and the reference set is materialized by a tiled
-    ``all_gather`` of the query shards over ICI (no duplicate host upload).
-    Each device runs batched packed selection + double-float refinement +
-    partial double-float estimator on its shard; the (B_loc, P, 2*kmax+1)
-    partials are all-gathered so only scalars leave the mesh — the
-    multi-chip counterpart of ``ops.pipeline.fused_refine_dotp_batch``.
-    Auto-evidence mode (self matches zeroed via the ring row offset).
+    ``all_gather`` over ICI (no replicated host upload — in auto mode the
+    query shards themselves are gathered, in cross mode the sharded-uploaded
+    reference partition is).  Each device runs batched packed selection +
+    double-float refinement + partial double-float estimator on its shard;
+    the (B_loc, P, 2*kmax+1) partials are all-gathered so only scalars
+    leave the mesh — the multi-chip counterpart of
+    ``ops.pipeline.fused_refine_dotp_batch``.  Auto mode zeroes the self
+    match via the ring row offset; cross mode searches each chain's queries
+    in its own reference partition (k0=0 semantics applied by the host).
     """
     dp, ring = axes
-    key = ("grid_devref", _mesh_key(mesh), axes, k_sel, kmax, engine)
+    key = ("grid_devref", _mesh_key(mesh), axes, k_sel, kmax, engine, cross)
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
         return fn
     from ..ops.pipeline import _refine_dotp_post
 
-    def body(qhi, qlo, scalh, scall, valid, n_ref, ndim, inv_s2):
+    def body(qhi, qlo, rhi_s, rlo_s, scalh, scall, valid, n_ref, ndim,
+             inv_s2):
         p_idx = jax.lax.axis_index(ring)
         nq_loc = qhi.shape[1]
         offset = (p_idx * nq_loc).astype(jnp.int32)
-        rhi = jax.lax.all_gather(qhi, ring, axis=1, tiled=True)
-        rlo = jax.lax.all_gather(qlo, ring, axis=1, tiled=True)
+        rhi = jax.lax.all_gather(rhi_s, ring, axis=1, tiled=True)
+        rlo = jax.lax.all_gather(rlo_s, ring, axis=1, tiled=True)
         if engine.startswith("pallas"):
             from ..ops.knn_pallas import knn_select_pallas_packed_batched
-            # no in-kernel diagonal pin: queries are a shard of the
-            # replicated reference, so the self candidate wins slot 0
+            # auto mode: no in-kernel diagonal pin — queries are a shard of
+            # the replicated reference, so the self candidate wins slot 0
             # naturally at distance 0; the post zeroes it via the offset.
             _, idx = knn_select_pallas_packed_batched(
                 qhi, rhi, k_sel, self_mode=False, nr=n_ref)
@@ -957,15 +962,23 @@ def make_sharded_grid_device_refine(mesh: Mesh, axes=("dp", "ring"), *,
 
         def post(qh, ql, rh, rl, sh, sl, v, nd, s2, ib):
             return _refine_dotp_post(qh, ql, rh, rl, sh, sl, v, nd, s2, ib,
-                                     offset, kmax=kmax, self_mode=True)
+                                     offset, kmax=kmax, self_mode=not cross)
 
         flat = jax.vmap(post)(qhi, qlo, rhi, rlo, scalh, scall, valid,
                               ndim, inv_s2, idx)
         return jax.lax.all_gather(flat, ring, axis=1)   # (B_loc, P, 2k+1)
 
+    if cross:
+        wrapped = body
+    else:
+        def wrapped(qhi, qlo, scalh, scall, valid, n_ref, ndim, inv_s2):
+            return body(qhi, qlo, qhi, qlo, scalh, scall, valid, n_ref,
+                        ndim, inv_s2)
+
+    ref_specs = (P(dp, ring, None), P(dp, ring, None)) if cross else ()
     sharded = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(dp, ring, None), P(dp, ring, None),
+        wrapped, mesh=mesh,
+        in_specs=(P(dp, ring, None), P(dp, ring, None), *ref_specs,
                   P(dp, ring), P(dp, ring), P(dp, ring),
                   P(dp), P(dp), P(dp)),
         out_specs=P(dp, None, None),
@@ -978,16 +991,20 @@ def make_sharded_grid_device_refine(mesh: Mesh, axes=("dp", "ring"), *,
 def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
                                         prior_volumes=None,
                                         sum_adjusted_weights=None,
+                                        chains2=None,
                                         pad_candidates: int = 4,
                                         mesh: Optional[Mesh] = None,
                                         engine: str = "auto") -> np.ndarray:
-    """Parity-grade batched auto evidence on a dp x ring mesh with
-    scalars-only device->host traffic: host f64 whitening per chain,
-    double-float coordinate upload, ONE SPMD program per batch (selection +
-    double-float refinement + estimator), f64 host bookkeeping.  The
-    device-resident sibling of :func:`sharded_grid_evidence_refine` — built
-    for relay-attached or pod deployments where fetching per-row candidate
-    indices dominates.  Returns (len(chains), kmax-1) at ~1e-13 lnZ parity.
+    """Parity-grade batched evidence on a dp x ring mesh with scalars-only
+    device->host traffic: host f64 whitening per chain, double-float
+    coordinate upload, ONE SPMD program per batch (selection + double-float
+    refinement + estimator), f64 host bookkeeping.  The device-resident
+    sibling of :func:`sharded_grid_evidence_refine` — built for
+    relay-attached or pod deployments where fetching per-row candidate
+    indices dominates.  Auto mode, or cross mode when ``chains2`` is a
+    matching sequence of reference-partition sample arrays (combined
+    covariance — quirk Q1; k0=0 semantics).  Returns (len(chains), kmax-1)
+    at ~1e-13 lnZ parity.
     """
     from ..ops.dfloat import df_split_rows
     from ..ops.knn import bucket_size_pow2
@@ -1005,25 +1022,42 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     ring_n = mesh.shape["ring"]
     norm = _normalize_chains(chains)
     b_true = len(norm)
+    cross = chains2 is not None
+    if cross:
+        refs = [np.asarray(s2, np.float64) for s2 in chains2]
+        if len(refs) != b_true:
+            raise ValueError("chains2 must match chains 1:1")
+        n_refs = [r.shape[0] for r in refs]
+    else:
+        refs = None
+        n_refs = [s.shape[0] for s, _, _ in norm]
     ndims = [s.shape[1] for s, _, _ in norm]
     dpad = _dpad_class(max(ndims))
     ns = [s.shape[0] for s, _, _ in norm]
-    if min(ns) <= kmax:
-        raise ValueError(f"chains shorter than kmax+1={kmax + 1} rows are "
-                         "not supported by the batched device-refine path; "
-                         "use evidence_fn per chain")
+    if min(n_refs) <= kmax:
+        raise ValueError(f"reference partitions shorter than kmax+1="
+                         f"{kmax + 1} rows are not supported by the batched "
+                         "device-refine path; use evidence_fn per chain")
     n_pad = bucket_size_pow2(max(ns))
     n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
+    if cross:
+        m_pad = bucket_size_pow2(max(n_refs))
+        m_pad = ((m_pad + ring_n - 1) // ring_n) * ring_n
+    else:
+        m_pad = n_pad
     b_pad = 1
     while b_pad < b_true:
         b_pad *= 2
     b_pad = ((b_pad + dp_n - 1) // dp_n) * dp_n
-    k_sel = min(kmax + pad_candidates, min(ns))
+    k_sel = min(kmax + pad_candidates, min(n_refs))
     if prior_volumes is None:
         prior_volumes = np.ones(b_true)
 
     QHI = np.zeros((b_pad, n_pad, dpad), np.float32)
     QLO = np.zeros((b_pad, n_pad, dpad), np.float32)
+    if cross:
+        RHI = np.zeros((b_pad, m_pad, dpad), np.float32)
+        RLO = np.zeros((b_pad, m_pad, dpad), np.float32)
     SCH = np.zeros((b_pad, n_pad), np.float32)
     SCL = np.zeros((b_pad, n_pad), np.float32)
     VAL = np.zeros((b_pad, n_pad), np.float32)
@@ -1033,18 +1067,28 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     hosts = []
     for i, (s, l, w) in enumerate(norm):
         n, d = s.shape
-        stats = whiten_stats(s)
-        sw = apply_whiten(s, stats)
-        sw, _ = center_f64(sw, None)
+        if cross:
+            stats = whiten_stats(np.concatenate([s, refs[i]]))
+            sw = apply_whiten(s, stats)
+            rw = apply_whiten(refs[i], stats)
+            # common re-centre on the reference set (selection precision)
+            mu_w = rw.mean(axis=0)
+            sw = sw - mu_w
+            rw = rw - mu_w
+            df_split_rows(rw, RHI[i], RLO[i])
+        else:
+            stats = whiten_stats(s)
+            sw = apply_whiten(s, stats)
+            sw, _ = center_f64(sw, None)
         df_split_rows(sw, QHI[i], QLO[i])
         lnl_max = float(np.max(l))
         fs = np.exp(l - lnl_max) / w
         df_split_rows(fs, SCH[i], SCL[i])
         VAL[i, :n] = 1.0
-        NG[i] = n
+        NG[i] = n_refs[i]
         ND[i] = d
-        IS2[i] = np.float32(n ** (2.0 / d) / d)
-        hosts.append(dict(n=n, ndim=d, lnl_max=lnl_max, cross=False,
+        IS2[i] = np.float32(n_refs[i] ** (2.0 / d) / d)
+        hosts.append(dict(n=n, ndim=d, lnl_max=lnl_max, cross=cross,
                           log_j=stats.log_jacobian, sum_w=float(np.sum(w)),
                           inv_s2=float(IS2[i]), k_sel=k_sel,
                           kmax_eff=kmax, engine=engine))
@@ -1052,16 +1096,21 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
         VAL[i, 0] = 1.0     # one fake valid row keeps pad-chain sums finite
 
     from ..utils.cache import record_shape
-    record_shape("grid_device_refine", batch=b_pad, rows=n_pad, dpad=dpad,
-                 k_sel=k_sel, kmax=kmax, engine=engine)
+    record_shape("grid_device_refine", batch=b_pad, rows=n_pad,
+                 ref_rows=m_pad, dpad=dpad, k_sel=k_sel, kmax=kmax,
+                 cross=cross, engine=engine)
     fn = make_sharded_grid_device_refine(mesh, ("dp", "ring"), k_sel=k_sel,
-                                         kmax=kmax, engine=engine)
+                                         kmax=kmax, engine=engine,
+                                         cross=cross)
     sh3 = NamedSharding(mesh, P("dp", "ring", None))
     sh2 = NamedSharding(mesh, P("dp", "ring"))
     sh1 = NamedSharding(mesh, P("dp"))
+    ref_args = ((jax.device_put(jnp.asarray(RHI), sh3),
+                 jax.device_put(jnp.asarray(RLO), sh3)) if cross else ())
     parts = np.asarray(fn(
         jax.device_put(jnp.asarray(QHI), sh3),
         jax.device_put(jnp.asarray(QLO), sh3),
+        *ref_args,
         jax.device_put(jnp.asarray(SCH), sh2),
         jax.device_put(jnp.asarray(SCL), sh2),
         jax.device_put(jnp.asarray(VAL), sh2),
@@ -1076,7 +1125,7 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
                     4 * pad_candidates + 8)
         return sharded_grid_device_refine_evidence(
             chains, kmax=kmax, prior_volumes=prior_volumes,
-            sum_adjusted_weights=sum_adjusted_weights,
+            sum_adjusted_weights=sum_adjusted_weights, chains2=chains2,
             pad_candidates=4 * pad_candidates + 8, mesh=mesh, engine=engine)
 
     out = np.zeros((b_true, kmax - 1))

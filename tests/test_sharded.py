@@ -197,3 +197,21 @@ def test_grid_device_refine_importance_sumw(rng):
     want = evidence_fn(th, lnl, weights=w, kmax=2, engine="xla",
                        sum_adjusted_weights=2.0 * w.sum())
     np.testing.assert_allclose(got[0], want, rtol=0, atol=1e-8)
+
+
+def test_grid_device_refine_cross(rng):
+    from mcevidence_tpu.parallel.ring import (
+        sharded_grid_device_refine_evidence)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("dp", "ring"))
+    chains, refs = [], []
+    for i, (n, m, d) in enumerate([(800, 600, 3), (500, 900, 4)]):
+        th, lnl = make_gaussian_chain(np.random.default_rng(70 + i),
+                                      n=n + m, ndim=d)
+        chains.append((th[:n], lnl[:n]))
+        refs.append(th[n:])
+    got = sharded_grid_device_refine_evidence(
+        chains, chains2=refs, kmax=3, mesh=mesh2, engine="xla")
+    for i, ((th, lnl), r) in enumerate(zip(chains, refs)):
+        want = evidence_fn(th, lnl, samples2=r, kmax=3, engine="xla")
+        np.testing.assert_allclose(got[i], want, rtol=0, atol=1e-8)
