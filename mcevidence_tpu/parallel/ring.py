@@ -675,13 +675,19 @@ def _normalize_chains(chains):
     return norm
 
 
-def _grid_batch_layout(norm, mesh):
-    """Common padded-batch geometry for the 2-D-mesh programs."""
+def _grid_batch_layout(norm, mesh, pow2_rows: bool = False):
+    """Common padded-batch geometry for the 2-D-mesh programs.
+
+    ``pow2_rows``: coarse power-of-two row buckets (the device-refine
+    discipline, matching ``_device_refine_prepare``) instead of the default
+    finer ``bucket_size`` steps."""
+    from ..ops.knn import bucket_size_pow2
     dp_n = mesh.shape["dp"]
     ring_n = mesh.shape["ring"]
     b_true = len(norm)
     ndim = norm[0][0].shape[1]
-    n_pad = bucket_size(max(s.shape[0] for s, _, _ in norm))
+    rows = max(s.shape[0] for s, _, _ in norm)
+    n_pad = bucket_size_pow2(rows) if pow2_rows else bucket_size(rows)
     n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
     # bucket the batch axis too (next power of two, then dp-divisible):
     # every distinct (B, Np, d) is its own multi-minute remote compile.
@@ -1018,7 +1024,6 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     if mesh is None:
         devs = np.array(jax.devices())
         mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
-    dp_n = mesh.shape["dp"]
     ring_n = mesh.shape["ring"]
     norm = _normalize_chains(chains)
     b_true = len(norm)
@@ -1038,17 +1043,12 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
         raise ValueError(f"reference partitions shorter than kmax+1="
                          f"{kmax + 1} rows are not supported by the batched "
                          "device-refine path; use evidence_fn per chain")
-    n_pad = bucket_size_pow2(max(ns))
-    n_pad = ((n_pad + ring_n - 1) // ring_n) * ring_n
+    _, b_pad, n_pad, _ = _grid_batch_layout(norm, mesh, pow2_rows=True)
     if cross:
         m_pad = bucket_size_pow2(max(n_refs))
         m_pad = ((m_pad + ring_n - 1) // ring_n) * ring_n
     else:
         m_pad = n_pad
-    b_pad = 1
-    while b_pad < b_true:
-        b_pad *= 2
-    b_pad = ((b_pad + dp_n - 1) // dp_n) * dp_n
     k_sel = min(kmax + pad_candidates, min(n_refs))
     if prior_volumes is None:
         prior_volumes = np.ones(b_true)
@@ -1119,14 +1119,24 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
         jax.device_put(jnp.asarray(IS2), sh1)), np.float64)
 
     thin_true = parts[:b_true, :, -1].sum()
-    if thin_true > 0 and pad_candidates < 32:
-        logger.info("grid device-refine: thin margins on %d rows; re-running "
-                    "with %d extra candidates", int(thin_true),
-                    4 * pad_candidates + 8)
-        return sharded_grid_device_refine_evidence(
-            chains, kmax=kmax, prior_volumes=prior_volumes,
-            sum_adjusted_weights=sum_adjusted_weights, chains2=chains2,
-            pad_candidates=4 * pad_candidates + 8, mesh=mesh, engine=engine)
+    if thin_true > 0:
+        # retry only if more padding would actually widen the candidate set
+        # (k_sel is capped by the smallest reference partition)
+        retry_pad = 4 * pad_candidates + 8
+        if (pad_candidates < 32
+                and min(kmax + retry_pad, min(n_refs)) > k_sel):
+            logger.info("grid device-refine: thin margins on %d rows; "
+                        "re-running with %d extra candidates",
+                        int(thin_true), retry_pad)
+            return sharded_grid_device_refine_evidence(
+                chains, kmax=kmax, prior_volumes=prior_volumes,
+                sum_adjusted_weights=sum_adjusted_weights, chains2=chains2,
+                pad_candidates=retry_pad, mesh=mesh, engine=engine)
+        logger.warning(
+            "grid device-refine: %d rows had thin candidate margins "
+            "(near-tied neighbour distances) and the candidate set cannot "
+            "be widened further; use sharded_grid_evidence_refine if exact "
+            "tie ordering matters", int(thin_true))
 
     out = np.zeros((b_true, kmax - 1))
     for i in range(b_true):

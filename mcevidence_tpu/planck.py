@@ -700,6 +700,10 @@ def main(argv=None) -> int:
 
     all_df = None
     if not args.aggregate_only:
+        # scope the compile-shape audit to THIS run (a warm process may have
+        # dispatched other shapes earlier)
+        from .utils.cache import reset_shape_log
+        reset_shape_log()
         all_df = run_grid(
             args.rootdir, args.outdir, basename=args.name,
             kmax=args.kmax, nchain=args.nchain, ndata=args.ndata,
