@@ -91,6 +91,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--error", action="store_true",
                    help="also report a statistical error bar from per-chain "
                         "scatter (needs >= 2 chain files)")
+    p.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                   help="also report a Bayesian-bootstrap error bar from N "
+                        "Dirichlet-reweighting replicates (works with a "
+                        "single chain; auto mode only)")
     return p
 
 
@@ -152,6 +156,19 @@ def main(argv=None) -> int:
                       f"+/- {err[k - 1]}")
         except ValueError as e:
             print(f"error bars unavailable: {e}", file=sys.stderr)
+    if args.bootstrap > 0:
+        from .evidence import evidence_bootstrap
+        try:
+            _, berr, _ = evidence_bootstrap(
+                chains, kmax=args.kmax, n_boot=args.bootstrap,
+                seed=args.seed or 0, ndim=ndim, priorvolume=prior_volume,
+                burnlen=args.burnlen, thinlen=args.thinlen,
+                split=args.cross, engine=args.engine)
+            for k in range(1, mce.kmax):
+                print(f"   bootstrap ln(B)[k={k}] = {mle[k - 1]} "
+                      f"+/- {berr[k - 1]}")
+        except ValueError as e:
+            print(f"bootstrap error bars unavailable: {e}", file=sys.stderr)
     print("* ln(B)[k] is the natural logarithm of the Bayesian evidence "
           "estimated using the kth Nearest Neighbour.")
     print(CITE)

@@ -130,3 +130,21 @@ def test_mcsamples_thin_chain_argument(files, rng):
     out = gd.thin(2, chain=chain)
     assert out.shape[1] == 3 and len(out) == 30   # w=2 >= factor: all kept
     assert gd.thin(1) is None                     # nthin==1 no-op
+
+
+def test_cli_bootstrap_flag(tmp_path, rng, capsys):
+    ndim, n = 3, 700
+    mean = np.array([0.0226, 0.112, 1.041])
+    sig = np.array([0.0002, 0.002, 0.0005])
+    theta = rng.normal(mean, sig, size=(n, ndim))
+    neglnl = 0.5 * np.sum(((theta - mean) / sig) ** 2, axis=1)
+    np.savetxt(tmp_path / "toy_1.txt",
+               np.column_stack([np.ones(n), neglnl, theta]))
+    (tmp_path / "toy.ranges").write_text(
+        "omegabh2 0.019 0.026\nomegach2 0.09 0.14\ntheta 1.03 1.05\n")
+    from mcevidence_tpu.cli import main
+    rc = main([str(tmp_path / "toy"), "-k", "2", "-vb", "0",
+               "--engine", "xla", "--bootstrap", "16"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bootstrap ln(B)[k=1]" in out and "+/-" in out
