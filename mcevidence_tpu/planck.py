@@ -261,10 +261,13 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         # device-resident per-cell pipeline: every cell's fused program
         # (packed selection + double-float refine + estimator) is DISPATCHED
         # before any result is fetched — only (2*kmax+1,) scalars ever come
-        # back, so a slow device->host link costs nothing.  (Chunked
-        # dispatch via fused_refine_dotp_batch was measured SLOWER here:
-        # padding chunks to a fixed batch recomputes duplicate cells, which
-        # outweighs the saved round trips at this grid's group sizes.)
+        # back, so a slow device->host link costs nothing.  (Batching via
+        # fused_refine_dotp_batch was measured NOT to help end to end:
+        # padding mixed-size chunks recomputes duplicate cells, and even
+        # zero-padding same-shape groups — 35% faster dispatched in
+        # isolation — is flat through the relay because the async per-cell
+        # dispatch below already pipelines the round trips, while batching
+        # adds a device-side stack and extra compile shapes.)
         from .ops.pipeline import (_device_refine_finalize,
                                    _device_refine_prepare,
                                    device_refine_evidence,
