@@ -461,17 +461,20 @@ def evidence_bootstrap(source, *, kmax: int = 2, n_boot: int = 100,
 
     Complements :func:`evidence_with_error` (per-chain scatter, the
     reference's SingleChains recipe): bootstrap works when only a single
-    chain exists.  Auto-evidence mode only (a reference-set bootstrap would
-    need a fresh kNN pass per replicate).
+    chain exists.  With ``split=True`` (cross-evidence) the replicates
+    perturb the query partition's row masses; the reference partition only
+    contributes positions to the (weight-independent) kNN distances, so the
+    shared-kNN trick still applies — its own sampling noise is simply not
+    resampled, same as the query positions' in auto mode.
 
     Returns ``(lnz, err, replicates)``: ``lnz`` the unperturbed estimate for
     k = 1..kmax-1, ``err`` the replicate standard deviation per k,
     ``replicates`` the (n_boot, kmax-1) array.
     """
-    if kwargs.get("split"):
-        raise ValueError("evidence_bootstrap supports auto mode only "
-                         "(cross-mode reference sets cannot be reweighted "
-                         "without a fresh kNN pass per replicate)")
+    cross = bool(kwargs.get("split"))
+    # reproducibility: the ingest-time RNG (split / Poisson thinning) shares
+    # the bootstrap seed unless the caller provides its own
+    kwargs.setdefault("seed", seed)
     mc = MCEvidence(source, kmax=kmax, verbose=0, engine=engine,
                     idpattern=idpattern, **kwargs)
     kmax = mc.kmax
@@ -479,9 +482,15 @@ def evidence_bootstrap(source, *, kmax: int = 2, n_boot: int = 100,
     if np.any(w <= 0):
         raise ValueError("evidence_bootstrap requires strictly positive "
                          "weights")
-    stats = whiten_stats(s)
+    if cross:
+        s2 = mc._get_batch("s2", 0, False)[0]
+        stats = whiten_stats(np.concatenate([s, s2]))   # covtype='all', Q1
+        s2w = apply_whiten(s2, stats)
+    else:
+        s2w = None
+        stats = whiten_stats(s)
     s1w = apply_whiten(s, stats)
-    dknn = exact_knn(s1w, None, kmax, refine=True, engine=engine)
+    dknn = exact_knn(s1w, s2w, kmax, refine=True, engine=engine)
     log_pv = math.log(mc.priorvolume)
     n = s.shape[0]
     # importance reweighting enters only through SumW (quirk Q7); carry the
@@ -492,7 +501,7 @@ def evidence_bootstrap(source, *, kmax: int = 2, n_boot: int = 100,
         return log_evidence_from_knn_np(
             dknn, lnl, wts, sumw, mc.ndim,
             log_jacobian=stats.log_jacobian, log_prior_volume=log_pv,
-            k_start=1, nsamples=n)[1:]
+            k_start=0 if cross else 1, nsamples=n)[1:]
 
     lnz = estimate(w, float(np.sum(w * adj_ratio)))
     rng = np.random.default_rng(seed)

@@ -349,8 +349,13 @@ def test_bootstrap_weighted_and_importance(rng):
     assert np.isfinite(lnz).all() and np.all(err > 0)
 
 
-def test_bootstrap_rejects_split():
+def test_bootstrap_cross_mode(rng):
     from mcevidence_tpu import evidence_bootstrap
-    with pytest.raises(ValueError, match="auto mode"):
-        evidence_bootstrap({"samples": np.zeros((10, 2)),
-                            "loglikes": np.zeros(10)}, split=True)
+    theta, lnl = make_gaussian_chain(rng, n=1600, ndim=3)
+    lnz, err, reps = evidence_bootstrap(
+        {"samples": theta, "loglikes": lnl}, kmax=2, n_boot=24, seed=5,
+        split=True, engine="xla")
+    assert np.isfinite(lnz).all() and np.all(err > 0)
+    # samples drawn from a normalized likelihood with V_prior=1: lnZ ~ 0
+    assert abs(lnz[0]) < 0.3
+    assert np.all(np.abs(reps.mean(axis=0) - lnz) < 5 * err)

@@ -115,3 +115,36 @@ def test_cross_error_reduction_claim():
     # cross uses half the queries, so the pure-claim ratio is diluted;
     # assert the directional claim with wide statistical margins
     assert 0.5 < ratio < 2.5, (ratio, np.std(autos), np.std(crosses))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_config_parity_device_mode(seed):
+    """The device-resident double-float path against the same f64 oracle —
+    the production parity mode (precision='device') checked across random
+    configs, auto and cross (covtype='all': the device path's cross mode)."""
+    rng = np.random.default_rng(2000 + seed)
+    n = int(rng.integers(300, 1200))
+    ndim = int(rng.integers(2, 9))
+    kmax = int(rng.integers(2, 6))
+    cross = bool(rng.integers(0, 2))
+    int_weights = bool(rng.integers(0, 2))
+
+    scale = np.exp(rng.normal(0, 1, ndim))
+    mean = rng.normal(0, 3, ndim)
+    theta = rng.normal(mean, scale, size=(n, ndim))
+    lnl = -0.5 * np.sum(((theta - mean) / scale) ** 2, axis=1)
+    w = (rng.integers(1, 6, n).astype(float) if int_weights
+         else rng.random(n) + 0.5)
+    pv = float(np.exp(rng.normal(0, 2)))
+    theta2 = rng.normal(mean, scale, size=(int(rng.integers(300, 900)),
+                                           ndim)) if cross else None
+
+    ours = evidence_fn(theta, lnl, weights=w, samples2=theta2, kmax=kmax,
+                       covtype="all", prior_volume=pv, engine="xla",
+                       precision="device")
+    truth = oracle(theta, lnl, w, kmax, theta2=theta2, covtype="all",
+                   prior_volume=pv)
+    np.testing.assert_allclose(
+        ours, truth, rtol=0, atol=1e-6,
+        err_msg=f"device-mode config: n={n} d={ndim} kmax={kmax} "
+                f"cross={cross} int_w={int_weights}")
