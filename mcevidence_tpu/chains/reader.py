@@ -37,20 +37,58 @@ logger = logging.getLogger(__name__)
 ChainSource = Union[str, Sequence, Mapping, np.ndarray]
 
 
+# Raw-parse binary cache: text parsing is the dominant steady-state host
+# cost of a grid run (~9 s of ~24 s for the full Planck grid); a .npy cache
+# keyed on (path, size, mtime) turns repeat parses into memory-speed reads.
+# Opt-in via the MCE_PARSE_CACHE env var or set_parse_cache() (the planck
+# driver exposes --parse-cache).  The cache stores the RAW parsed table —
+# burn/thin/split always run downstream, so changing those settings reuses
+# the cache.
+_PARSE_CACHE_DIR: Optional[str] = os.environ.get("MCE_PARSE_CACHE") or None
+
+
+def set_parse_cache(path: Optional[str]) -> None:
+    global _PARSE_CACHE_DIR
+    _PARSE_CACHE_DIR = path or None
+
+
+def _parse_cache_path(path: str) -> Optional[str]:
+    if not _PARSE_CACHE_DIR:
+        return None
+    import hashlib
+    st = os.stat(path)
+    key = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+    return os.path.join(_PARSE_CACHE_DIR,
+                        f"{key}-{st.st_size}-{int(st.st_mtime)}.npy")
+
+
 def parse_chain_file(path: str) -> np.ndarray:
     """Parse one whitespace-delimited chain file to a float64 matrix."""
+    cpath = _parse_cache_path(path)
+    if cpath and os.path.exists(cpath):
+        try:
+            return np.load(cpath)
+        except Exception as e:          # truncated/corrupt cache: re-parse
+            logger.warning("parse cache read failed for %s: %s", cpath, e)
     from ..native import chainload
     arr = chainload.load_table(path)
-    if arr is not None:
-        return arr
-    # pandas C engine is ~10x faster than np.loadtxt on big chains
-    try:
-        import pandas as pd
-        df = pd.read_csv(path, sep=r"\s+", header=None, comment="#",
-                         dtype=np.float64)
-        return df.to_numpy()
-    except Exception:
-        return np.loadtxt(path)
+    if arr is None:
+        # pandas C engine is ~10x faster than np.loadtxt on big chains
+        try:
+            import pandas as pd
+            arr = pd.read_csv(path, sep=r"\s+", header=None, comment="#",
+                              dtype=np.float64).to_numpy()
+        except Exception:
+            arr = np.loadtxt(path)
+    if cpath:
+        try:
+            os.makedirs(_PARSE_CACHE_DIR, exist_ok=True)
+            tmp = f"{cpath}.{os.getpid()}.tmp.npy"
+            np.save(tmp, arr)
+            os.replace(tmp, cpath)      # atomic: concurrent shards race-safe
+        except Exception as e:
+            logger.warning("parse cache write failed for %s: %s", cpath, e)
+    return arr
 
 
 def resolve_chain_files(fname: Union[str, Sequence[str]],

@@ -624,6 +624,10 @@ def build_parser() -> ArgumentParser:
                    help="never merge (shard workers forked by --procs)")
     p.add_argument("--resume", action="store_true",
                    help="skip datasets whose csv output already exists")
+    p.add_argument("--parse-cache", default="", metavar="DIR",
+                   help="cache raw parsed chain tables as .npy under DIR "
+                        "(keyed on path+size+mtime; burn/thin/split run "
+                        "downstream, so settings changes reuse the cache)")
     p.add_argument("--batch-cells", action="store_true",
                    help="batch a dataset's cells into single SPMD programs "
                         "(dp x ring mesh; fastest)")
@@ -701,6 +705,9 @@ def main(argv=None) -> int:
     if args.verbose > 0:
         print(args)
 
+    if args.parse_cache:
+        from .chains.reader import set_parse_cache
+        set_parse_cache(args.parse_cache)
     all_df = None
     if not args.aggregate_only:
         # scope the compile-shape audit to THIS run (a warm process may have

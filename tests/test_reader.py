@@ -154,3 +154,29 @@ def test_native_loader_page_aligned_no_trailing_newline(tmp_path):
     if got is None:
         pytest.skip("native chainload not built")
     np.testing.assert_array_equal(got, np.loadtxt(str(p)).reshape(1, -1))
+
+
+def test_parse_cache_roundtrip_and_invalidation(tmp_path):
+    import time as _time
+
+    from mcevidence_tpu.chains import reader
+
+    f = tmp_path / "chain_1.txt"
+    f.write_text("1 0.5 1.0 2.0\n1 0.7 1.1 2.1\n")
+    cdir = tmp_path / "pcache"
+    reader.set_parse_cache(str(cdir))
+    try:
+        a = reader.parse_chain_file(str(f))
+        cached = list(cdir.glob("*.npy"))
+        assert len(cached) == 1
+        b = reader.parse_chain_file(str(f))       # served from cache
+        np.testing.assert_array_equal(a, b)
+        # invalidation: appending a row changes size -> new cache entry
+        _time.sleep(0.01)
+        with open(f, "a") as fp:
+            fp.write("1 0.9 1.2 2.2\n")
+        c = reader.parse_chain_file(str(f))
+        assert c.shape[0] == 3
+        assert len(list(cdir.glob("*.npy"))) == 2
+    finally:
+        reader.set_parse_cache(None)
