@@ -159,13 +159,17 @@ def main(argv=None) -> int:
     if args.bootstrap > 0:
         from .evidence import evidence_bootstrap
         try:
-            _, berr, _ = evidence_bootstrap(
+            # print the bootstrap's OWN center: with --cross and no --seed
+            # its internal split is a different realization than the main
+            # run's, and pairing one realization's center with another's
+            # spread would be inconsistent
+            blnz, berr, _ = evidence_bootstrap(
                 chains, kmax=args.kmax, n_boot=args.bootstrap,
                 seed=args.seed or 0, ndim=ndim, priorvolume=prior_volume,
                 burnlen=args.burnlen, thinlen=args.thinlen,
                 split=args.cross, engine=args.engine)
             for k in range(1, mce.kmax):
-                print(f"   bootstrap ln(B)[k={k}] = {mle[k - 1]} "
+                print(f"   bootstrap ln(B)[k={k}] = {blnz[k - 1]} "
                       f"+/- {berr[k - 1]}")
         except ValueError as e:
             print(f"bootstrap error bars unavailable: {e}", file=sys.stderr)

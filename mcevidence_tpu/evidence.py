@@ -235,7 +235,9 @@ class MCEvidence:
                     f"partition {name}: nsamples={nsamples} > ntotal={ntot}")
             idx = self.rng.integers(0, ntot, size=nsamples)
         else:
-            idx = np.arange(nsamples)
+            # truncate, don't crash: 'constant' bscale batch sizes are
+            # cumulative and the last one can exceed the partition length
+            idx = np.arange(min(nsamples, ntot))
         return s[idx], lnp[idx], w[idx]
 
     def _stats_all(self) -> WhitenStats:

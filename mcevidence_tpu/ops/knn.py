@@ -242,7 +242,7 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
               *, refine: bool = True, pad_candidates: int = 4,
               engine: str = "auto", block_size: int = 2048,
               select_dtype=jnp.float32,
-              bucket: bool = True, _retry: bool = False) -> np.ndarray:
+              bucket: bool = True) -> np.ndarray:
     """Sorted kNN distances — the full parity pipeline.
 
     Args:
@@ -286,60 +286,43 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
     q32 = jnp.asarray(q_in, select_dtype)
     r32 = q32 if self_mode else jnp.asarray(r_in, select_dtype)
 
-    if engine.startswith("pallas"):
-        from .knn_pallas import (knn_select_pallas, knn_select_pallas_binned,
-                                 knn_select_pallas_packed)
-        # measured crossover (docs/KERNEL_NOTES.md): the packed kernel costs
-        # ~1.5 ms per extra k, the binned kernel is flat ~34 ms — packed
-        # wins until k_sel ~ 14 (e.g. the guard's retry pass).  Packed's
-        # 2^-12 distance quantization is immaterial when refining (the
-        # refine stage recomputes candidates in f64 and the sufficiency
-        # guard catches boundary ties) but would bias fast mode's directly-
-        # used distances, so refine=False keeps the exact kernel.
-        if engine == "pallas_binned" or (engine == "pallas" and k_sel >= 14):
-            sel = knn_select_pallas_binned
-        elif engine == "pallas_exact" or (engine == "pallas" and not refine):
-            sel = knn_select_pallas
-        else:
-            sel = knn_select_pallas_packed
-        d2, idx = sel(q32, r32, k_sel, self_mode=self_mode, nr=nr)
-    else:
-        d2, idx = knn_select_xla(q32, r32, k_sel, self_mode=self_mode,
-                                 block_size=min(block_size,
-                                                max(128, r32.shape[0])),
-                                 nr=nr)
+    def select(ks):
+        if engine.startswith("pallas"):
+            from .knn_pallas import (knn_select_pallas,
+                                     knn_select_pallas_binned,
+                                     knn_select_pallas_packed)
+            # measured crossover (docs/KERNEL_NOTES.md): the packed kernel
+            # costs ~1.5 ms per extra k, the binned kernel is flat ~34 ms —
+            # packed wins until k_sel ~ 14 (e.g. the guard's retry pass).
+            # Packed's 2^-12 distance quantization is immaterial when
+            # refining (the refine stage recomputes candidates in f64 and
+            # the sufficiency guard catches boundary ties) but would bias
+            # fast mode's directly-used distances, so refine=False keeps
+            # the exact kernel.
+            if engine == "pallas_binned" or (engine == "pallas" and ks >= 14):
+                sel = knn_select_pallas_binned
+            elif engine == "pallas_exact" or (engine == "pallas"
+                                              and not refine):
+                sel = knn_select_pallas
+            else:
+                sel = knn_select_pallas_packed
+            return sel(q32, r32, ks, self_mode=self_mode, nr=nr)
+        return knn_select_xla(q32, r32, ks, self_mode=self_mode,
+                              block_size=min(block_size,
+                                             max(128, r32.shape[0])),
+                              nr=nr)
+
+    d2, idx = select(k_sel)
 
     if refine:
         # only the candidate indices cross the (slow) device->host link;
-        # distances are recomputed exactly in f64 anyway.
+        # distances are recomputed exactly in f64 anyway.  The candidate-
+        # sufficiency guard + one re-selection retry live in
+        # guarded_refine_knn_f64 (shared with the sharded paths).
         idx = np.asarray(idx)[:nq]
-        d_all = _refine_knn_f64_all(q_np, r_np, idx, self_mode)
-        d = d_all[:, :k]
-        if k_sel < nr and d_all.shape[1] > k:
-            # sufficiency guard: a true neighbour can hide outside the
-            # candidate set only if its f32/packed ranking key tied with the
-            # boundary candidate, i.e. when the refined k-th distance sits
-            # within the ranking noise (~2^-11 relative) of the refined
-            # candidate boundary.
-            boundary = d_all[:, -1]
-            thin = ((d[:, k - 1] > boundary * (1.0 - 2.0 ** -10))
-                    & np.isfinite(boundary) & (boundary > 0))
-            if thin.any():
-                if not _retry:
-                    logger.info(
-                        "kNN candidate margin thin for %d/%d rows; "
-                        "re-selecting with %d extra candidates",
-                        int(thin.sum()), nq, 4 * pad_candidates + 8)
-                    return exact_knn(
-                        query, ref, k, refine=True,
-                        pad_candidates=4 * pad_candidates + 8,
-                        engine=engine, block_size=block_size,
-                        select_dtype=select_dtype, bucket=bucket,
-                        _retry=True)
-                logger.warning(
-                    "kNN candidate margin still thin for %d/%d rows after "
-                    "re-selection (near-tied neighbour distances); parity "
-                    "may be limited by genuine ties, which leave the "
-                    "evidence unchanged to O(tie gap)", int(thin.sum()), nq)
-        return d
+        if k_sel < nr:
+            return guarded_refine_knn_f64(
+                q_np, r_np, idx, k, self_mode=self_mode,
+                reselect=lambda ks: np.asarray(select(ks)[1])[:nq])
+        return _refine_knn_f64_all(q_np, r_np, idx, self_mode)[:, :k]
     return np.sqrt(np.asarray(d2, np.float64))[:nq, :k]

@@ -111,19 +111,10 @@ LOW_MASK = (1 << LOW_BITS) - 1
 assert TR <= (1 << LOW_BITS), "local column ids must fit the packed low bits"
 
 
-def _knn_kernel_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
-                       self_mode: bool):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        d2_out[:] = jnp.full_like(d2_out, jnp.inf)
-        idx_out[:] = jnp.full_like(idx_out, -1)
-
-    nr = nr_ref[0]
-    q = q_ref[:]
-    r = r_ref[:]
+def _packed_tile(nr, q, r, run_d2, run_idx, i, j, *, k: int,
+                 self_mode: bool):
+    """Shared body of the packed kernels: one (TQ, TR) ref tile's selection
+    merged into the running top-k.  Returns the new (d2, idx) blocks."""
     q_sq = jnp.sum(q * q, axis=1, keepdims=True)
     r_sq = jnp.sum(r * r, axis=1)[None, :]
     # full-f32 MXU pass: Mosaic lowers only DEFAULT/HIGHEST, and DEFAULT
@@ -157,8 +148,8 @@ def _knn_kernel_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     gidx = jnp.where(jnp.isinf(dq), -1, gidx)
 
     # merge with the running top-k: tiny (TQ, 2k) exact extraction
-    cat = jnp.concatenate([d2_out[:], dq], axis=1)
-    cat_idx = jnp.concatenate([idx_out[:], gidx], axis=1)
+    cat = jnp.concatenate([run_d2, dq], axis=1)
+    cat_idx = jnp.concatenate([run_idx, gidx], axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
     vals = []
     idxs = []
@@ -170,8 +161,24 @@ def _knn_kernel_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
         idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
                             keepdims=True))
         cat = jnp.where(mask, jnp.inf, cat)
-    d2_out[:] = jnp.concatenate(vals, axis=1)
-    idx_out[:] = jnp.concatenate(idxs, axis=1)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+
+
+def _knn_kernel_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
+                       self_mode: bool):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        d2_out[:] = jnp.full_like(d2_out, jnp.inf)
+        idx_out[:] = jnp.full_like(idx_out, -1)
+
+    d2_new, idx_new = _packed_tile(nr_ref[0], q_ref[:], r_ref[:],
+                                   d2_out[:], idx_out[:], i, j,
+                                   k=k, self_mode=self_mode)
+    d2_out[:] = d2_new
+    idx_out[:] = idx_new
 
 
 def _knn_kernel_packed_batched(nr_ref, q_ref, r_ref, d2_out, idx_out, *,
@@ -188,51 +195,11 @@ def _knn_kernel_packed_batched(nr_ref, q_ref, r_ref, d2_out, idx_out, *,
         d2_out[0] = jnp.full_like(d2_out[0], jnp.inf)
         idx_out[0] = jnp.full_like(idx_out[0], -1)
 
-    nr = nr_ref[b]
-    q = q_ref[0]
-    r = r_ref[0]
-    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
-    r_sq = jnp.sum(r * r, axis=1)[None, :]
-    d2 = q_sq + r_sq - 2.0 * jnp.dot(q, r.T,
-                                     preferred_element_type=jnp.float32,
-                                     precision=jax.lax.Precision.HIGHEST)
-
-    lcol = jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 1)
-    gcol = j * TR + lcol
-    d2 = jnp.maximum(d2, 0.0)
-    d2 = jnp.where(gcol < nr, d2, jnp.inf)
-    if self_mode:
-        grow = i * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 0)
-        d2 = jnp.where(gcol == grow, -1.0, d2)
-
-    pk = jax.lax.bitcast_convert_type(d2, jnp.int32)
-    pk = (pk & jnp.int32(~LOW_MASK)) | lcol
-    winners = []
-    int_max = jnp.int32(2147483647)
-    for _ in range(k):
-        m = jnp.min(pk, axis=1, keepdims=True)
-        winners.append(m)
-        pk = jnp.where(pk == m, int_max, pk)
-    w = jnp.concatenate(winners, axis=1)
-    dq = jax.lax.bitcast_convert_type(w & jnp.int32(~LOW_MASK), jnp.float32)
-    gidx = j * TR + (w & jnp.int32(LOW_MASK))
-    gidx = jnp.where(jnp.isinf(dq), -1, gidx)
-
-    cat = jnp.concatenate([d2_out[0], dq], axis=1)
-    cat_idx = jnp.concatenate([idx_out[0], gidx], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
-    vals = []
-    idxs = []
-    neg_big = jnp.int32(-2147483648)
-    for _ in range(k):
-        am = jnp.argmin(cat, axis=1)[:, None]
-        mask = col == am
-        vals.append(jnp.min(cat, axis=1, keepdims=True))
-        idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
-                            keepdims=True))
-        cat = jnp.where(mask, jnp.inf, cat)
-    d2_out[0] = jnp.concatenate(vals, axis=1)
-    idx_out[0] = jnp.concatenate(idxs, axis=1)
+    d2_new, idx_new = _packed_tile(nr_ref[b], q_ref[0], r_ref[0],
+                                   d2_out[0], idx_out[0], i, j,
+                                   k=k, self_mode=self_mode)
+    d2_out[0] = d2_new
+    idx_out[0] = idx_new
 
 
 @functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))

@@ -199,8 +199,6 @@ def _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
     statically unrolled to MAX_HALF_POW and masked), so one compile serves
     every dimensionality.
     """
-    from .dfloat import (candidate_d2_df, df_mul, df_mul_f32, df_reduce_sum,
-                         df_sqrt)
     # kernel_self_pin: the in-kernel diagonal pin assumes query row i IS
     # reference row i (single shard).  Sharded self mode (queries are a
     # shard of the replicated reference set) selects without the pin — the
@@ -460,6 +458,37 @@ def _device_refine_finalize(flat, host, kmax, prior_volume,
     return mle[1:]
 
 
+def host_refine_evidence(samples, lnlike, weights=None, *, samples2=None,
+                         kmax: int = 2, prior_volume: float = 1.0,
+                         sum_adjusted_weights=None,
+                         engine: str = "auto") -> np.ndarray:
+    """Host-refine path as a standalone call (whiten -> exact_knn refine ->
+    f64 log-space estimator) — the overflow-proof fallback the device paths
+    route to when the double-float estimator leaves f32 dynamic range."""
+    from .estimator import log_evidence_from_knn_np
+    from .knn import exact_knn
+    from .whiten import apply_whiten, whiten_stats
+    kmax = max(2, kmax)
+    samples = np.asarray(samples, np.float64)
+    lnlike = np.asarray(lnlike, np.float64)
+    n, ndim = samples.shape
+    w = np.ones(n) if weights is None else np.asarray(weights, np.float64)
+    cross = samples2 is not None
+    allx = np.concatenate([samples, samples2]) if cross else samples
+    stats = whiten_stats(allx)
+    s1w = apply_whiten(samples, stats)
+    s2w = apply_whiten(np.asarray(samples2, np.float64), stats) \
+        if cross else None
+    dknn = exact_knn(s1w, s2w, kmax, refine=True, engine=engine)
+    sumw = (float(np.sum(w)) if sum_adjusted_weights is None
+            else float(sum_adjusted_weights))
+    mle = log_evidence_from_knn_np(
+        dknn, lnlike, w, sumw, ndim, log_jacobian=stats.log_jacobian,
+        log_prior_volume=math.log(prior_volume),
+        k_start=0 if cross else 1, nsamples=n)
+    return mle[1:]
+
+
 def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
                            weights: Optional[np.ndarray] = None, *,
                            samples2: Optional[np.ndarray] = None,
@@ -486,19 +515,36 @@ def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
         k_sel=host["k_sel"], kmax=host["kmax_eff"], engine=host["engine"],
         self_mode=samples2 is None)
     flat_np = np.asarray(flat)
-    if flat_np[-1] > 0 and pad_candidates < 32:
-        # thin candidate margins: one retry with 4x padding (same policy as
-        # exact_knn's sufficiency guard)
-        logger.info("device-refine: thin margins on %d rows; re-running "
-                    "with %d extra candidates", int(flat_np[-1]),
-                    4 * pad_candidates + 8)
-        return device_refine_evidence(
+    n_ref = samples2.shape[0] if samples2 is not None else samples.shape[0]
+    if not np.all(np.isfinite(flat_np[:2 * host["kmax_eff"]])):
+        # double-float overflow (z^(ndim/2) left f32 range — far outlier
+        # rows / high ndim): the log-space host path has unlimited range
+        logger.warning("device-refine: double-float overflow; falling back "
+                       "to the host refine path")
+        return host_refine_evidence(
             samples, lnlike, weights, samples2=samples2, kmax=kmax,
             prior_volume=prior_volume,
-            sum_adjusted_weights=sum_adjusted_weights,
-            pad_candidates=4 * pad_candidates + 8, engine=engine)
+            sum_adjusted_weights=sum_adjusted_weights, engine=engine)
+    # thin-margin guard: moot when every reference row is already a
+    # candidate (k_sel == n_ref => the selection is trivially sufficient)
+    if flat_np[-1] > 0 and host["k_sel"] < n_ref:
+        retry_pad = 4 * pad_candidates + 8
+        if (pad_candidates < 32
+                and min(kmax + retry_pad, n_ref) > host["k_sel"]):
+            # thin candidate margins: one retry with 4x padding (same
+            # policy as exact_knn's sufficiency guard)
+            logger.info("device-refine: thin margins on %d rows; re-running "
+                        "with %d extra candidates", int(flat_np[-1]),
+                        retry_pad)
+            return device_refine_evidence(
+                samples, lnlike, weights, samples2=samples2, kmax=kmax,
+                prior_volume=prior_volume,
+                sum_adjusted_weights=sum_adjusted_weights,
+                pad_candidates=retry_pad, engine=engine)
+        return _device_refine_finalize(flat_np, host, kmax, prior_volume,
+                                       sum_adjusted_weights, warn_thin=True)
     return _device_refine_finalize(flat_np, host, kmax, prior_volume,
-                                   sum_adjusted_weights)
+                                   sum_adjusted_weights, warn_thin=False)
 
 
 def device_refine_auto_evidence(samples, lnlike, weights=None, **kw):

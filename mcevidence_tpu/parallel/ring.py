@@ -42,8 +42,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.estimator import log_ball_volume_const, log_evidence_from_knn_np
-from ..ops.knn import (bucket_size, center_f64, guarded_refine_knn_f64,
-                       refine_knn_f64)
+from ..ops.knn import bucket_size, center_f64, guarded_refine_knn_f64
 
 logger = logging.getLogger(__name__)
 
@@ -1143,9 +1142,21 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
         # exact f64 combine of the per-device double-float partials
         vals = (parts[i, :, :kmax].sum(axis=0)
                 + parts[i, :, kmax:2 * kmax].sum(axis=0))
-        flat = np.concatenate([vals, np.zeros(kmax), [0.0]])
         sw_i = (None if sum_adjusted_weights is None
                 else float(sum_adjusted_weights[i]))
+        if not np.all(np.isfinite(vals)):
+            # double-float overflow on this chain (far outliers / high
+            # ndim): the log-space host path has unlimited range
+            from ..ops.pipeline import host_refine_evidence
+            logger.warning("grid device-refine: double-float overflow on "
+                           "chain %d; host-refine fallback", i)
+            s, l, w = norm[i]
+            out[i] = host_refine_evidence(
+                s, l, w, samples2=refs[i] if cross else None, kmax=kmax,
+                prior_volume=float(prior_volumes[i]),
+                sum_adjusted_weights=sw_i, engine=engine)
+            continue
+        flat = np.concatenate([vals, np.zeros(kmax), [0.0]])
         out[i] = _device_refine_finalize(flat, hosts[i], kmax,
                                          float(prior_volumes[i]), sw_i,
                                          warn_thin=False)

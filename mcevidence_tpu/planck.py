@@ -288,9 +288,9 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         for (imm, icc, _nd, s1, lnl1, w1, s2, pv, sumw_adj), host, flat \
                 in pend:
             flat = np.asarray(flat)
-            if flat[-1] > 0:
-                # rare thin-margin cell: redo synchronously with the
-                # retry-capable wrapper
+            if flat[-1] > 0 or not np.all(np.isfinite(flat[:-1])):
+                # rare thin-margin or double-float-overflow cell: redo
+                # synchronously with the retry/fallback-capable wrapper
                 mce[imm, icc, :] = device_refine_evidence(
                     s1, lnl1, w1, samples2=s2, kmax=kmax,
                     prior_volume=pv, sum_adjusted_weights=sumw_adj,

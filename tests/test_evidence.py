@@ -359,3 +359,77 @@ def test_bootstrap_cross_mode(rng):
     # samples drawn from a normalized likelihood with V_prior=1: lnZ ~ 0
     assert abs(lnz[0]) < 0.3
     assert np.all(np.abs(reps.mean(axis=0) - lnz) < 5 * err)
+
+
+# ---------------------------------------------------------------------------
+# review fixes: batch truncation, device overflow fallback, batched pipeline
+# ---------------------------------------------------------------------------
+
+def test_constant_brange_last_batch_truncates(rng):
+    """'constant' bscale batch sizes are cumulative; the last one exceeds
+    the chain and must truncate like the reference's slicing, not crash."""
+    theta, lnl = make_gaussian_chain(rng, n=120, ndim=3)
+    mc = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2,
+                    nbatch=4, brange=40, verbose=0, engine="xla")
+    out = mc.evidence()
+    assert out.shape == (4, 1)
+    assert np.all(np.isfinite(out))
+
+
+def test_device_overflow_falls_back_to_host_refine(rng, monkeypatch):
+    from mcevidence_tpu.ops import pipeline
+    theta, lnl = make_gaussian_chain(rng, n=600, ndim=3)
+
+    def bad_fused(*a, **k):
+        flat = np.zeros(2 * 2 + 1)
+        flat[0] = np.inf
+        return flat
+    monkeypatch.setattr(pipeline, "fused_refine_dotp", bad_fused)
+    got = pipeline.device_refine_evidence(theta, lnl, kmax=2, engine="xla")
+    want = pipeline.host_refine_evidence(theta, lnl, kmax=2, engine="xla")
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    ref = evidence_fn(theta, lnl, kmax=2, engine="xla")
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
+def test_device_tiny_reference_no_spurious_retry(rng, caplog):
+    """n_ref <= kmax: every reference row is a candidate, so the thin-margin
+    guard must not warn or retry (it can never be widened)."""
+    import logging
+
+    from mcevidence_tpu.ops.pipeline import device_refine_evidence
+    theta, lnl = make_gaussian_chain(rng, n=4, ndim=2)
+    with caplog.at_level(logging.INFO, logger="mcevidence_tpu.ops.pipeline"):
+        out = device_refine_evidence(theta, lnl, kmax=4, engine="xla")
+    assert not any("thin" in r.message for r in caplog.records)
+    assert out.shape == (3,)
+
+
+def test_fused_refine_dotp_batch_matches_per_cell(rng):
+    """The kernel-level-batched pipeline (the non-relay batching vehicle,
+    ROADMAP item 2) agrees with per-cell dispatch exactly."""
+    import jax.numpy as jnp
+
+    from mcevidence_tpu.ops.pipeline import (_device_refine_prepare,
+                                             fused_refine_dotp,
+                                             fused_refine_dotp_batch)
+    chains = [make_gaussian_chain(np.random.default_rng(40 + i),
+                                  n=500, ndim=3) for i in range(3)]
+    devs, hosts, per_cell = [], [], []
+    for th, lnl in chains:
+        dev, host = _device_refine_prepare(th, lnl, None, 3, 4, "xla")
+        dev = {k: np.array(v) for k, v in dev.items()}
+        devs.append(dev)
+        hosts.append(host)
+        per_cell.append(np.asarray(fused_refine_dotp(
+            dev["qhi"], dev["qlo"], dev["rhi"], dev["rlo"], dev["scalh"],
+            dev["scall"], dev["valid"], dev["n_true"], dev["ndim"],
+            dev["inv_s2"], k_sel=host["k_sel"], kmax=3, engine="xla")))
+    names = ("qhi", "qlo", "rhi", "rlo", "scalh", "scall", "valid",
+             "n_true", "ndim", "inv_s2")
+    stk = {k: jnp.stack([d[k] for d in devs]) for k in names}
+    batched = np.asarray(fused_refine_dotp_batch(
+        *(stk[k] for k in names), k_sel=hosts[0]["k_sel"], kmax=3,
+        engine="xla"))
+    np.testing.assert_allclose(batched, np.stack(per_cell), rtol=0,
+                               atol=1e-6)
