@@ -29,8 +29,22 @@ def _make_vgrad(lnprob: Callable):
 
     vg = jax.jit(jax.value_and_grad(lambda x: jnp.sum(lnprob(x))))
 
+    # NUTS is a sequential host-driven recursion over tiny (ndim,) states:
+    # pin the gradient evaluations to the in-process CPU backend — per-step
+    # dispatch to a remote/relay accelerator costs orders of magnitude more
+    # than the math (the produced CHAIN feeds the TPU estimator; sampling
+    # itself is a validation utility, like the reference's PyStan leg).
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+
     def f(x: np.ndarray) -> Tuple[float, np.ndarray]:
-        v, g = vg(x)
+        if cpu is not None:
+            with jax.default_device(cpu):
+                v, g = vg(jnp.asarray(x))
+        else:
+            v, g = vg(x)
         return float(v), np.asarray(g, np.float64)
 
     return f
