@@ -300,7 +300,10 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
             # fast mode's directly-used distances, so refine=False keeps
             # the exact kernel.
             if engine == "pallas_binned" or (engine == "pallas" and ks >= 14):
-                sel = knn_select_pallas_binned
+                # packed bins only when a refine stage recomputes distances
+                return knn_select_pallas_binned(q32, r32, ks,
+                                                self_mode=self_mode, nr=nr,
+                                                packed=refine)
             elif engine == "pallas_exact" or (engine == "pallas"
                                               and not refine):
                 sel = knn_select_pallas

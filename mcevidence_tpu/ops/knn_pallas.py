@@ -292,15 +292,16 @@ def _knn_kernel_binned(nr_ref, q_ref, r_ref, d2_out, idx_out, *bins,
 
     nr = nr_ref[0]
     q = q_ref[:]
+    tq = q.shape[0]          # query tile height from the block (k-dependent)
     q_sq = jnp.sum(q * q, axis=1, keepdims=True)
     if self_mode:
-        grow = i * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, NBINS), 0)
+        grow = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, NBINS), 0)
 
     # stream TR/NBINS candidate groups through the depth-L insertion chain;
     # each group gets its own (TQ, dpad)@(dpad, NBINS) MXU pass (sublane
     # slicing of r — Mosaic rejects lane slices/reshapes of the wide tile).
     # fori_loop keeps the program small: one group body, not TR/NBINS copies.
-    iota_cols = jax.lax.broadcasted_iota(jnp.int32, (TQ, NBINS), 1)
+    iota_cols = jax.lax.broadcasted_iota(jnp.int32, (tq, NBINS), 1)
 
     def group_body(rblk, levels):
         levels_d2 = list(levels[:BINS_DEPTH])
@@ -353,12 +354,19 @@ def _knn_kernel_binned(nr_ref, q_ref, r_ref, d2_out, idx_out, *bins,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "self_mode", "interpret"))
+                   static_argnames=("k", "self_mode", "interpret", "packed"))
 def knn_select_pallas_binned(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                              self_mode: bool = False, interpret: bool = False,
-                             nr=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                             nr=None, packed: bool = False
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Binned-selection variant of ``knn_select_pallas``: ~k-independent VPU
-    cost; quasi-exact (see BINS_DEPTH note).  Same contract."""
+    cost; quasi-exact (see BINS_DEPTH note).  Same contract.
+
+    ``packed=True`` stores each bin as one int32 (d2 pattern + group id):
+    2 insertion sweeps per level instead of 5 and half the scratch, at the
+    packed kernel's <= 2^-11 relative d2 quantization — opt in ONLY where
+    a f64 refinement stage recomputes the distances (requires
+    nr <= 2^LOW_BITS * NBINS; silently falls back beyond)."""
     nq, d = query.shape
     if nr is None:
         nr = ref.shape[0]
@@ -366,8 +374,11 @@ def knn_select_pallas_binned(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
         jnp.asarray(nr, query.dtype), 1.0)
+    # smaller query tile at high k: the (tq, k) revisited outputs plus the
+    # bin store must fit scoped VMEM — TQ=512 OOMs at k >= ~14 on v5e
+    tq = 256 if k >= 14 else TQ
     dpad = _round_up(max(d, 1), LANE)
-    nq_pad = _round_up(nq, TQ)
+    nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(ref.shape[0], TR)
     q = jnp.zeros((nq_pad, dpad), jnp.float32)
     q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
@@ -375,39 +386,137 @@ def knn_select_pallas_binned(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     r = r.at[:ref.shape[0], :d].set((ref - mu).astype(jnp.float32))
     nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
 
-    grid = (nq_pad // TQ, nr_pad // TR)
-    kernel = functools.partial(_knn_kernel_binned, k=k, self_mode=self_mode)
+    grid = (nq_pad // tq, nr_pad // TR)
+    # packed bins (value + group id in one int32: 2 sweeps/level instead of
+    # 5, half the scratch) whenever opted in AND the group id fits
+    packed_bins = packed and nr_pad <= (1 << LOW_BITS) * NBINS
+    if packed_bins:
+        kernel = functools.partial(_knn_kernel_binned_packed, k=k,
+                                   self_mode=self_mode)
+        scratch = [pltpu.VMEM((tq, NBINS), jnp.int32)
+                   for _ in range(BINS_DEPTH)]
+    else:
+        kernel = functools.partial(_knn_kernel_binned, k=k,
+                                   self_mode=self_mode)
+        scratch = ([pltpu.VMEM((tq, NBINS), jnp.float32)
+                    for _ in range(BINS_DEPTH)]
+                   + [pltpu.VMEM((tq, NBINS), jnp.int32)
+                      for _ in range(BINS_DEPTH)])
     d2, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TQ, dpad), lambda i, j: (i, 0),
+            pl.BlockSpec((tq, dpad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, dpad), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nq_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
         ],
-        scratch_shapes=(
-            [pltpu.VMEM((TQ, NBINS), jnp.float32)
-             for _ in range(BINS_DEPTH)]
-            + [pltpu.VMEM((TQ, NBINS), jnp.int32)
-               for _ in range(BINS_DEPTH)]),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * nq_pad * nr_pad * dpad,
             bytes_accessed=(q.size + r.size) * 4, transcendentals=0),
         interpret=interpret,
     )(nr_arr, q, r)
     return jnp.maximum(d2[:nq], 0.0), idx[:nq]
+
+
+def _knn_kernel_binned_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *bins,
+                              k: int, self_mode: bool):
+    """Packed-bin variant of the binned kernel: each lane bin stores ONE
+    int32 per level — high bits the f32 d2 pattern, low LOW_BITS the
+    candidate's global group id (gcol // NBINS) — so the depth-L insertion
+    chain is min/max swaps (2 VPU sweeps per level instead of 5) and the
+    scratch halves (no index buffers).  Requires
+    nr_pad <= 2^LOW_BITS * NBINS (= 262144 rows); the wrapper falls back
+    to the unpacked kernel beyond.  Same quantization caveat as the packed
+    iterative kernel (pair with f64 refinement)."""
+    bin_pk = bins
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    int_inf = jnp.int32(0x7F800000)          # +inf f32 bit pattern
+
+    @pl.when(j == 0)
+    def _init():
+        for lvl in range(BINS_DEPTH):
+            bin_pk[lvl][:] = jnp.full_like(bin_pk[lvl], int_inf)
+
+    nr = nr_ref[0]
+    q = q_ref[:]
+    tq = q.shape[0]          # query tile height from the block (k-dependent)
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+    iota_cols = jax.lax.broadcasted_iota(jnp.int32, (tq, NBINS), 1)
+    if self_mode:
+        grow = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, NBINS), 0)
+
+    def group_body(rblk, levels):
+        levels = list(levels)
+        rg = r_ref[pl.ds(rblk * NBINS, NBINS), :]
+        r_sq = jnp.sum(rg * rg, axis=1)[None, :]
+        c = q_sq + r_sq - 2.0 * jnp.dot(q, rg.T,
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
+        ci = j * TR + rblk * NBINS + iota_cols
+        # clamp BEFORE packing (negative patterns sort reversed as ints);
+        # only the exact self pin (-1.0) may stay negative — it is the
+        # unique negative so the inverted negative order is irrelevant.
+        c = jnp.maximum(c, 0.0)
+        c = jnp.where(ci < nr, c, jnp.inf)
+        if self_mode:
+            c = jnp.where(ci == grow, -1.0, c)
+        group = j * (TR // NBINS) + rblk          # scalar: global group id
+        pk = (jax.lax.bitcast_convert_type(c, jnp.int32)
+              & jnp.int32(~LOW_MASK)) | group
+        for lvl in range(BINS_DEPTH):
+            b = levels[lvl]
+            t = jnp.minimum(b, pk)
+            pk = jnp.maximum(b, pk)
+            levels[lvl] = t
+        return tuple(levels)
+
+    init = tuple(bin_pk[lvl][:] for lvl in range(BINS_DEPTH))
+    levels = jax.lax.fori_loop(0, TR // NBINS, group_body, init)
+    for lvl in range(BINS_DEPTH):
+        bin_pk[lvl][:] = levels[lvl]
+
+    # last ref tile: decode the packed bins, then the exact top-k extraction
+    @pl.when(j == nj - 1)
+    def _extract():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, NBINS), 1)
+        d2s, idxs_dec = [], []
+        for lvl in range(BINS_DEPTH):
+            w = levels[lvl]
+            d2l = jax.lax.bitcast_convert_type(w & jnp.int32(~LOW_MASK),
+                                               jnp.float32)
+            gl = (w & jnp.int32(LOW_MASK)) * NBINS + lane
+            idxs_dec.append(jnp.where(jnp.isinf(d2l), -1, gl))
+            d2s.append(d2l)
+        cat = jnp.concatenate(d2s, axis=1)
+        cat_idx = jnp.concatenate(idxs_dec, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
+        vals = []
+        idxs = []
+        neg_big = jnp.int32(-2147483648)
+        for _ in range(k):
+            am = jnp.argmin(cat, axis=1)[:, None]
+            mask = col == am
+            vals.append(jnp.min(cat, axis=1, keepdims=True))
+            idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
+                                keepdims=True))
+            cat = jnp.where(mask, jnp.inf, cat)
+        d2_out[:] = jnp.concatenate(vals, axis=1)
+        idx_out[:] = jnp.concatenate(idxs, axis=1)
 
 
 _ITER_KERNELS = {"exact": _knn_kernel, "packed": _knn_kernel_packed}

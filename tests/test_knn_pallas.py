@@ -125,3 +125,33 @@ def test_pallas_packed_batched_interpret(rng):
                                       np.asarray(idxs)[:n])
         np.testing.assert_allclose(np.asarray(d2b)[b, :n],
                                    np.asarray(d2s)[:n], rtol=1e-6)
+
+
+def test_pallas_binned_packed_interpret(rng):
+    """Packed-bin variant: exact candidate INDICES (d2 quantized <= 2^-11
+    relative — the refine stage recomputes distances in f64)."""
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_binned
+    n, d, k = 400, 5, 6
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    d2, idx = knn_select_pallas_binned(jnp.asarray(x), jnp.asarray(x), k,
+                                       self_mode=True, interpret=True,
+                                       packed=True)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=k).fit(x).kneighbors(x)
+    assert np.all(idx[:, 0] == np.arange(n))
+    match = np.mean(np.sort(idx, axis=1) == np.sort(sk_i, axis=1))
+    assert match == 1.0
+    np.testing.assert_allclose(np.sqrt(d2), sk_d, rtol=2e-3, atol=1e-6)
+
+
+def test_pallas_binned_packed_cross_runtime_nr(rng):
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_binned
+    q = rng.normal(size=(70, 4)).astype(np.float32)
+    r = np.zeros((900, 4), np.float32)
+    r[:730] = rng.normal(size=(730, 4))
+    d2, idx = knn_select_pallas_binned(jnp.asarray(q), jnp.asarray(r), 5,
+                                       interpret=True, packed=True, nr=730)
+    idx = np.asarray(idx)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=5).fit(r[:730]).kneighbors(q)
+    assert np.mean(np.sort(idx, axis=1) == np.sort(sk_i, axis=1)) == 1.0
+    assert idx.max() < 730
