@@ -95,6 +95,9 @@ def build_parser() -> ArgumentParser:
                    help="also report a Bayesian-bootstrap error bar from N "
                         "Dirichlet-reweighting replicates (works with a "
                         "single chain; auto mode only)")
+    p.add_argument("--parse-cache", default="", metavar="DIR",
+                   help="cache raw parsed chain tables as .npy under DIR "
+                        "(keyed on path+size+mtime)")
     return p
 
 
@@ -121,6 +124,10 @@ def main(argv=None) -> int:
               "without prior metadata", file=sys.stderr)
         return 2
     ndim = args.ndim if args.ndim is not None else ndim_meta
+
+    if args.parse_cache:
+        from .chains.reader import set_parse_cache
+        set_parse_cache(args.parse_cache)
 
     from .evidence import MCEvidence   # deferred: jax import is slow
     print()

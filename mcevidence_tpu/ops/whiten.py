@@ -60,6 +60,15 @@ def whiten_stats(samples: np.ndarray) -> WhitenStats:
     """
     c = covariance(samples)
     c = np.atleast_2d(c)
+    if not np.all(np.isfinite(c)):
+        # < 2 rows (np.cov divides by n-1 = 0) or NaN samples: eigh would
+        # raise LinAlgError; treat as degenerate like the singular case
+        logger.warning(
+            "covariance is not finite (fewer than 2 samples, or NaN/inf "
+            "coordinates): chain not whitened")
+        d = c.shape[0]
+        return WhitenStats(cov=c, eigvals=np.zeros(d), eigvecs=np.eye(d),
+                           log_jacobian=0.0, posdef=False)
     eigvals, eigvecs = np.linalg.eigh(c)
     # <= 0: the reference only tests < 0 and then crashes on math.log(0) for
     # an exactly-singular covariance (a constant parameter column); treating

@@ -433,3 +433,23 @@ def test_fused_refine_dotp_batch_matches_per_cell(rng):
         engine="xla"))
     np.testing.assert_allclose(batched, np.stack(per_cell), rtol=0,
                                atol=1e-6)
+
+
+def test_adversarial_inputs_graceful(rng):
+    """NaN lnL / inf weight propagate (reference-like); tiny and degenerate
+    chains produce finite results or clean warnings — never tracebacks."""
+    th = rng.normal(size=(400, 3))
+    lnl = -0.5 * np.sum(th * th, axis=1)
+    l2 = lnl.copy()
+    l2[5] = np.nan
+    assert np.isnan(evidence_fn(th, l2, kmax=2, engine="xla")[0])
+    w = np.ones(400)
+    w[3] = np.inf
+    assert np.isinf(evidence_fn(th, lnl, weights=w, kmax=2, engine="xla")[0])
+    tc = th.copy()
+    tc[:, 2] = 1.0            # constant column: warn-and-skip whitening
+    assert np.isfinite(evidence_fn(tc, lnl, kmax=2, engine="xla")[0])
+    assert np.isfinite(evidence_fn(th[:2], lnl[:2], kmax=2,
+                                   engine="xla")[0])
+    out = evidence_fn(th[:1], lnl[:1], kmax=2, engine="xla")
+    assert out.shape == (0,)   # 1 row: no neighbours exist — empty, no crash

@@ -65,3 +65,11 @@ def test_whiten_moments_matches_cov(rng):
     x = rng.normal(size=(400, 3)) + [5.0, -2.0, 0.0]
     cov = np.asarray(whiten_moments(jnp.asarray(x)))
     np.testing.assert_allclose(cov, np.cov(x.T), rtol=1e-5, atol=1e-6)
+
+
+def test_whiten_stats_single_row_degenerate():
+    """One row: np.cov is NaN (0/0); must warn-and-skip, not LinAlgError."""
+    from mcevidence_tpu.ops.whiten import whiten_stats
+    stats = whiten_stats(np.array([[1.0, 2.0, 3.0]]))
+    assert not stats.posdef
+    assert stats.log_jacobian == 0.0
