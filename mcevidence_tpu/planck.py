@@ -25,6 +25,7 @@ import logging
 import os
 import pickle
 import sys
+import time
 from argparse import ArgumentParser
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence
@@ -211,6 +212,8 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         if _glob.glob(fname + "*.txt")}
 
     vol_norm = 1.0
+    t_wait = [0.0]          # time blocked on parse futures (not overlapped)
+    t_all = time.perf_counter()
     cells = []   # (imm, icc, ndim, s1, lnl, w, s2, prior_volume, sumw_adj)
     for imm, (mm, fname) in enumerate(zip(names, path_list)):
         if not _glob.glob(fname + "*.txt"):
@@ -229,7 +232,9 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         nc_read, nc_use = "", ""
         for icc, ext in enumerate(chain_exts):
             try:
+                _t0 = time.perf_counter()
                 pair = parse_futures.pop(fname + ext).result()
+                t_wait[0] += time.perf_counter() - _t0
                 if isinstance(pair, Exception):
                     raise pair
                 p = pair.s1
@@ -252,6 +257,13 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         info["N_read"].append(nc_read)
         info["N_used"].append(nc_use)
     pool.shutdown(wait=False)
+    t_ingested = time.perf_counter()
+
+    def _stage_log():
+        logger.info(
+            "dataset stages: ingest %.1fs (parse-wait %.1fs not overlapped), "
+            "device+fetch %.1fs", t_ingested - t_all, t_wait[0],
+            time.perf_counter() - t_ingested)
 
     if cross and precision == "fast":
         logger.info("batched cross-evidence runs on the refine path")
@@ -298,6 +310,7 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
             else:
                 mce[imm, icc, :] = _device_refine_finalize(
                     flat, host, kmax, pv, sumw_adj)
+        _stage_log()
         return
 
     # one SPMD batch per row-bucket group: batching by ndim alone would pad
@@ -330,6 +343,7 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                 chains, kmax=kmax, prior_volumes=pv, sumw_log_shifts=shifts)
         for (imm, icc, *_), lnz in zip(group, out):
             mce[imm, icc, :] = lnz
+    _stage_log()
 
 
 def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
@@ -435,6 +449,7 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
         info["N_read"].append(nc_read)
         info["N_used"].append(nc_use)
     pool.shutdown(wait=False)
+    t_ingested = time.perf_counter()
 
     if np.all(np.isnan(mce)):
         return None
