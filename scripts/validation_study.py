@@ -1,0 +1,70 @@
+"""Statistical validation study: estimator error vs N and vs ndim.
+
+Reproduces the reference's two documented behavioral claims on THIS
+implementation (reference README.md:82-86, examples.py:271,
+MCEvidence.py:1138-1140):
+
+  1. the ln Z error shrinks as the chain grows;
+  2. at high dimensionality low k does best, and the method degrades
+     beyond d ~ 15.
+
+Chains are drawn exactly from their own normalized Gaussian likelihood, so
+the true ln Z is 0 (unit prior volume) and the measured ln Z IS the error.
+Each cell runs ``n_seeds`` independent chains through the device-precision
+pipeline; the table reports bias +/- rms.
+
+Usage: python scripts/validation_study.py [n_seeds]   (writes markdown to
+stdout; ~a minute warm on one v5e chip).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from mcevidence_tpu import evidence_fn
+
+
+def chain(rng, n, d):
+    mean = np.linspace(1.0, 2.0, d)
+    sig = np.full(d, 0.05)
+    th = rng.normal(mean, sig, size=(n, d))
+    z = (th - mean) / sig
+    lnl = (-0.5 * np.sum(z * z, axis=1)
+           - 0.5 * d * np.log(2 * np.pi) - np.sum(np.log(sig)))
+    return th, lnl
+
+
+def cell(n, d, kmax, n_seeds, k_col):
+    vals = []
+    for s in range(n_seeds):
+        th, lnl = chain(np.random.default_rng(1000 * d + 10 * s + n), n, d)
+        lnz = evidence_fn(th, lnl, kmax=kmax, precision="device")
+        vals.append(lnz[k_col])
+    v = np.array(vals)
+    return float(v.mean()), float(np.sqrt(np.mean(v ** 2)))
+
+
+def main(n_seeds: int = 6) -> None:
+    print("## Convergence with N  (d=4, k=1; truth ln Z = 0)\n")
+    print("| N | bias | rms error |")
+    print("|---|---|---|")
+    for n in (2000, 8000, 32000, 128000):
+        b, r = cell(n, 4, 2, n_seeds, 0)
+        print(f"| {n} | {b:+.4f} | {r:.4f} |")
+
+    print("\n## Dimensionality  (N=32000; truth ln Z = 0)\n")
+    print("| d | k=1 bias | k=1 rms | k=4 bias | k=4 rms |")
+    print("|---|---|---|---|---|")
+    for d in (2, 4, 8, 12, 15):
+        b1, r1 = cell(32000, d, 5, n_seeds, 0)
+        b4, r4 = cell(32000, d, 5, n_seeds, 3)
+        print(f"| {d} | {b1:+.4f} | {r1:.4f} | {b4:+.4f} | {r4:.4f} |")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 6)
