@@ -48,8 +48,16 @@ class WhitenStats:
 
 def covariance(samples: np.ndarray) -> np.ndarray:
     """Sample covariance with the reference's normalization (np.cov: rows are
-    variables, ddof=1; reference MCEvidence.py:865,916)."""
-    return np.cov(np.asarray(samples, dtype=np.float64).T)
+    variables, ddof=1; reference MCEvidence.py:865,916).
+
+    np.cov's 0/0 RuntimeWarnings for n < 2 are suppressed — the resulting
+    non-finite covariance is handled deliberately by ``whiten_stats``
+    (warn-and-skip), which emits the intended signal."""
+    import warnings
+    with np.errstate(divide="ignore", invalid="ignore"), \
+            warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        return np.cov(np.asarray(samples, dtype=np.float64).T)
 
 
 def whiten_stats(samples: np.ndarray) -> WhitenStats:
