@@ -435,6 +435,7 @@ def test_fused_refine_dotp_batch_matches_per_cell(rng):
                                atol=1e-6)
 
 
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
 def test_adversarial_inputs_graceful(rng):
     """NaN lnL / inf weight propagate (reference-like); tiny and degenerate
     chains produce finite results or clean warnings — never tracebacks."""
