@@ -47,6 +47,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+
+def _extract_topk(cat, cat_idx, k: int):
+    """Exact iterative top-k extraction over a (TQ, m) candidate tile:
+    k passes of argmin / first-min mask / masked index gather / invalidate.
+    Shared by every kernel's merge/extract step."""
+    col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
+    vals = []
+    idxs = []
+    neg_big = jnp.int32(-2147483648)
+    for _ in range(k):
+        am = jnp.argmin(cat, axis=1)[:, None]
+        mask = col == am
+        vals.append(jnp.min(cat, axis=1, keepdims=True))
+        idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
+                            keepdims=True))
+        cat = jnp.where(mask, jnp.inf, cat)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+
+
 def _knn_kernel(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
                 self_mode: bool):
     i = pl.program_id(0)
@@ -78,19 +97,7 @@ def _knn_kernel(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     # min-extraction over the concatenation (k passes, k <= ~16).
     cat = jnp.concatenate([d2_out[:], d2], axis=1)          # (TQ, k + TR)
     cat_idx = jnp.concatenate([idx_out[:], gcol], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
-    vals = []
-    idxs = []
-    neg_big = jnp.int32(-2147483648)
-    for _ in range(k):
-        am = jnp.argmin(cat, axis=1)[:, None]               # first-min, stable
-        mask = col == am
-        vals.append(jnp.min(cat, axis=1, keepdims=True))
-        idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
-                            keepdims=True))
-        cat = jnp.where(mask, jnp.inf, cat)
-    d2_out[:] = jnp.concatenate(vals, axis=1)
-    idx_out[:] = jnp.concatenate(idxs, axis=1)
+    d2_out[:], idx_out[:] = _extract_topk(cat, cat_idx, k)
 
 
 # --- packed-selection variant -------------------------------------------
@@ -150,18 +157,7 @@ def _packed_tile(nr, q, r, run_d2, run_idx, i, j, *, k: int,
     # merge with the running top-k: tiny (TQ, 2k) exact extraction
     cat = jnp.concatenate([run_d2, dq], axis=1)
     cat_idx = jnp.concatenate([run_idx, gidx], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
-    vals = []
-    idxs = []
-    neg_big = jnp.int32(-2147483648)
-    for _ in range(k):
-        am = jnp.argmin(cat, axis=1)[:, None]
-        mask = col == am
-        vals.append(jnp.min(cat, axis=1, keepdims=True))
-        idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
-                            keepdims=True))
-        cat = jnp.where(mask, jnp.inf, cat)
-    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+    return _extract_topk(cat, cat_idx, k)
 
 
 def _knn_kernel_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
@@ -338,19 +334,7 @@ def _knn_kernel_binned(nr_ref, q_ref, r_ref, d2_out, idx_out, *bins,
     def _extract():
         cat = jnp.concatenate(levels_d2, axis=1)
         cat_idx = jnp.concatenate(levels_idx, axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
-        vals = []
-        idxs = []
-        neg_big = jnp.int32(-2147483648)
-        for _ in range(k):
-            am = jnp.argmin(cat, axis=1)[:, None]
-            mask = col == am
-            vals.append(jnp.min(cat, axis=1, keepdims=True))
-            idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
-                                keepdims=True))
-            cat = jnp.where(mask, jnp.inf, cat)
-        d2_out[:] = jnp.concatenate(vals, axis=1)
-        idx_out[:] = jnp.concatenate(idxs, axis=1)
+        d2_out[:], idx_out[:] = _extract_topk(cat, cat_idx, k)
 
 
 @functools.partial(jax.jit,
@@ -504,19 +488,7 @@ def _knn_kernel_binned_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *bins,
             d2s.append(d2l)
         cat = jnp.concatenate(d2s, axis=1)
         cat_idx = jnp.concatenate(idxs_dec, axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
-        vals = []
-        idxs = []
-        neg_big = jnp.int32(-2147483648)
-        for _ in range(k):
-            am = jnp.argmin(cat, axis=1)[:, None]
-            mask = col == am
-            vals.append(jnp.min(cat, axis=1, keepdims=True))
-            idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
-                                keepdims=True))
-            cat = jnp.where(mask, jnp.inf, cat)
-        d2_out[:] = jnp.concatenate(vals, axis=1)
-        idx_out[:] = jnp.concatenate(idxs, axis=1)
+        d2_out[:], idx_out[:] = _extract_topk(cat, cat_idx, k)
 
 
 _ITER_KERNELS = {"exact": _knn_kernel, "packed": _knn_kernel_packed}

@@ -449,7 +449,6 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
         info["N_read"].append(nc_read)
         info["N_used"].append(nc_use)
     pool.shutdown(wait=False)
-    t_ingested = time.perf_counter()
 
     if np.all(np.isnan(mce)):
         return None

@@ -15,10 +15,13 @@ dimensions); only the (value, gradient) evaluation is jitted.
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Callable, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 _DELTA_MAX = 1000.0      # divergence threshold (Hoffman & Gelman eq. after Alg. 3)
 
@@ -34,18 +37,44 @@ def _make_vgrad(lnprob: Callable):
     # dispatch to a remote/relay accelerator costs orders of magnitude more
     # than the math (the produced CHAIN feeds the TPU estimator; sampling
     # itself is a validation utility, like the reference's PyStan leg).
+    # CAVEAT: jax.default_device is a soft default — if ``lnprob`` closes
+    # over arrays already committed to an accelerator, execution follows
+    # the committed operands; the first-call timing check surfaces that.
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
+    warned = [False]
 
     def f(x: np.ndarray) -> Tuple[float, np.ndarray]:
+        import time
+        t0 = time.perf_counter()
         if cpu is not None:
             with jax.default_device(cpu):
                 v, g = vg(jnp.asarray(x))
         else:
             v, g = vg(x)
-        return float(v), np.asarray(g, np.float64)
+        out = float(v), np.asarray(g, np.float64)   # blocks: honest timing
+        if not warned[0]:
+            warned[0] = True
+            # warm in-process CPU evals are ~us (after the first, which
+            # compiles); a persistent multi-ms scale means every leapfrog
+            # step is a device round trip — sample a SECOND eval to skip
+            # compile time before warning
+            t1 = time.perf_counter()
+            f2 = vg(jnp.asarray(np.asarray(x))) if cpu is None else None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    f2 = vg(jnp.asarray(x))
+            jax.block_until_ready(f2)
+            if time.perf_counter() - t1 > 0.05:
+                logger.warning(
+                    "NUTS gradient evaluations look device-bound (warm "
+                    "eval %.3fs).  If lnprob closes over accelerator-"
+                    "committed arrays, move them to host (np.asarray) — "
+                    "per-leapfrog remote dispatch otherwise dominates the "
+                    "sampling wall-clock.", time.perf_counter() - t1)
+        return out
 
     return f
 

@@ -39,14 +39,17 @@ def chain(rng, n, d):
     return th, lnl
 
 
-def cell(n, d, kmax, n_seeds, k_col):
+def cell(n, d, kmax, n_seeds, k_cols):
+    """bias and rms for each requested k column (one device pass per seed
+    covers every k)."""
     vals = []
     for s in range(n_seeds):
         th, lnl = chain(np.random.default_rng(1000 * d + 10 * s + n), n, d)
         lnz = evidence_fn(th, lnl, kmax=kmax, precision="device")
-        vals.append(lnz[k_col])
+        vals.append([lnz[c] for c in k_cols])
     v = np.array(vals)
-    return float(v.mean()), float(np.sqrt(np.mean(v ** 2)))
+    return [(float(v[:, i].mean()), float(np.sqrt(np.mean(v[:, i] ** 2))))
+            for i in range(len(k_cols))]
 
 
 def main(n_seeds: int = 6) -> None:
@@ -54,15 +57,14 @@ def main(n_seeds: int = 6) -> None:
     print("| N | bias | rms error |")
     print("|---|---|---|")
     for n in (2000, 8000, 32000, 128000):
-        b, r = cell(n, 4, 2, n_seeds, 0)
+        (b, r), = cell(n, 4, 2, n_seeds, (0,))
         print(f"| {n} | {b:+.4f} | {r:.4f} |")
 
     print("\n## Dimensionality  (N=32000; truth ln Z = 0)\n")
     print("| d | k=1 bias | k=1 rms | k=4 bias | k=4 rms |")
     print("|---|---|---|---|---|")
     for d in (2, 4, 8, 12, 15):
-        b1, r1 = cell(32000, d, 5, n_seeds, 0)
-        b4, r4 = cell(32000, d, 5, n_seeds, 3)
+        (b1, r1), (b4, r4) = cell(32000, d, 5, n_seeds, (0, 3))
         print(f"| {d} | {b1:+.4f} | {r1:.4f} | {b4:+.4f} | {r4:.4f} |")
 
 
