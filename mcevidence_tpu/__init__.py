@@ -15,7 +15,7 @@ from .evidence import (MCEvidence, evidence_bootstrap, evidence_fn,
                        evidence_with_error)
 from .registry import COSMO_PARAMS, extend_cosmo_params, iscosmo_param
 from .priors.params_info import get_prior_volume, params_info
-from .samplers import nuts_sample
+from .samplers import nuts_sample, stretch_sample
 
 # reference-compatible module-level alias (reference MCEvidence.py:84-86)
 cosmo_params_list = list(COSMO_PARAMS)
@@ -28,6 +28,7 @@ __all__ = [
     "evidence_with_error",
     "evidence_bootstrap",
     "nuts_sample",
+    "stretch_sample",
     "COSMO_PARAMS",
     "cosmo_params_list",
     "extend_cosmo_params",

@@ -269,33 +269,52 @@ class model_2d:
 
 
 class make_emcee_chain:
-    """emcee EnsembleSampler wrapper (reference examples.py:424-516);
-    requires the optional ``emcee`` package."""
+    """Ensemble-sampler wrapper (reference examples.py:424-516): uses emcee
+    when the optional package is installed, otherwise the native stretch-
+    move sampler (``samplers.stretch_sample`` — the same Goodman & Weare
+    algorithm), so the ensemble validation leg runs everywhere."""
 
-    def __init__(self, model, nwalkers=500, nburn=300, arg=()):
-        try:
-            import emcee
-        except ImportError as e:
-            raise ImportError("the emcee examples need the optional 'emcee' "
-                              "package") from e
+    def __init__(self, model, nwalkers=500, nburn=300, arg=(), seed=0):
         self.model = model(*arg) if isinstance(model, type) else model
         self.ndim = self.model.ndim
         self.nwalkers = nwalkers
-        self.emcee_sampler = emcee.EnsembleSampler(
-            nwalkers, self.model.ndim, self.model.lnprob)
-        state = self.emcee_sampler.run_mcmc(self.model.pos(nwalkers), nburn)
-        self.state = state
-        self.emcee_sampler.reset()
+        self._seed = seed
+        try:
+            import emcee
+        except ImportError:
+            emcee = None
+        if emcee is not None:
+            self.emcee_sampler = emcee.EnsembleSampler(
+                nwalkers, self.model.ndim, self.model.lnprob)
+            state = self.emcee_sampler.run_mcmc(self.model.pos(nwalkers),
+                                                nburn)
+            self.state = state
+            self.emcee_sampler.reset()
+        else:
+            from .samplers import stretch_sample
+            self.emcee_sampler = None
+            chain, _ = stretch_sample(self.model.lnprob,
+                                      self.model.pos(nwalkers), nburn,
+                                      seed=seed)
+            self.state = chain[-1]
 
     def mcmc(self, nmcmc=2000, **kwargs):
-        self.state = self.emcee_sampler.run_mcmc(self.state, nmcmc, **kwargs)
-        return (self.emcee_sampler.get_chain(flat=True),
-                self.emcee_sampler.get_log_prob(flat=True))
+        if self.emcee_sampler is not None:
+            self.state = self.emcee_sampler.run_mcmc(self.state, nmcmc,
+                                                     **kwargs)
+            return (self.emcee_sampler.get_chain(flat=True),
+                    self.emcee_sampler.get_log_prob(flat=True))
+        from .samplers import stretch_sample
+        chain, lnp = stretch_sample(self.model.lnprob, self.state, nmcmc,
+                                    seed=self._seed + 1)
+        self.state = chain[-1]
+        return (chain.reshape(-1, self.ndim), lnp.reshape(-1))
 
     def Sampler(self, nsamples=2000):
         nsteps = -(-int(nsamples) // self.nwalkers)
         samples, lnp = self.mcmc(nsteps)
-        self.emcee_sampler.reset()
+        if self.emcee_sampler is not None:
+            self.emcee_sampler.reset()
         return samples[:nsamples], lnp[:nsamples]
 
 

@@ -246,3 +246,47 @@ def nuts_sample(lnprob: Callable, x0: np.ndarray, nsamples: int, *,
             samples[m - warmup - 1] = x
             lnps[m - warmup - 1] = lp
     return samples, lnps
+
+
+def stretch_sample(lnprob: Callable, p0: np.ndarray, nsteps: int, *,
+                   a: float = 2.0,
+                   seed: Optional[int] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Affine-invariant ensemble sampler: the Goodman & Weare (2010)
+    stretch move — the algorithm behind emcee, which the reference used for
+    its ensemble validation leg (reference examples.py:424-516).  Provided
+    natively so that leg runs without the optional emcee dependency.
+
+    ``lnprob(theta) -> float`` evaluates one walker; ``p0`` is the
+    (nwalkers, ndim) initial ensemble (nwalkers >= 2*ndim recommended, and
+    at least 4).  Returns ``(chain, lnp)`` with shapes
+    (nsteps, nwalkers, ndim) and (nsteps, nwalkers).
+
+    Standard parallel-update scheme: the ensemble is split in two halves
+    and each half stretches against partners drawn from the other, with
+    acceptance ln r = (d-1) ln z + lnp' - lnp.
+    """
+    rng = np.random.default_rng(seed)
+    x = np.array(p0, np.float64)
+    nw, nd = x.shape
+    if nw < 4:
+        raise ValueError("stretch_sample needs at least 4 walkers")
+    lp = np.array([lnprob(t) for t in x], np.float64)
+    chain = np.empty((nsteps, nw, nd))
+    lps = np.empty((nsteps, nw))
+    half = nw // 2
+    first, second = np.arange(half), np.arange(half, nw)
+    for s in range(nsteps):
+        for active, other in ((first, second), (second, first)):
+            z = ((a - 1.0) * rng.random(len(active)) + 1.0) ** 2 / a
+            partners = other[rng.integers(0, len(other), len(active))]
+            prop = x[partners] + z[:, None] * (x[active] - x[partners])
+            lp_prop = np.array([lnprob(t) for t in prop], np.float64)
+            with np.errstate(invalid="ignore"):
+                lnr = (nd - 1) * np.log(z) + lp_prop - lp[active]
+            acc = np.log(rng.random(len(active))) < lnr
+            x[active[acc]] = prop[acc]
+            lp[active[acc]] = lp_prop[acc]
+        chain[s] = x
+        lps[s] = lp
+    return chain, lps
