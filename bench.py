@@ -125,12 +125,20 @@ def main():
 
     # parity of the production 'device' mode (double-float refinement on
     # device, scalars-only fetch) on the same workload; timed warm
-    from mcevidence_tpu.ops.pipeline import device_refine_auto_evidence
+    from mcevidence_tpu.ops.pipeline import (device_refine_auto_evidence,
+                                             fast_auto_evidence)
     dev = device_refine_auto_evidence(theta, lnl, kmax=KMAX)
     t0 = time.perf_counter()
     dev = device_refine_auto_evidence(theta, lnl, kmax=KMAX)
     dev_wall = time.perf_counter() - t0
     dlnz_dev = float(np.max(np.abs(dev - oracle)))
+
+    # parity of the production FAST mode (exact kernel for directly-consumed
+    # distances — not the packed kernel this bench times above); reported
+    # separately so the throughput figure and the accuracy figures each name
+    # the kernel they describe
+    fast = fast_auto_evidence(theta, lnl, kmax=KMAX)
+    dlnz_fast = float(np.max(np.abs(np.asarray(fast) - oracle)))
 
     print(json.dumps({
         "metric": "nn_pairs_per_sec_per_chip",
@@ -141,7 +149,9 @@ def main():
         "sklearn_cpu_wall_s": cpu_s,
         "backend": backend,
         "workload": f"auto evidence N={N} d={NDIM} kmax={KMAX} reps={REPS}",
-        "max_abs_dlnz_vs_f64_oracle_fastpath": dlnz,
+        "max_abs_dlnz_vs_f64_oracle_timed_kernel": dlnz,
+        "timed_kernel": ("pallas_packed" if on_tpu else "xla"),
+        "max_abs_dlnz_vs_f64_oracle_fast_mode": dlnz_fast,
         "max_abs_dlnz_vs_f64_oracle_device_mode": dlnz_dev,
         "device_mode_wall_s_incl_host_prep": dev_wall,
     }))

@@ -244,7 +244,12 @@ def build_chain_pair(chains: Sequence[np.ndarray],
         # thinlen < 0: thin by the chain's own autocorrelation length scaled
         # by |thinlen| — the mode the reference CLI documents but never
         # implemented (quirk Q9; it silently used |thinlen| instead).
-        factor = autocorr_thin_factor(samples[:, itheta:], scale=-thinlen)
+        # tau is measured per chain and the worst one taken: concatenation
+        # joins independent chains end-to-end, and a between-chain mean shift
+        # masquerades as long-range autocorrelation in the joint ACF (or,
+        # with opposed trends, cancels real autocorrelation).
+        factor = max(autocorr_thin_factor(c[:, itheta:], scale=-thinlen)
+                     for c in chains)
         logger.info("autocorrelation thinning: factor=%d", factor)
         if factor > 1:
             samples = thin_chain(samples, factor, iw=iw, rng=rng)

@@ -58,8 +58,10 @@ def _parse_cache_path(path: str) -> Optional[str]:
     import hashlib
     st = os.stat(path)
     key = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+    # mtime_ns: a file rewritten within the same second (same byte size)
+    # must not be served stale
     return os.path.join(_PARSE_CACHE_DIR,
-                        f"{key}-{st.st_size}-{int(st.st_mtime)}.npy")
+                        f"{key}-{st.st_size}-{st.st_mtime_ns}.npy")
 
 
 def parse_chain_file(path: str) -> np.ndarray:

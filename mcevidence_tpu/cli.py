@@ -94,7 +94,7 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--bootstrap", type=int, default=0, metavar="N",
                    help="also report a Bayesian-bootstrap error bar from N "
                         "Dirichlet-reweighting replicates (works with a "
-                        "single chain; auto mode only)")
+                        "single chain; honors --cross)")
     p.add_argument("--parse-cache", default="", metavar="DIR",
                    help="cache raw parsed chain tables as .npy under DIR "
                         "(keyed on path+size+mtime)")
@@ -175,7 +175,10 @@ def main(argv=None) -> int:
                 seed=args.seed or 0, ndim=ndim, priorvolume=prior_volume,
                 burnlen=args.burnlen, thinlen=args.thinlen,
                 split=args.cross, engine=args.engine)
-            for k in range(1, mce.kmax):
+            # iterate over blnz's own length: the bootstrap clips k to its
+            # (possibly split) partition size, which can be shorter than
+            # the facade's kmax on tiny chains
+            for k in range(1, len(blnz) + 1):
                 print(f"   bootstrap ln(B)[k={k}] = {blnz[k - 1]} "
                       f"+/- {berr[k - 1]}")
         except ValueError as e:

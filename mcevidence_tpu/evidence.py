@@ -493,6 +493,10 @@ def evidence_bootstrap(source, *, kmax: int = 2, n_boot: int = 100,
         stats = whiten_stats(s)
     s1w = apply_whiten(s, stats)
     dknn = exact_knn(s1w, s2w, kmax, refine=True, engine=engine)
+    # exact_knn clips k to the reference-partition size; keep the replicate
+    # matrix consistent with the columns actually computed so short chains
+    # (or small split halves) return fewer k values instead of raising.
+    kmax = dknn.shape[1]
     log_pv = math.log(mc.priorvolume)
     n = s.shape[0]
     # importance reweighting enters only through SumW (quirk Q7); carry the

@@ -305,8 +305,11 @@ class make_emcee_chain:
             return (self.emcee_sampler.get_chain(flat=True),
                     self.emcee_sampler.get_log_prob(flat=True))
         from .samplers import stretch_sample
+        # advance the seed per call so successive mcmc()/Sampler() segments
+        # draw fresh stretch moves instead of replaying one RNG stream
+        self._seed += 1
         chain, lnp = stretch_sample(self.model.lnprob, self.state, nmcmc,
-                                    seed=self._seed + 1)
+                                    seed=self._seed)
         self.state = chain[-1]
         return (chain.reshape(-1, self.ndim), lnp.reshape(-1))
 

@@ -341,7 +341,8 @@ def _pad_rows(arr: np.ndarray, total: int) -> np.ndarray:
 
 def _default_mesh(mesh: Optional[Mesh]) -> Mesh:
     if mesh is None:
-        devs = np.array(jax.devices())
+        devs = np.array(jax.local_devices())   # local: under jax.distributed
+        # each process runs its own independent per-dataset programs
         mesh = Mesh(devs, ("ring",))
     return mesh
 
@@ -713,7 +714,8 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
     enable_compilation_cache()
     kmax = max(2, kmax)
     if mesh is None:
-        devs = np.array(jax.devices())
+        devs = np.array(jax.local_devices())   # local: under jax.distributed
+        # each process runs its own independent per-dataset programs
         mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
     norm = _normalize_chains(chains)
     b_true, b_pad, n_pad, ndim = _grid_batch_layout(norm, mesh)
@@ -810,7 +812,8 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
     enable_compilation_cache()
     kmax = max(2, kmax)
     if mesh is None:
-        devs = np.array(jax.devices())
+        devs = np.array(jax.local_devices())   # local: under jax.distributed
+        # each process runs its own independent per-dataset programs
         mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
     dp_n = mesh.shape["dp"]
     ring_n = mesh.shape["ring"]
@@ -999,7 +1002,8 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
                                         chains2=None,
                                         pad_candidates: int = 4,
                                         mesh: Optional[Mesh] = None,
-                                        engine: str = "auto") -> np.ndarray:
+                                        engine: str = "auto",
+                                        defer: bool = False):
     """Parity-grade batched evidence on a dp x ring mesh with scalars-only
     device->host traffic: host f64 whitening per chain, double-float
     coordinate upload, ONE SPMD program per batch (selection + double-float
@@ -1010,6 +1014,12 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     matching sequence of reference-partition sample arrays (combined
     covariance — quirk Q1; k0=0 semantics).  Returns (len(chains), kmax-1)
     at ~1e-13 lnZ parity.
+
+    ``defer=True`` returns a zero-argument finalize callable instead: the
+    device program is dispatched immediately but the result fetch (and any
+    thin-margin retry) happens when the callable runs — lets a driver
+    dispatch many batches back-to-back so uploads pipeline under compute
+    on a slow host<->device link.
     """
     from ..ops.dfloat import df_split_rows
     from ..ops.knn import bucket_size_pow2
@@ -1021,7 +1031,8 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     if mesh is None:
-        devs = np.array(jax.devices())
+        devs = np.array(jax.local_devices())   # local: under jax.distributed
+        # each process runs its own independent per-dataset programs
         mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
     ring_n = mesh.shape["ring"]
     norm = _normalize_chains(chains)
@@ -1106,7 +1117,7 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     sh1 = NamedSharding(mesh, P("dp"))
     ref_args = ((jax.device_put(jnp.asarray(RHI), sh3),
                  jax.device_put(jnp.asarray(RLO), sh3)) if cross else ())
-    parts = np.asarray(fn(
+    parts_dev = fn(
         jax.device_put(jnp.asarray(QHI), sh3),
         jax.device_put(jnp.asarray(QLO), sh3),
         *ref_args,
@@ -1115,49 +1126,57 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
         jax.device_put(jnp.asarray(VAL), sh2),
         jax.device_put(jnp.asarray(NG), sh1),
         jax.device_put(jnp.asarray(ND), sh1),
-        jax.device_put(jnp.asarray(IS2), sh1)), np.float64)
+        jax.device_put(jnp.asarray(IS2), sh1))
 
-    thin_true = parts[:b_true, :, -1].sum()
-    if thin_true > 0:
-        # retry only if more padding would actually widen the candidate set
-        # (k_sel is capped by the smallest reference partition)
-        retry_pad = 4 * pad_candidates + 8
-        if (pad_candidates < 32
-                and min(kmax + retry_pad, min(n_refs)) > k_sel):
-            logger.info("grid device-refine: thin margins on %d rows; "
-                        "re-running with %d extra candidates",
-                        int(thin_true), retry_pad)
-            return sharded_grid_device_refine_evidence(
-                chains, kmax=kmax, prior_volumes=prior_volumes,
-                sum_adjusted_weights=sum_adjusted_weights, chains2=chains2,
-                pad_candidates=retry_pad, mesh=mesh, engine=engine)
-        logger.warning(
-            "grid device-refine: %d rows had thin candidate margins "
-            "(near-tied neighbour distances) and the candidate set cannot "
-            "be widened further; use sharded_grid_evidence_refine if exact "
-            "tie ordering matters", int(thin_true))
+    def _finalize() -> np.ndarray:
+        parts = np.asarray(parts_dev, np.float64)
 
-    out = np.zeros((b_true, kmax - 1))
-    for i in range(b_true):
-        # exact f64 combine of the per-device double-float partials
-        vals = (parts[i, :, :kmax].sum(axis=0)
-                + parts[i, :, kmax:2 * kmax].sum(axis=0))
-        sw_i = (None if sum_adjusted_weights is None
-                else float(sum_adjusted_weights[i]))
-        if not np.all(np.isfinite(vals)):
-            # double-float overflow on this chain (far outliers / high
-            # ndim): the log-space host path has unlimited range
-            from ..ops.pipeline import host_refine_evidence
-            logger.warning("grid device-refine: double-float overflow on "
-                           "chain %d; host-refine fallback", i)
-            s, l, w = norm[i]
-            out[i] = host_refine_evidence(
-                s, l, w, samples2=refs[i] if cross else None, kmax=kmax,
-                prior_volume=float(prior_volumes[i]),
-                sum_adjusted_weights=sw_i, engine=engine)
-            continue
-        flat = np.concatenate([vals, np.zeros(kmax), [0.0]])
-        out[i] = _device_refine_finalize(flat, hosts[i], kmax,
-                                         float(prior_volumes[i]), sw_i,
-                                         warn_thin=False)
-    return out
+        thin_true = parts[:b_true, :, -1].sum()
+        if thin_true > 0:
+            # retry only if more padding would actually widen the candidate
+            # set (k_sel is capped by the smallest reference partition)
+            retry_pad = 4 * pad_candidates + 8
+            if (pad_candidates < 32
+                    and min(kmax + retry_pad, min(n_refs)) > k_sel):
+                logger.info("grid device-refine: thin margins on %d rows; "
+                            "re-running with %d extra candidates",
+                            int(thin_true), retry_pad)
+                return sharded_grid_device_refine_evidence(
+                    chains, kmax=kmax, prior_volumes=prior_volumes,
+                    sum_adjusted_weights=sum_adjusted_weights,
+                    chains2=chains2,
+                    pad_candidates=retry_pad, mesh=mesh, engine=engine)
+            logger.warning(
+                "grid device-refine: %d rows had thin candidate margins "
+                "(near-tied neighbour distances) and the candidate set "
+                "cannot be widened further; use sharded_grid_evidence_"
+                "refine if exact tie ordering matters", int(thin_true))
+
+        out = np.zeros((b_true, kmax - 1))
+        for i in range(b_true):
+            # exact f64 combine of the per-device double-float partials
+            vals = (parts[i, :, :kmax].sum(axis=0)
+                    + parts[i, :, kmax:2 * kmax].sum(axis=0))
+            sw_i = (None if sum_adjusted_weights is None
+                    else float(sum_adjusted_weights[i]))
+            if not np.all(np.isfinite(vals)):
+                # double-float overflow on this chain (far outliers / high
+                # ndim): the log-space host path has unlimited range
+                from ..ops.pipeline import host_refine_evidence
+                logger.warning("grid device-refine: double-float overflow "
+                               "on chain %d; host-refine fallback", i)
+                s, l, w = norm[i]
+                out[i] = host_refine_evidence(
+                    s, l, w, samples2=refs[i] if cross else None, kmax=kmax,
+                    prior_volume=float(prior_volumes[i]),
+                    sum_adjusted_weights=sw_i, engine=engine)
+                continue
+            flat = np.concatenate([vals, np.zeros(kmax), [0.0]])
+            out[i] = _device_refine_finalize(flat, hosts[i], kmax,
+                                             float(prior_volumes[i]), sw_i,
+                                             warn_thin=False)
+        return out
+
+    if defer:
+        return _finalize
+    return _finalize()

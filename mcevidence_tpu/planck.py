@@ -284,6 +284,48 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                                    _device_refine_prepare,
                                    device_refine_evidence,
                                    fused_refine_dotp)
+        if len(chain_exts) > 1:
+            # per-chain (SingleChains) mode: 4x the cells at 1/4 the rows —
+            # per-cell dispatch latency dominates, so same-bucket cells run
+            # through the batched dp x ring device-refine program in fixed
+            # GRID_BATCH_QUANTUM chunks (one program shape per row bucket;
+            # the last chunk pads by repeating a cell so the batch axis
+            # never forks the compile shape).  AllChains keeps the per-cell
+            # async dispatch below — measured flat vs batching there.
+            from .ops.knn import bucket_size_pow2
+            from .parallel.ring import (GRID_BATCH_QUANTUM, _dpad_class,
+                                        sharded_grid_device_refine_evidence)
+            groups: Dict[tuple, list] = {}
+            small = []
+            for cell in cells:
+                n_ref = len(cell[6]) if cross else len(cell[4])
+                if n_ref <= kmax:       # too short for the batched program
+                    small.append(cell)
+                    continue
+                key = (bucket_size_pow2(len(cell[4])), _dpad_class(cell[2]),
+                       bucket_size_pow2(len(cell[6])) if cross else 0)
+                groups.setdefault(key, []).append(cell)
+            pend_b = []     # dispatch every chunk before fetching any
+            for group in groups.values():
+                for c0 in range(0, len(group), GRID_BATCH_QUANTUM):
+                    chunk = group[c0:c0 + GRID_BATCH_QUANTUM]
+                    ntrue = len(chunk)
+                    chunk = chunk + [chunk[0]] * (GRID_BATCH_QUANTUM - ntrue)
+                    fin = sharded_grid_device_refine_evidence(
+                        [(c[3], c[4], c[5]) for c in chunk],
+                        kmax=kmax,
+                        prior_volumes=[c[7] for c in chunk],
+                        sum_adjusted_weights=[
+                            c[8] if c[8] is not None else float(np.sum(c[5]))
+                            for c in chunk],
+                        chains2=([c[6] for c in chunk] if cross else None),
+                        engine=engine, defer=True)
+                    pend_b.append((chunk[:ntrue], fin))
+            for chunk, fin in pend_b:
+                out = fin()
+                for (imm, icc, *_), lnz in zip(chunk, out):
+                    mce[imm, icc, :] = lnz
+            cells = small
         pend = []
         for cell in cells:
             dev, host = _device_refine_prepare(cell[3], cell[4], cell[5],
@@ -642,9 +684,12 @@ def build_parser() -> ArgumentParser:
                    help="cache raw parsed chain tables as .npy under DIR "
                         "(keyed on path+size+mtime; burn/thin/split run "
                         "downstream, so settings changes reuse the cache)")
-    p.add_argument("--batch-cells", action="store_true",
+    from argparse import BooleanOptionalAction
+    p.add_argument("--batch-cells", action=BooleanOptionalAction,
+                   default=True,
                    help="batch a dataset's cells into single SPMD programs "
-                        "(dp x ring mesh; fastest)")
+                        "(dp x ring mesh; fastest — the default; "
+                        "--no-batch-cells runs cells one by one)")
     p.add_argument("--cross", action="store_true",
                    help="split/cross-evidence per cell (TPU extension; the "
                         "reference grid driver is auto-only)")
@@ -652,8 +697,12 @@ def build_parser() -> ArgumentParser:
                    help="RNG seed for the cross-evidence split")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "pallas", "pallas_exact", "pallas_packed", "pallas_binned", "xla"])
-    p.add_argument("--precision", default="refine",
-                   choices=["device", "refine", "fast"])
+    p.add_argument("--precision", default="device",
+                   choices=["device", "refine", "fast"],
+                   help="device: double-float refinement on device, "
+                        "scalars-only fetch (fastest parity mode — the "
+                        "default); refine: host f64 candidate refinement; "
+                        "fast: f32 end to end")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() for a multi-host "
                         "slice (coordinator/process env vars must be set)")
@@ -689,12 +738,25 @@ def _launch_procs(argv, procs: int) -> int:
         if a.startswith("--procs="):
             continue
         base.append(a)
+    env = dict(os.environ)
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            # propagate the parent's platform choice: this deployment's
+            # sitecustomize force-selects the TPU plugin at interpreter
+            # start, overriding the JAX_PLATFORMS env var — without this
+            # pin, workers forked from a CPU-forced parent (the test
+            # suite's virtual mesh) silently land on the real TPU relay
+            # and crawl/contend (root cause of the r2 full-suite hang).
+            env["MCE_FORCE_PLATFORM"] = "cpu"
+    except Exception:
+        pass
     workers = []
     for sid in range(procs):
         cmd = [sys.executable, "-m", "mcevidence_tpu.planck", *base,
                "--num-shards", str(procs), "--shard-id", str(sid),
                "--no-aggregate"]
-        workers.append(subprocess.Popen(cmd))
+        workers.append(subprocess.Popen(cmd, env=env))
     rc = 0
     for w in workers:
         rc = max(rc, w.wait())
@@ -706,13 +768,37 @@ def _launch_procs(argv, procs: int) -> int:
 
 
 def main(argv=None) -> int:
+    plat = os.environ.get("MCE_FORCE_PLATFORM")
+    if plat:
+        # late re-assertion of the platform (see _launch_procs): the env
+        # var alone is read too early — sitecustomize imports jax at
+        # interpreter start and force-selects the TPU plugin
+        import jax
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     assert args.kmax >= 2, "kmax must be >= 2"
     if args.procs > 1:
         return _launch_procs(argv, args.procs)
     if args.distributed:
         import jax
-        jax.distributed.initialize()
+        # initialize() auto-detects managed clusters (SLURM/OpenMPI/TPU
+        # pods); for a manual launch the three JAX_* env vars pin the
+        # coordination explicitly (only JAX_COORDINATOR_ADDRESS is read by
+        # jax itself — process id/count are not, so forward them here)
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kw)
+        if args.num_shards == 1:
+            # one dataset shard per coordinated process (the reference's
+            # rank-per-dataset-subset layout, planck_mcevidence.py:149-168);
+            # explicit --num-shards/--shard-id still override
+            args.num_shards = jax.process_count()
+            args.shard_id = jax.process_index()
+            logger.info("distributed: process %d/%d takes dataset shard %d",
+                        args.shard_id, args.num_shards, args.shard_id)
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
     configure(args.verbose)

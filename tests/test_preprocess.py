@@ -187,6 +187,28 @@ def test_autocorr_thin_factor_and_pipeline(rng):
     assert pair.s1.nsamples < n // 3
 
 
+def test_autocorr_tau_per_chain_not_concatenated(rng):
+    """Two nearly-iid chains with different means: the concatenated ACF sees
+    the mean shift as long-range correlation and inflates tau; per-chain tau
+    (what build_chain_pair uses) stays ~1."""
+    n = 4000
+    c1 = rng.normal(0.0, 1.0, size=(n, 1))
+    c2 = rng.normal(8.0, 1.0, size=(n, 1))
+    tau_concat = pp.autocorr_time(np.concatenate([c1, c2])[:, 0])
+    tau_per = max(pp.autocorr_time(c1[:, 0]), pp.autocorr_time(c2[:, 0]))
+    assert tau_concat > 5 * tau_per, (tau_concat, tau_per)
+    assert tau_per < 2.0
+
+    def mk(c):
+        m = len(c)
+        return np.column_stack([np.ones(m), np.zeros(m), c])
+
+    # the pipeline must use the unbiased per-chain construction: with two
+    # iid chains, thinlen=-1 should keep (almost) everything
+    pair = pp.build_chain_pair([mk(c1), mk(c2)], thinlen=-1.0)
+    assert pair.s1.nsamples == 2 * n
+
+
 def test_weighted_thin_fractional_factor(rng):
     # thin_unit=2.5 must make N//2.5 bins, not N//2 (floor of the factor)
     ix, _ = pp.weighted_thin(2.5, rng.random(1000) + 0.5)
