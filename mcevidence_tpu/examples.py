@@ -32,7 +32,11 @@ import sys
 from functools import reduce
 from typing import Optional
 
+import logging
+
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class glm_eg:
@@ -266,6 +270,47 @@ class model_2d:
             lo, hi = self.pprior[k]
             out[:, i] = lo + (hi - lo) * r[:, i]
         return out
+
+    def vis(self, samples, fname=None):
+        """Corner plot of posterior samples with the truth marked
+        (reference examples.py:247-263).  Uses the optional ``corner``
+        package when installed, else a matplotlib pair-plot fallback;
+        returns the figure (saved to ``fname`` when given)."""
+        samples = np.asarray(samples)
+        try:
+            import corner
+            fig = corner.corner(samples, labels=self.label,
+                                truths=list(self.p))
+        except ImportError:
+            try:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+            except ImportError:
+                logger.warning("model_2d.vis: neither corner nor matplotlib "
+                               "is installed; skipping plot")
+                return None
+            d = samples.shape[1]
+            fig, axes = plt.subplots(d, d, figsize=(2.5 * d, 2.5 * d))
+            axes = np.atleast_2d(axes)
+            for i in range(d):
+                for j in range(d):
+                    ax = axes[i, j]
+                    if j > i:
+                        ax.axis("off")
+                    elif i == j:
+                        ax.hist(samples[:, i], bins=40, histtype="step")
+                        ax.axvline(self.p[i], color="r")
+                        ax.set_xlabel(self.label[i])
+                    else:
+                        ax.hist2d(samples[:, j], samples[:, i], bins=40)
+                        ax.plot(self.p[j], self.p[i], "r+", markersize=10)
+                        ax.set_xlabel(self.label[j])
+                        ax.set_ylabel(self.label[i])
+            fig.tight_layout()
+        if fname:
+            fig.savefig(fname)
+        return fig
 
 
 class make_emcee_chain:

@@ -258,7 +258,7 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
         the candidate boundary and re-runs once with 4x the padding if the
         margin is thinner than the selection's ranking noise.
       engine: "xla", "pallas" (k-dependent dispatch between the packed and
-        binned kernels), "pallas_exact", "pallas_packed", "pallas_binned",
+        binned kernels), "pallas_exact", "pallas_packed", "pallas_binned", "pallas_smalld",
         or "auto" (pallas on TPU when available).
       bucket: pad rows to the compile-bucket grid (recommended on TPU; the
         true counts are passed as runtime scalars).
@@ -304,6 +304,11 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
                 return knn_select_pallas_binned(q32, r32, ks,
                                                 self_mode=self_mode, nr=nr,
                                                 packed=refine)
+            elif engine == "pallas_smalld":
+                # per-coordinate VPU distances (d <= 16; no 128-lane MXU
+                # padding) + packed extraction — refine consumers only
+                from .knn_pallas import knn_select_pallas_smalld
+                sel = knn_select_pallas_smalld
             elif engine == "pallas_exact" or (engine == "pallas"
                                               and not refine):
                 sel = knn_select_pallas

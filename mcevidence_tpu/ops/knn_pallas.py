@@ -129,13 +129,20 @@ def _packed_tile(nr, q, r, run_d2, run_idx, i, j, *, k: int,
     d2 = q_sq + r_sq - 2.0 * jnp.dot(q, r.T,
                                      preferred_element_type=jnp.float32,
                                      precision=jax.lax.Precision.HIGHEST)
-
-    lcol = jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 1)
-    gcol = j * TR + lcol
     # clamp genuine distances to >= 0 BEFORE packing: f32 cancellation can
     # produce tiny negatives, and negative floats sort reversed under the
     # integer compare — only the exact self pin (-1.0) may stay negative.
     d2 = jnp.maximum(d2, 0.0)
+    return _packed_select(d2, nr, run_d2, run_idx, i, j, k=k,
+                          self_mode=self_mode)
+
+
+def _packed_select(d2, nr, run_d2, run_idx, i, j, *, k: int,
+                   self_mode: bool):
+    """Packed top-k selection over a computed (TQ, TR) distance tile,
+    merged with the running top-k.  ``d2`` must already be >= 0."""
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 1)
+    gcol = j * TR + lcol
     d2 = jnp.where(gcol < nr, d2, jnp.inf)
     if self_mode:
         grow = i * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 0)
@@ -253,6 +260,96 @@ def knn_select_pallas_packed_batched(query, ref, k: int,
         interpret=interpret,
     )(nr, q, r)
     return jnp.maximum(d2[:, :nq], 0.0), idx[:, :nq]
+
+
+# --- small-d per-coordinate variant --------------------------------------
+# At chain dimensionality d <= ~16 the 128-lane MXU matmul is >= 87% zero
+# padding (VERDICT r2: 94% at d=8).  This variant skips the matmul identity
+# entirely: the (TQ, TR) distance tile accumulates d broadcast
+# (q_j - r_j)^2 sweeps on the VPU — no contraction padding, and exact
+# squared differences (no ||a||^2+||b||^2-2ab cancellation), so it is
+# MORE accurate than the matmul path in f32.  The reference set is passed
+# pre-transposed (d, TR) so coordinate j is a sublane row; the query
+# coordinate is a static width-1 lane slice.
+
+SMALLD_MAX = 16
+
+
+def _knn_kernel_packed_smalld(nr_ref, q_ref, rt_ref, d2_out, idx_out, *,
+                              k: int, self_mode: bool, d_real: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        d2_out[:] = jnp.full_like(d2_out, jnp.inf)
+        idx_out[:] = jnp.full_like(idx_out, -1)
+
+    q = q_ref[:]                     # (TQ, dpad_s)
+    acc = None
+    for c in range(d_real):          # static unroll: d <= SMALLD_MAX sweeps
+        diff = q[:, c:c + 1] - rt_ref[c:c + 1, :]      # (TQ,1)-(1,TR)
+        acc = diff * diff if acc is None else acc + diff * diff
+    # acc >= 0 by construction: no clamp needed before packing
+    d2_new, idx_new = _packed_select(acc, nr_ref[0], d2_out[:], idx_out[:],
+                                     i, j, k=k, self_mode=self_mode)
+    d2_out[:] = d2_new
+    idx_out[:] = idx_new
+
+
+@functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
+def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                             self_mode: bool = False, interpret: bool = False,
+                             nr=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-coordinate VPU selection for d <= SMALLD_MAX; packed extraction
+    (same <= 2^-12 distance quantization as ``knn_select_pallas_packed``),
+    exact f32 squared differences."""
+    nq, d = query.shape
+    assert d <= SMALLD_MAX, f"smalld kernel requires d <= {SMALLD_MAX}"
+    if nr is None:
+        nr = ref.shape[0]
+    k = min(k, ref.shape[0])
+
+    mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
+        jnp.asarray(nr, query.dtype), 1.0)
+    dpad_s = _round_up(max(d, 1), 8)             # f32 sublane quantum
+    nq_pad = _round_up(nq, TQ)
+    nr_pad = _round_up(ref.shape[0], TR)
+    q = jnp.zeros((nq_pad, dpad_s), jnp.float32)
+    q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
+    rt = jnp.zeros((dpad_s, nr_pad), jnp.float32)
+    rt = rt.at[:d, :ref.shape[0]].set((ref - mu).astype(jnp.float32).T)
+    nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
+
+    grid = (nq_pad // TQ, nr_pad // TR)
+    kernel = functools.partial(_knn_kernel_packed_smalld, k=k,
+                               self_mode=self_mode, d_real=d)
+    d2, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TQ, dpad_s), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dpad_s, TR), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * nq_pad * nr_pad * d,
+            bytes_accessed=(q.size + rt.size) * 4, transcendentals=0),
+        interpret=interpret,
+    )(nr_arr, q, rt)
+    return jnp.maximum(d2[:nq], 0.0), idx[:nq]
 
 
 # Depth of the per-lane bin store in the binned kernel: candidate j lands in

@@ -47,6 +47,16 @@ def test_model_2d_prior_bounds(rng):
     assert np.isfinite([m.lnprob(p) for p in pos]).all()
 
 
+def test_model_2d_vis(rng, tmp_path):
+    # corner-plot helper (reference examples.py:247-263): matplotlib
+    # fallback path, headless
+    m = model_2d(rng=rng)
+    out = str(tmp_path / "corner.png")
+    fig = m.vis(m.pos(200), fname=out)
+    import os
+    assert fig is not None and os.path.getsize(out) > 0
+
+
 def test_glm_evidence_formula_selfconsistent(rng):
     # doubling all prior widths must shift lnZ by exactly -ndim*ln2
     m = glm_eg(verbose=0, rng=rng)

@@ -155,3 +155,33 @@ def test_pallas_binned_packed_cross_runtime_nr(rng):
     sk_d, sk_i = NearestNeighbors(n_neighbors=5).fit(r[:730]).kneighbors(q)
     assert np.mean(np.sort(idx, axis=1) == np.sort(sk_i, axis=1)) == 1.0
     assert idx.max() < 730
+
+
+@pytest.mark.parametrize("n,d,k", [(300, 5, 6), (517, 8, 4)])
+def test_pallas_smalld_self_mode_interpret(rng, n, d, k):
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_smalld
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    d2, idx = knn_select_pallas_smalld(jnp.asarray(x), jnp.asarray(x), k,
+                                       self_mode=True, interpret=True)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=k).fit(x).kneighbors(x)
+    assert np.all(idx[:, 0] == np.arange(n))
+    assert np.all(d2[:, 0] == 0.0)
+    np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(sk_i, axis=1))
+    # packed extraction: distances quantized down by <= 2^-12 relative
+    np.testing.assert_allclose(np.sqrt(d2), sk_d, rtol=2.0 ** -12, atol=1e-4)
+
+
+def test_pallas_smalld_cross_runtime_nr(rng):
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_smalld
+    q = rng.normal(size=(130, 4)).astype(np.float32)
+    r = rng.normal(size=(1030, 4)).astype(np.float32)
+    # runtime nr masks rows beyond 730
+    d2, idx = knn_select_pallas_smalld(jnp.asarray(q), jnp.asarray(r), 5,
+                                       interpret=True, nr=730)
+    idx = np.asarray(idx)
+    assert np.all(idx >= 0) and np.all(idx < 730)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=5).fit(r[:730]).kneighbors(q)
+    np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(sk_i, axis=1))
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), sk_d,
+                               rtol=2.0 ** -12, atol=1e-4)
