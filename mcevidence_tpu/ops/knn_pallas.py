@@ -352,6 +352,89 @@ def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     return jnp.maximum(d2[:nq], 0.0), idx[:nq]
 
 
+def _knn_kernel_packed_smalld_batched(nr_ref, q_ref, rt_ref, d2_out, idx_out,
+                                      *, k: int, self_mode: bool,
+                                      d_real: int):
+    """Batched small-d kernel: grid (B, query tiles, ref tiles), per-batch
+    runtime counts — the small-d sibling of ``_knn_kernel_packed_batched``."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        d2_out[0] = jnp.full_like(d2_out[0], jnp.inf)
+        idx_out[0] = jnp.full_like(idx_out[0], -1)
+
+    q = q_ref[0]
+    rt = rt_ref[0]
+    acc = None
+    for c in range(d_real):
+        diff = q[:, c:c + 1] - rt[c:c + 1, :]
+        acc = diff * diff if acc is None else acc + diff * diff
+    d2_new, idx_new = _packed_select(acc, nr_ref[b], d2_out[0], idx_out[0],
+                                     i, j, k=k, self_mode=self_mode)
+    d2_out[0] = d2_new
+    idx_out[0] = idx_new
+
+
+@functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
+def knn_select_pallas_smalld_batched(query, ref, k: int,
+                                     self_mode: bool = False,
+                                     interpret: bool = False,
+                                     nr=None):
+    """Batched per-coordinate selection: (B, Nq, d) vs (B, Nr, d), d <=
+    SMALLD_MAX; same contract as ``knn_select_pallas_packed_batched``."""
+    bsz, nq, d = query.shape
+    assert d <= SMALLD_MAX, f"smalld kernel requires d <= {SMALLD_MAX}"
+    nr_full = ref.shape[1]
+    if nr is None:
+        nr = jnp.full((bsz,), nr_full, jnp.int32)
+    nr = jnp.asarray(nr, jnp.int32).reshape(bsz)
+    k = min(k, nr_full)
+
+    mu = (jnp.sum(ref, axis=1, keepdims=True)
+          / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
+    dpad_s = _round_up(max(d, 1), 8)
+    nq_pad = _round_up(nq, TQ)
+    nr_pad = _round_up(nr_full, TR)
+    q = jnp.zeros((bsz, nq_pad, dpad_s), jnp.float32)
+    q = q.at[:, :nq, :d].set((query - mu).astype(jnp.float32))
+    rt = jnp.zeros((bsz, dpad_s, nr_pad), jnp.float32)
+    rt = rt.at[:, :d, :nr_full].set(
+        jnp.swapaxes((ref - mu).astype(jnp.float32), 1, 2))
+
+    grid = (bsz, nq_pad // TQ, nr_pad // TR)
+    kernel = functools.partial(_knn_kernel_packed_smalld_batched, k=k,
+                               self_mode=self_mode, d_real=d)
+    d2, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TQ, dpad_s), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dpad_s, TR), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TQ, k), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, k), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, nq_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nq_pad, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * bsz * nq_pad * nr_pad * d,
+            bytes_accessed=(q.size + rt.size) * 4, transcendentals=0),
+        interpret=interpret,
+    )(nr, q, rt)
+    return jnp.maximum(d2[:, :nq], 0.0), idx[:, :nq]
+
+
 # Depth of the per-lane bin store in the binned kernel: candidate j lands in
 # bin (j mod 128) and each bin retains its BINS_DEPTH smallest.  A true
 # neighbour is lost only when > BINS_DEPTH of a row's true top-k collide in

@@ -155,7 +155,11 @@ def fused_refine_dotp_batch(qhi, qlo, rhi, rlo, scalh, scall, valid,
     kernel (the per-member runtime count lives in an SMEM array — plain
     vmap cannot batch an SMEM scalar operand); the double-float refinement
     and estimator vmap.  Returns (B, 2*kmax+1)."""
-    if engine.startswith("pallas"):
+    if engine == "pallas_smalld" and qhi.shape[2] <= 16:
+        from .knn_pallas import knn_select_pallas_smalld_batched
+        _, idx = knn_select_pallas_smalld_batched(
+            qhi, rhi, k_sel, self_mode=self_mode, nr=n_ref_true)
+    elif engine.startswith("pallas"):
         from .knn_pallas import knn_select_pallas_packed_batched
         _, idx = knn_select_pallas_packed_batched(
             qhi, rhi, k_sel, self_mode=self_mode, nr=n_ref_true)
@@ -204,7 +208,13 @@ def _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
     # shard of the replicated reference set) selects without the pin — the
     # self candidate wins slot 0 naturally at distance ~0 — and relies on
     # the offset-aware zeroing below.
-    if engine.startswith("pallas"):
+    if engine == "pallas_smalld" and qhi.shape[1] <= 16:
+        # per-coordinate VPU selection (no 128-lane MXU padding; d <= 16)
+        from .knn_pallas import knn_select_pallas_smalld
+        _, idx = knn_select_pallas_smalld(qhi, rhi, k_sel,
+                                          self_mode=kernel_self_pin,
+                                          nr=n_ref_true)
+    elif engine.startswith("pallas"):
         from .knn_pallas import knn_select_pallas_packed
         _, idx = knn_select_pallas_packed(qhi, rhi, k_sel,
                                           self_mode=kernel_self_pin,

@@ -955,7 +955,11 @@ def make_sharded_grid_device_refine(mesh: Mesh, axes=("dp", "ring"), *,
         offset = (p_idx * nq_loc).astype(jnp.int32)
         rhi = jax.lax.all_gather(rhi_s, ring, axis=1, tiled=True)
         rlo = jax.lax.all_gather(rlo_s, ring, axis=1, tiled=True)
-        if engine.startswith("pallas"):
+        if engine == "pallas_smalld" and qhi.shape[2] <= 16:
+            from ..ops.knn_pallas import knn_select_pallas_smalld_batched
+            _, idx = knn_select_pallas_smalld_batched(
+                qhi, rhi, k_sel, self_mode=False, nr=n_ref)
+        elif engine.startswith("pallas"):
             from ..ops.knn_pallas import knn_select_pallas_packed_batched
             # auto mode: no in-kernel diagonal pin — queries are a shard of
             # the replicated reference, so the self candidate wins slot 0

@@ -185,3 +185,30 @@ def test_pallas_smalld_cross_runtime_nr(rng):
     np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(sk_i, axis=1))
     np.testing.assert_allclose(np.sqrt(np.asarray(d2)), sk_d,
                                rtol=2.0 ** -12, atol=1e-4)
+
+
+def test_pallas_smalld_batched_interpret(rng):
+    # the packed extraction may swap candidates whose distances differ by
+    # less than its 2^-12 quantization (resolved downstream by the f64
+    # refinement), so assert QUALITY, not identity: every selected
+    # candidate's TRUE f64 distance must sit within the quantization
+    # window of sklearn's k-th distance.
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_smalld_batched
+    b, n, d, k = 3, 260, 6, 4
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    ns = [260, 200, 147]
+    d2, idx = knn_select_pallas_smalld_batched(
+        jnp.asarray(x), jnp.asarray(x), k, self_mode=True, interpret=True,
+        nr=np.asarray(ns, np.int32))
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    for i, nv in enumerate(ns):
+        sk_d, _ = NearestNeighbors(n_neighbors=k).fit(
+            x[i, :nv]).kneighbors(x[i, :nv])
+        assert np.all(idx[i, :nv] >= 0) and np.all(idx[i, :nv] < nv)
+        assert np.all(idx[i, :nv, 0] == np.arange(nv))      # self first
+        x64 = x[i].astype(np.float64)
+        true_d2 = np.sum((x64[:nv, None, :]
+                          - x64[idx[i, :nv]]) ** 2, axis=2)
+        assert np.all(true_d2 <= (sk_d ** 2) * (1 + 2.0 ** -10) + 1e-6)
+        np.testing.assert_allclose(np.sqrt(d2[i, :nv]), sk_d,
+                                   rtol=2.0 ** -11, atol=1e-4)
