@@ -215,3 +215,24 @@ def test_grid_device_refine_cross(rng):
     for i, ((th, lnl), r) in enumerate(zip(chains, refs)):
         want = evidence_fn(th, lnl, samples2=r, kmax=3, engine="xla")
         np.testing.assert_allclose(got[i], want, rtol=0, atol=1e-8)
+
+
+def test_grid_device_refine_defer(rng):
+    """defer=True returns a finalize callable whose result is identical to
+    the eager call (the per-chain grid driver dispatches many chunks
+    before fetching any)."""
+    from mcevidence_tpu.parallel.ring import (
+        sharded_grid_device_refine_evidence)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("dp", "ring"))
+    chains = []
+    for i, (n, d) in enumerate([(900, 3), (650, 4)]):
+        th, lnl = make_gaussian_chain(np.random.default_rng(70 + i),
+                                      n=n, ndim=d)
+        chains.append((th, lnl))
+    eager = sharded_grid_device_refine_evidence(chains, kmax=3, mesh=mesh2,
+                                                engine="xla")
+    fin = sharded_grid_device_refine_evidence(chains, kmax=3, mesh=mesh2,
+                                              engine="xla", defer=True)
+    assert callable(fin)
+    np.testing.assert_array_equal(fin(), eager)
