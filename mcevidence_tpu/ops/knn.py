@@ -304,9 +304,10 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
                 return knn_select_pallas_binned(q32, r32, ks,
                                                 self_mode=self_mode, nr=nr,
                                                 packed=refine)
-            elif engine == "pallas_smalld":
+            elif engine == "pallas_smalld" and q32.shape[1] <= 16:
                 # per-coordinate VPU distances (d <= 16; no 128-lane MXU
-                # padding) + packed extraction — refine consumers only
+                # padding) + packed extraction — refine consumers only;
+                # wider inputs fall through to the packed MXU kernel
                 from .knn_pallas import knn_select_pallas_smalld
                 sel = knn_select_pallas_smalld
             elif engine == "pallas_exact" or (engine == "pallas"
