@@ -284,16 +284,18 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                                    _device_refine_prepare,
                                    device_refine_evidence,
                                    fused_refine_dotp)
-        if len(chain_exts) > 1:
-            # per-chain (SingleChains) mode: 4x the cells at 1/4 the rows —
-            # per-cell dispatch latency dominates, so same-bucket cells run
-            # through the batched dp x ring device-refine program in fixed
-            # GRID_BATCH_QUANTUM chunks (one program shape per row bucket;
-            # the last chunk pads by repeating a cell so the batch axis
-            # never forks the compile shape).  AllChains keeps the per-cell
-            # async dispatch below — measured flat vs batching there.
+        # Chunk quantum: how many same-bucket cells share one batched dp x
+        # ring device-refine dispatch.  The warm grid is dispatch-count
+        # bound through a relay (~86 ms/dispatch regardless of cell bytes —
+        # BASELINE.md round 3), so fewer, fatter dispatches win; per-chain
+        # mode (4x the cells at 1/4 the rows) always chunks.  Override with
+        # MCE_GRID_QUANTUM (1 = per-cell async dispatch, the pre-r3 path).
+        q_env = os.environ.get("MCE_GRID_QUANTUM")
+        quantum = (int(q_env) if q_env
+                   else (4 if len(chain_exts) > 1 else 1))
+        if quantum > 1 and len(cells) > 1:
             from .ops.knn import bucket_size_pow2
-            from .parallel.ring import (GRID_BATCH_QUANTUM, _dpad_class,
+            from .parallel.ring import (_dpad_class,
                                         sharded_grid_device_refine_evidence)
             groups: Dict[tuple, list] = {}
             small = []
@@ -307,10 +309,12 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                 groups.setdefault(key, []).append(cell)
             pend_b = []     # dispatch every chunk before fetching any
             for group in groups.values():
-                for c0 in range(0, len(group), GRID_BATCH_QUANTUM):
-                    chunk = group[c0:c0 + GRID_BATCH_QUANTUM]
+                for c0 in range(0, len(group), quantum):
+                    chunk = group[c0:c0 + quantum]
                     ntrue = len(chunk)
-                    chunk = chunk + [chunk[0]] * (GRID_BATCH_QUANTUM - ntrue)
+                    # pad to the fixed quantum by repeating a cell so the
+                    # batch axis never forks the compile shape
+                    chunk = chunk + [chunk[0]] * (quantum - ntrue)
                     fin = sharded_grid_device_refine_evidence(
                         [(c[3], c[4], c[5]) for c in chunk],
                         kmax=kmax,

@@ -311,6 +311,21 @@ def test_grid_batched_device_per_chain_cross(minigrid, tmp_path):
         assert list(out_dev[col]) == list(out_ref[col])
 
 
+def test_grid_quantum_env_allchains(minigrid, tmp_path, monkeypatch):
+    # MCE_GRID_QUANTUM routes AllChains cells through the chunked batched
+    # device path; tables must match the per-cell device mode
+    rootdir, ds = minigrid
+    out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                      batch_cells=True, precision="device")
+    monkeypatch.setenv("MCE_GRID_QUANTUM", "2")
+    out_q = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                    batch_cells=True, precision="device")
+    np.testing.assert_allclose(out_q["AllChains"], out_ref["AllChains"],
+                               atol=1e-8)
+    for col in ("N_read", "N_used", "ndim"):
+        assert list(out_q[col]) == list(out_ref[col])
+
+
 def test_grid_batched_device_cross(minigrid, tmp_path):
     rootdir, ds = minigrid
     out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
