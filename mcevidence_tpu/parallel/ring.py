@@ -1067,14 +1067,27 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     if prior_volumes is None:
         prior_volumes = np.ones(b_true)
 
-    QHI = np.zeros((b_pad, n_pad, dpad), np.float32)
-    QLO = np.zeros((b_pad, n_pad, dpad), np.float32)
+    # pooled host staging (ops.pipeline._pooled): fresh numpy pages fault
+    # at ~30 MB/s on this VM class while re-zeroing already-faulted pages
+    # runs at memory speed — with one ~2.5 MB staging set per chunk and
+    # ~175 chunks per grid run, fresh np.zeros cost seconds of host time.
+    # Buffers are re-zeroed wholesale so semantics match fresh allocation.
+    from ..ops.pipeline import _pooled
+    QHI = _pooled("grid_qhi", (b_pad, n_pad, dpad), np.float32)
+    QLO = _pooled("grid_qlo", (b_pad, n_pad, dpad), np.float32)
+    QHI[:] = 0.0
+    QLO[:] = 0.0
     if cross:
-        RHI = np.zeros((b_pad, m_pad, dpad), np.float32)
-        RLO = np.zeros((b_pad, m_pad, dpad), np.float32)
-    SCH = np.zeros((b_pad, n_pad), np.float32)
-    SCL = np.zeros((b_pad, n_pad), np.float32)
-    VAL = np.zeros((b_pad, n_pad), np.float32)
+        RHI = _pooled("grid_rhi", (b_pad, m_pad, dpad), np.float32)
+        RLO = _pooled("grid_rlo", (b_pad, m_pad, dpad), np.float32)
+        RHI[:] = 0.0
+        RLO[:] = 0.0
+    SCH = _pooled("grid_sch", (b_pad, n_pad), np.float32)
+    SCL = _pooled("grid_scl", (b_pad, n_pad), np.float32)
+    VAL = _pooled("grid_val", (b_pad, n_pad), np.float32)
+    SCH[:] = 0.0
+    SCL[:] = 0.0
+    VAL[:] = 0.0
     NG = np.ones(b_pad, np.int32)
     ND = np.ones(b_pad, np.int32)
     IS2 = np.ones(b_pad, np.float32)
@@ -1119,15 +1132,24 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     sh3 = NamedSharding(mesh, P("dp", "ring", None))
     sh2 = NamedSharding(mesh, P("dp", "ring"))
     sh1 = NamedSharding(mesh, P("dp"))
-    ref_args = ((jax.device_put(jnp.asarray(RHI), sh3),
-                 jax.device_put(jnp.asarray(RLO), sh3)) if cross else ())
+    # pooled buffers are REUSED by the next (possibly deferred) chunk, so
+    # the device array must not alias them: on TPU jnp.asarray copies
+    # synchronously (verified in ops/pipeline.py); on the CPU backend it
+    # aliases the numpy buffer, so force a copy there.
+    if jax.default_backend() == "cpu":
+        def _stage(x):
+            return jnp.array(x, copy=True)
+    else:
+        _stage = jnp.asarray
+    ref_args = ((jax.device_put(_stage(RHI), sh3),
+                 jax.device_put(_stage(RLO), sh3)) if cross else ())
     parts_dev = fn(
-        jax.device_put(jnp.asarray(QHI), sh3),
-        jax.device_put(jnp.asarray(QLO), sh3),
+        jax.device_put(_stage(QHI), sh3),
+        jax.device_put(_stage(QLO), sh3),
         *ref_args,
-        jax.device_put(jnp.asarray(SCH), sh2),
-        jax.device_put(jnp.asarray(SCL), sh2),
-        jax.device_put(jnp.asarray(VAL), sh2),
+        jax.device_put(_stage(SCH), sh2),
+        jax.device_put(_stage(SCL), sh2),
+        jax.device_put(_stage(VAL), sh2),
         jax.device_put(jnp.asarray(NG), sh1),
         jax.device_put(jnp.asarray(ND), sh1),
         jax.device_put(jnp.asarray(IS2), sh1))
