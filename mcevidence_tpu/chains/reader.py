@@ -131,6 +131,13 @@ def load_chains(source: ChainSource, idchain: int = 0,
     if isinstance(source, np.ndarray):
         return [np.asarray(source, dtype=np.float64)]
 
+    # duck-typed ArviZ InferenceData (PyMC / NumPyro / emcee exports):
+    # groups are xarray Datasets — anything whose .posterior has .data_vars
+    # of (chain, draw, ...) arrays works, no arviz/xarray import required.
+    post = getattr(source, "posterior", None)
+    if post is not None and hasattr(post, "data_vars"):
+        return _inferencedata_to_chains(source)
+
     # duck-typed getdist-style object: .samples (N, d), .loglikes (-lnL),
     # optional .weights — the reference consumed getdist MCSamples when that
     # package was installed (MCEvidence.py:45-59); here any object with the
@@ -148,6 +155,50 @@ def load_chains(source: ChainSource, idchain: int = 0,
         return [np.asarray(c, dtype=np.float64) for c in source]
 
     raise TypeError(f"unsupported chain source type: {type(source)!r}")
+
+
+def _inferencedata_to_chains(idata) -> List[np.ndarray]:
+    """ArviZ ``InferenceData`` -> per-chain column matrices.
+
+    ``posterior`` data variables (dims ``(chain, draw, *event)``) flatten
+    into parameter columns in variable order; the per-draw total log
+    likelihood is the sum of the ``log_likelihood`` group's pointwise
+    values over observation dims and variables.  Each MCMC chain becomes
+    its own matrix, so burn-in / thinning / per-chain error bars apply per
+    chain exactly as for CosmoMC multi-file roots.  ``sample_stats.lp`` is
+    deliberately NOT used as a fallback: it is the log *posterior*, whose
+    prior term would bias ln Z (the evidence integrates the likelihood).
+    """
+    post = idata.posterior
+    blocks = []
+    for name in post.data_vars:
+        v = np.asarray(post.data_vars[name].values, np.float64)
+        if v.ndim < 2:
+            raise ValueError(f"posterior variable {name!r} needs "
+                             "(chain, draw, ...) dims")
+        blocks.append(v.reshape(v.shape[0], v.shape[1], -1))
+    if not blocks:
+        raise ValueError("InferenceData posterior has no data variables")
+    theta = np.concatenate(blocks, axis=2)          # (chain, draw, ndim)
+
+    ll = getattr(idata, "log_likelihood", None)
+    if ll is None or not hasattr(ll, "data_vars"):
+        raise ValueError(
+            "InferenceData source needs a log_likelihood group (e.g. "
+            "pm.sample(..., idata_kwargs={'log_likelihood': True}) or "
+            "numpyro's log_likelihood helper); sample_stats.lp is the log "
+            "posterior and would bias the evidence")
+    tot = None
+    for name in ll.data_vars:
+        v = np.asarray(ll.data_vars[name].values, np.float64)
+        s = v.reshape(v.shape[0], v.shape[1], -1).sum(axis=2)
+        tot = s if tot is None else tot + s        # (chain, draw)
+    if tot.shape != theta.shape[:2]:
+        raise ValueError(f"log_likelihood (chain, draw) shape {tot.shape} "
+                         f"does not match posterior {theta.shape[:2]}")
+    ones = np.ones(theta.shape[1])
+    return [np.column_stack([ones, -tot[c], theta[c]])
+            for c in range(theta.shape[0])]
 
 
 def _dict_to_columns(d: Mapping) -> np.ndarray:

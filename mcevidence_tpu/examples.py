@@ -13,6 +13,8 @@ compare-by-eye.
                      (replaces the reference's PyStan harness,
                      examples.py:347-418).
 * ``gaussian_eg``  — N-dim Gaussian with known truth (examples.py:267-342).
+* ``gaussian_corr_eg`` — N-dim CORRELATED Gaussian (dense covariance;
+                     whitening + Jacobian load-bearing; extension).
 * ``model_2d``     — 2-param straight-line likelihood for ensemble samplers
                      (examples.py:182-263).
 * ``make_emcee_chain`` / ``gaussian_emcee`` — emcee integration, gated on
@@ -22,7 +24,7 @@ Together with the iid Gaussian sampler this covers the reference's three
 sampler families (Gibbs, NUTS, ensemble/iid) with asserting tests.
 
 Run: ``python -m mcevidence_tpu.examples
-[gaussian_eg|glm_eg|glm_nuts|gaussian_emcee] [nsamples]``.
+[gaussian_eg|gaussian_corr_eg|glm_eg|glm_nuts|gaussian_emcee] [nsamples]``.
 """
 
 from __future__ import annotations
@@ -174,6 +176,61 @@ class gaussian_eg:
     def info(self):
         return (f"{self.ndim}-dimensional multivariate Gaussian with "
                 "normalized likelihood (lnZ -> -ln V_prior).")
+
+
+class gaussian_corr_eg:
+    """N-dim CORRELATED Gaussian likelihood sampled exactly.
+
+    Extends the reference's diagonal ``gaussian_eg`` (examples.py:267-342)
+    with a dense random covariance: the normalized likelihood
+    N(theta; mu, Sigma) sampled iid via Cholesky, so ln Z -> -ln V_prior
+    again — but now the estimator's whitening rotation and the
+    sqrt(det Sigma) Jacobian (reference MCEvidence.py:865-877) are
+    load-bearing: skipping either biases ln Z by O(ln det Sigma).
+    """
+
+    def __init__(self, ndim=6, corr_scale=0.7, verbose=1,
+                 rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+        self.ndim = ndim
+        self.mean = np.arange(1.0, ndim + 1.0)
+        # well-conditioned dense covariance: A A^T/ndim + diag jitter,
+        # scaled to unit-ish variances with off-diagonal strength corr_scale
+        a = self.rng.normal(size=(ndim, ndim))
+        c = corr_scale * (a @ a.T) / ndim + np.diag(
+            0.3 + self.rng.random(ndim))
+        self.cov = c * 0.01             # compact posterior inside the prior
+        self.chol = np.linalg.cholesky(self.cov)
+        self.icov = np.linalg.inv(self.cov)
+        sign, logdet = np.linalg.slogdet(self.cov)
+        assert sign > 0
+        self._lognorm = -0.5 * (ndim * math.log(2 * math.pi) + logdet)
+        if verbose > 0:
+            print("cov diag=", np.diag(self.cov), "logdet=", logdet)
+
+    def lnprob(self, theta):
+        dm = np.atleast_2d(theta) - self.mean
+        q = np.einsum("ni,ij,nj->n", dm, self.icov, dm)
+        out = -0.5 * q + self._lognorm
+        return out[0] if np.ndim(theta) == 1 else out
+
+    def Sampler(self, nsamples=1000):
+        n = int(nsamples)
+        z = self.rng.normal(size=(n, self.ndim))
+        theta = self.mean + z @ self.chol.T
+        # exact normalized log-density of the draws (q = |z|^2 by
+        # construction: theta - mu = L z and q = z^T L^T Sigma^-1 L z)
+        f = -0.5 * np.sum(z * z, axis=1) + self._lognorm
+        return theta, f
+
+    def pos(self, n):
+        return self.mean + self.rng.normal(size=(n, self.ndim)) \
+            @ (5 * self.chol.T)
+
+    def info(self):
+        return (f"{self.ndim}-dimensional correlated Gaussian "
+                "(dense covariance; lnZ -> -ln V_prior; whitening + "
+                "Jacobian load-bearing).")
 
 
 class glm_nuts:
@@ -381,7 +438,8 @@ def main(argv=None) -> int:
     method = argv[0] if argv else "gaussian_eg"
     nsamples = int(argv[1]) if len(argv) > 1 else 10000
 
-    if method in ("gaussian_eg", "glm_eg", "glm_nuts"):
+    if method in ("gaussian_eg", "gaussian_corr_eg", "glm_eg",
+              "glm_nuts"):
         from .evidence import MCEvidence
         cls = globals()[method]
         model = cls(verbose=1)

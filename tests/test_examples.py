@@ -88,3 +88,21 @@ def test_examples_main_runs(capsys, rng):
     main(["gaussian_eg", "1500"])
     out = capsys.readouterr().out
     assert "estimated ln Z" in out
+
+
+def test_gaussian_corr_analytic_evidence(rng):
+    """Correlated Gaussian sampled exactly: lnZ must converge to -ln V = 0
+    (unit prior volume).  The dense covariance makes the whitening rotation
+    and the sqrt(det) Jacobian load-bearing — a wrong/skipped Jacobian
+    shifts lnZ by 0.5*ln det(Sigma) (~ -14 here), far outside tolerance."""
+    from mcevidence_tpu.evidence import MCEvidence
+    from mcevidence_tpu.examples import gaussian_corr_eg
+    m = gaussian_corr_eg(ndim=6, verbose=0, rng=rng)
+    theta, lnl = m.Sampler(8000)
+    # sanity: Sampler's density values match lnprob
+    np.testing.assert_allclose(lnl[:50], m.lnprob(theta[:50]), rtol=1e-10)
+    _, logdet = np.linalg.slogdet(m.cov)
+    assert logdet < -20           # strongly informative Jacobian
+    mle = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2,
+                     verbose=0, ischain=True, engine="xla").evidence()
+    assert abs(mle[0]) < 0.15, mle

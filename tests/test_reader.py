@@ -180,3 +180,63 @@ def test_parse_cache_roundtrip_and_invalidation(tmp_path):
         assert len(list(cdir.glob("*.npy"))) == 2
     finally:
         reader.set_parse_cache(None)
+
+
+def _fake_idata(rng, nchain=2, ndraw=400, ndim=3, with_ll=True):
+    """Duck-typed stand-in for an ArviZ InferenceData (arviz/xarray are not
+    installed here; the reader only touches .posterior/.log_likelihood
+    .data_vars mappings of objects with .values)."""
+    from types import SimpleNamespace
+
+    class Var(SimpleNamespace):
+        pass
+
+    theta = rng.normal(size=(nchain, ndraw, ndim - 1))
+    extra = rng.normal(size=(nchain, ndraw))            # scalar variable
+    ll = rng.normal(size=(nchain, ndraw, 7))            # pointwise log-lik
+    post = SimpleNamespace(data_vars={
+        "beta": Var(values=theta), "sigma": Var(values=extra)})
+    groups = dict(posterior=post)
+    if with_ll:
+        groups["log_likelihood"] = SimpleNamespace(
+            data_vars={"y": Var(values=ll)})
+    idata = SimpleNamespace(**groups)
+    return idata, theta, extra, ll
+
+
+def test_inferencedata_duck_ingestion(rng):
+    from mcevidence_tpu.chains.reader import load_chains
+    idata, theta, extra, ll = _fake_idata(rng)
+    chains = load_chains(idata)
+    assert len(chains) == 2                    # one matrix per MCMC chain
+    for c in range(2):
+        m = chains[c]
+        assert m.shape == (400, 2 + 3)
+        np.testing.assert_allclose(m[:, 0], 1.0)            # unit weights
+        np.testing.assert_allclose(m[:, 1], -ll[c].sum(axis=1))
+        np.testing.assert_allclose(m[:, 2:4], theta[c])     # var order kept
+        np.testing.assert_allclose(m[:, 4], extra[c])
+
+
+def test_inferencedata_requires_log_likelihood(rng):
+    from mcevidence_tpu.chains.reader import load_chains
+    idata, *_ = _fake_idata(rng, with_ll=False)
+    with pytest.raises(ValueError, match="log_likelihood"):
+        load_chains(idata)
+
+
+def test_inferencedata_end_to_end_evidence(rng):
+    # iid Gaussian posterior shipped as a fake InferenceData: lnZ -> -lnV=0
+    from types import SimpleNamespace
+    from mcevidence_tpu.evidence import MCEvidence
+    nchain, ndraw, ndim = 2, 3000, 4
+    theta = rng.normal(0.0, 0.05, size=(nchain, ndraw, ndim))
+    ll = (-0.5 * np.sum((theta / 0.05) ** 2, axis=2)
+          - ndim * 0.5 * np.log(2 * np.pi) - ndim * np.log(0.05))
+    idata = SimpleNamespace(
+        posterior=SimpleNamespace(
+            data_vars={"x": SimpleNamespace(values=theta)}),
+        log_likelihood=SimpleNamespace(
+            data_vars={"y": SimpleNamespace(values=ll[..., None])}))
+    mle = MCEvidence(idata, kmax=2, verbose=0, engine="xla").evidence()
+    assert abs(mle[0]) < 0.15, mle
