@@ -172,7 +172,14 @@ def _inferencedata_to_chains(idata) -> List[np.ndarray]:
     post = idata.posterior
     blocks = []
     for name in post.data_vars:
-        v = np.asarray(post.data_vars[name].values, np.float64)
+        var = post.data_vars[name]
+        dims = getattr(var, "dims", None)
+        if dims is not None and tuple(dims[:2]) != ("chain", "draw"):
+            raise ValueError(
+                f"posterior variable {name!r} has dims {tuple(dims)}; "
+                "expected leading (chain, draw) — transpose the dataset "
+                "first")
+        v = np.asarray(var.values, np.float64)
         if v.ndim < 2:
             raise ValueError(f"posterior variable {name!r} needs "
                              "(chain, draw, ...) dims")

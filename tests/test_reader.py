@@ -240,3 +240,33 @@ def test_inferencedata_end_to_end_evidence(rng):
             data_vars={"y": SimpleNamespace(values=ll[..., None])}))
     mle = MCEvidence(idata, kmax=2, verbose=0, engine="xla").evidence()
     assert abs(mle[0]) < 0.15, mle
+
+
+def test_inferencedata_rejects_wrong_dims(rng):
+    from types import SimpleNamespace
+    from mcevidence_tpu.chains.reader import load_chains
+    idata = SimpleNamespace(posterior=SimpleNamespace(data_vars={
+        "x": SimpleNamespace(values=rng.normal(size=(100, 2)),
+                             dims=("draw", "chain"))}))
+    with pytest.raises(ValueError, match="chain, draw"):
+        load_chains(idata)
+
+
+def test_parse_cache_corrupt_entry_reparsed(tmp_path, caplog):
+    # a truncated/corrupt .npy cache entry must fall back to re-parsing
+    import logging
+    from mcevidence_tpu.chains import reader
+    f = tmp_path / "c_1.txt"
+    np.savetxt(f, np.arange(12.0).reshape(3, 4))
+    cdir = tmp_path / "pc"
+    reader.set_parse_cache(str(cdir))
+    try:
+        a = reader.parse_chain_file(str(f))
+        entry = list(cdir.glob("*.npy"))[0]
+        entry.write_bytes(b"garbage")
+        with caplog.at_level(logging.WARNING):
+            b = reader.parse_chain_file(str(f))
+        np.testing.assert_array_equal(a, b)
+        assert any("cache read failed" in r.message for r in caplog.records)
+    finally:
+        reader.set_parse_cache(None)
