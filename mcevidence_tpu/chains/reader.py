@@ -197,7 +197,16 @@ def _inferencedata_to_chains(idata) -> List[np.ndarray]:
             "posterior and would bias the evidence")
     tot = None
     for name in ll.data_vars:
-        v = np.asarray(ll.data_vars[name].values, np.float64)
+        var = ll.data_vars[name]
+        dims = getattr(var, "dims", None)
+        if dims is not None and tuple(dims[:2]) != ("chain", "draw"):
+            raise ValueError(
+                f"log_likelihood variable {name!r} has dims {tuple(dims)}; "
+                "expected leading (chain, draw)")
+        v = np.asarray(var.values, np.float64)
+        if v.ndim < 2:
+            raise ValueError(f"log_likelihood variable {name!r} needs "
+                             "(chain, draw, ...) dims")
         s = v.reshape(v.shape[0], v.shape[1], -1).sum(axis=2)
         tot = s if tot is None else tot + s        # (chain, draw)
     if tot.shape != theta.shape[:2]:

@@ -340,9 +340,14 @@ class model_2d:
                                 truths=list(self.p))
         except ImportError:
             try:
-                import matplotlib
-                matplotlib.use("Agg")
-                import matplotlib.pyplot as plt
+                # no global backend switch: pyplot auto-selects Agg when
+                # headless; only force it if the default backend fails
+                try:
+                    import matplotlib.pyplot as plt
+                except Exception:
+                    import matplotlib
+                    matplotlib.use("Agg")
+                    import matplotlib.pyplot as plt
             except ImportError:
                 logger.warning("model_2d.vis: neither corner nor matplotlib "
                                "is installed; skipping plot")

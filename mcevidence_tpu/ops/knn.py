@@ -304,14 +304,16 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
                 return knn_select_pallas_binned(q32, r32, ks,
                                                 self_mode=self_mode, nr=nr,
                                                 packed=refine)
-            elif engine == "pallas_smalld" and q32.shape[1] <= 16:
+            elif (engine == "pallas_smalld" and q32.shape[1] <= 16
+                  and refine):
                 # per-coordinate VPU distances (d <= 16; no 128-lane MXU
-                # padding) + packed extraction — refine consumers only;
-                # wider inputs fall through to the packed MXU kernel
+                # padding) + packed extraction — refine consumers only
+                # (its packed quantization must not reach directly-used
+                # distances); wider inputs fall to the packed MXU kernel
                 from .knn_pallas import knn_select_pallas_smalld
                 sel = knn_select_pallas_smalld
-            elif engine == "pallas_exact" or (engine == "pallas"
-                                              and not refine):
+            elif engine == "pallas_exact" or (
+                    not refine and engine in ("pallas", "pallas_smalld")):
                 sel = knn_select_pallas
             else:
                 sel = knn_select_pallas_packed

@@ -1133,14 +1133,13 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     sh2 = NamedSharding(mesh, P("dp", "ring"))
     sh1 = NamedSharding(mesh, P("dp"))
     # pooled buffers are REUSED by the next (possibly deferred) chunk, so
-    # the device array must not alias them: on TPU jnp.asarray copies
-    # synchronously (verified in ops/pipeline.py); on the CPU backend it
-    # aliases the numpy buffer, so force a copy there.
-    if jax.default_backend() == "cpu":
-        def _stage(x):
-            return jnp.array(x, copy=True)
-    else:
-        _stage = jnp.asarray
+    # the device array must not alias them NOR be mid-transfer when the
+    # next chunk re-zeros them.  jnp.array(copy=True) is the verified-safe
+    # pattern from ops/pipeline.py on every backend (on TPU the H2D
+    # transfer IS the copy; on CPU it defeats numpy aliasing; on other
+    # PJRT backends it guards an async DMA still reading the buffer).
+    def _stage(x):
+        return jnp.array(x, copy=True)
     ref_args = ((jax.device_put(_stage(RHI), sh3),
                  jax.device_put(_stage(RLO), sh3)) if cross else ())
     parts_dev = fn(

@@ -745,13 +745,16 @@ def _launch_procs(argv, procs: int) -> int:
     env = dict(os.environ)
     try:
         import jax
-        if jax.default_backend() == "cpu":
-            # propagate the parent's platform choice: this deployment's
-            # sitecustomize force-selects the TPU plugin at interpreter
-            # start, overriding the JAX_PLATFORMS env var — without this
-            # pin, workers forked from a CPU-forced parent (the test
-            # suite's virtual mesh) silently land on the real TPU relay
-            # and crawl/contend (root cause of the r2 full-suite hang).
+        # propagate the parent's platform choice: this deployment's
+        # sitecustomize force-selects the TPU plugin at interpreter
+        # start, overriding the JAX_PLATFORMS env var — without this
+        # pin, workers forked from a CPU-forced parent (the test
+        # suite's virtual mesh) silently land on the real TPU relay
+        # and crawl/contend (root cause of the r2 full-suite hang).
+        # Read the CONFIG value, not jax.default_backend(): the latter
+        # would initialize a TPU client in this launcher process, which
+        # does no compute but would hold the exclusive device lock.
+        if (jax.config.jax_platforms or "").split(",")[0] == "cpu":
             env["MCE_FORCE_PLATFORM"] = "cpu"
     except Exception:
         pass
