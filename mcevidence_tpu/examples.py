@@ -15,6 +15,9 @@ compare-by-eye.
 * ``gaussian_eg``  — N-dim Gaussian with known truth (examples.py:267-342).
 * ``gaussian_corr_eg`` — N-dim CORRELATED Gaussian (dense covariance;
                      whitening + Jacobian load-bearing; extension).
+* ``banana_eg``    — 2-d curved non-Gaussian likelihood with
+                     quadrature-exact evidence (extension; no linear map
+                     makes it Gaussian).
 * ``model_2d``     — 2-param straight-line likelihood for ensemble samplers
                      (examples.py:182-263).
 * ``make_emcee_chain`` / ``gaussian_emcee`` — emcee integration, gated on
@@ -24,7 +27,8 @@ Together with the iid Gaussian sampler this covers the reference's three
 sampler families (Gibbs, NUTS, ensemble/iid) with asserting tests.
 
 Run: ``python -m mcevidence_tpu.examples
-[gaussian_eg|gaussian_corr_eg|glm_eg|glm_nuts|gaussian_emcee] [nsamples]``.
+[gaussian_eg|gaussian_corr_eg|banana_eg|glm_eg|glm_nuts|gaussian_emcee]
+[nsamples]``.
 """
 
 from __future__ import annotations
@@ -231,6 +235,75 @@ class gaussian_corr_eg:
         return (f"{self.ndim}-dimensional correlated Gaussian "
                 "(dense covariance; lnZ -> -ln V_prior; whitening + "
                 "Jacobian load-bearing).")
+
+
+class banana_eg:
+    """2-d non-Gaussian "banana" likelihood with quadrature-exact evidence.
+
+    L(t) = exp(-t1^2/(2 a^2) - (t2 - b t1^2)^2/(2 c^2)) over a uniform
+    prior box: the posterior is curved in EVERY linear coordinate system,
+    so the estimator's global whitening cannot straighten it — this is the
+    first validation target that is not Gaussian after any linear map.
+    The plane integral is exactly 2 pi a c (substitute u = t1,
+    v = t2 - b t1^2, unit Jacobian); ``evidence()`` returns the
+    box-truncated value by 2-d trapezoid quadrature so the truth is exact
+    for the prior actually used.  ``Sampler`` draws iid exactly
+    (t1 ~ N(0, a^2), t2|t1 ~ N(b t1^2, c^2)); ``pos`` supplies walker
+    starts for the ensemble samplers.  Extends the reference's harness
+    (reference examples.py:267-342 stops at Gaussians).
+    """
+
+    def __init__(self, a=1.0, b=1.0, c=0.5,
+                 bounds=((-6.0, 6.0), (-3.0, 40.0)), verbose=1,
+                 rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+        self.ndim = 2
+        self.a, self.b, self.c = float(a), float(b), float(c)
+        self.bounds = bounds
+        (l1, h1), (l2, h2) = bounds
+        self.prior_volume = (h1 - l1) * (h2 - l2)
+        self._lnz = None
+        if verbose > 0:
+            print(f"banana a={a} b={b} c={c} box={bounds} "
+                  f"V={self.prior_volume:g}")
+
+    def lnlike(self, theta):
+        t = np.asarray(theta, np.float64)
+        t1, t2 = t[..., 0], t[..., 1]
+        return (-0.5 * (t1 / self.a) ** 2
+                - 0.5 * ((t2 - self.b * t1 ** 2) / self.c) ** 2)
+
+    lnprob = lnlike    # flat prior inside the box
+
+    def evidence(self) -> float:
+        """ln Z = ln( (1/V) * integral_box L ) by trapezoid quadrature
+        (agrees with the exact plane integral 2 pi a c to ~1e-8 for the
+        default box)."""
+        if self._lnz is None:
+            (l1, h1), (l2, h2) = self.bounds
+            g1 = np.linspace(l1, h1, 4001)
+            g2 = np.linspace(l2, h2, 4001)
+            ln = self.lnlike(np.stack(np.meshgrid(g1, g2, indexing="ij"),
+                                      axis=-1))
+            integral = np.trapezoid(np.trapezoid(np.exp(ln), g2, axis=1), g1)
+            self._lnz = float(math.log(integral)
+                              - math.log(self.prior_volume))
+        return self._lnz
+
+    def Sampler(self, nsamples=1000):
+        n = int(nsamples)
+        t1 = self.rng.normal(0.0, self.a, n)
+        t2 = self.rng.normal(self.b * t1 ** 2, self.c)
+        theta = np.stack([t1, t2], axis=1)
+        return theta, self.lnlike(theta)
+
+    def pos(self, n):
+        return self.rng.normal([0.0, self.b * self.a ** 2], 0.5,
+                               size=(n, self.ndim))
+
+    def info(self):
+        return ("2-d banana likelihood (curved, non-Gaussian in all linear "
+                "coordinates) with quadrature-exact evidence.")
 
 
 class glm_nuts:
@@ -444,7 +517,7 @@ def main(argv=None) -> int:
     nsamples = int(argv[1]) if len(argv) > 1 else 10000
 
     if method in ("gaussian_eg", "gaussian_corr_eg", "glm_eg",
-              "glm_nuts"):
+              "glm_nuts", "banana_eg"):
         from .evidence import MCEvidence
         cls = globals()[method]
         model = cls(verbose=1)
@@ -452,11 +525,15 @@ def main(argv=None) -> int:
         samples, logl = model.Sampler(nsamples=nsamples)
         chain = {"samples": samples, "loglikes": logl}
         mle = MCEvidence(chain, thinlen=2, burnlen=0.1, verbose=1,
-                         ischain=True).evidence()
+                         ischain=True,
+                         priorvolume=getattr(model, "prior_volume", 1),
+                         ).evidence()
         print("estimated ln Z (k=1..):", mle)
         if method.startswith("glm"):
             truth = model.evidence() + np.log(model.ptheta.prod())
             print("analytic ln Z (without prior volume):", truth)
+        elif method == "banana_eg":
+            print("quadrature ln Z:", model.evidence())
         else:
             print("analytic ln Z (unit prior volume): 0.0")
     else:

@@ -13,6 +13,12 @@ the true ln Z is 0 (unit prior volume) and the measured ln Z IS the error.
 Each cell runs ``n_seeds`` independent chains through the device-precision
 pipeline; the table reports bias +/- rms.
 
+Round-3 additions go beyond the reference's harness: a correlated-
+covariance leg (whitening Jacobian load-bearing), an importance-weighted
+leg (w = p/q from a wider proposal; the 1/w density correction
+load-bearing), a non-Gaussian banana target with quadrature-exact truth,
+and an autocorrelated-ensemble caveat row (thinning recovers iid).
+
 Usage: python scripts/validation_study.py [n_seeds]   (writes markdown to
 stdout; ~a minute warm on one v5e chip).
 """
@@ -87,6 +93,83 @@ def main(n_seeds: int = 6) -> None:
         v = np.asarray(vals)
         print(f"| {d} | {v.mean():+.4f} | "
               f"{float(np.sqrt(np.mean(v ** 2))):.4f} | {0.5 * logdet:+.1f} |")
+
+    print("\n## Importance-weighted chains  (d=4, N=32000, k=1; "
+          "truth ln Z = 0)\n")
+    print("samples drawn from a WIDER proposal q = N(mean, (c sig)^2) and "
+          "carried with weights w = p/q — the estimator's 1/w_j density "
+          "correction and SumW normalization (reference MCEvidence.py:"
+          "1107-1126) are both load-bearing; dropping either biases lnZ "
+          "by O(ln c) per dimension\n")
+    print("| proposal width c | bias | rms error |")
+    print("|---|---|---|")
+    d, n = 4, 32000
+    mean = np.linspace(1.0, 2.0, d)
+    sig = np.full(d, 0.05)
+    lognorm_p = -0.5 * d * np.log(2 * np.pi) - np.sum(np.log(sig))
+    for c in (1.25, 1.5, 2.0):
+        vals = []
+        for s in range(n_seeds):
+            rng = np.random.default_rng(3000 + 17 * s + int(100 * c))
+            th = rng.normal(mean, c * sig, size=(n, d))
+            zt = (th - mean) / sig
+            lnl = -0.5 * np.sum(zt * zt, axis=1) + lognorm_p
+            zq = (th - mean) / (c * sig)
+            lnq = (-0.5 * np.sum(zq * zq, axis=1) + lognorm_p
+                   - d * np.log(c))
+            vals.append(evidence_fn(th, lnl, np.exp(lnl - lnq), kmax=2,
+                                    precision="device")[0])
+        v = np.asarray(vals)
+        print(f"| {c} | {v.mean():+.4f} | "
+              f"{float(np.sqrt(np.mean(v ** 2))):.4f} |")
+
+    print("\n## Non-Gaussian banana  (2-d curved target; truth by "
+          "quadrature)\n")
+    print("no linear map Gaussianizes this posterior, so the global "
+          "whitening cannot straighten it — validates the kNN estimator "
+          "beyond the Gaussian family (iid draws, k=1)\n")
+    print("| N | bias | rms error |")
+    print("|---|---|---|")
+    from mcevidence_tpu.examples import banana_eg
+    for n in (8000, 32000, 128000):
+        vals = []
+        truth = None
+        for s in range(n_seeds):
+            m = banana_eg(verbose=0, rng=np.random.default_rng(9000 + s + n))
+            truth = m.evidence()
+            th, lnl = m.Sampler(n)
+            vals.append(evidence_fn(th, lnl, kmax=2, precision="device",
+                                    prior_volume=m.prior_volume)[0] - truth)
+        v = np.asarray(vals)
+        print(f"| {n} | {v.mean():+.4f} | "
+              f"{float(np.sqrt(np.mean(v ** 2))):.4f} |")
+
+    print("\nautocorrelated-chain caveat (stretch-move ensemble, 64 "
+          "walkers): correlated positions inflate the local kNN density "
+          "and bias lnZ low — thinning recovers the iid answer (the "
+          "reference's real chains face the same effect; its burn/thin "
+          "machinery is what controls it)\n")
+    print("| thin | N kept | bias | rms error |")
+    print("|---|---|---|---|")
+    from mcevidence_tpu.samplers import stretch_sample
+    rows = {1: [], 10: []}
+    nkept = {}
+    for s in range(min(n_seeds, 4)):
+        m = banana_eg(verbose=0, rng=np.random.default_rng(11000 + s))
+        truth = m.evidence()
+        p0 = m.pos(64)
+        chain, lps = stretch_sample(m.lnlike, p0, 1700, seed=500 + s)
+        for thin in rows:
+            th = chain[200::thin].reshape(-1, 2)
+            lnl = lps[200::thin].reshape(-1)
+            nkept[thin] = th.shape[0]
+            rows[thin].append(
+                evidence_fn(th, lnl, kmax=2, precision="device",
+                            prior_volume=m.prior_volume)[0] - truth)
+    for thin, errs in rows.items():
+        v = np.asarray(errs)
+        print(f"| {thin} | {nkept[thin]} | {v.mean():+.4f} | "
+              f"{float(np.sqrt(np.mean(v ** 2))):.4f} |")
 
 
 if __name__ == "__main__":
