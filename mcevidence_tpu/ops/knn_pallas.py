@@ -51,19 +51,29 @@ def _round_up(x: int, m: int) -> int:
 def _extract_topk(cat, cat_idx, k: int):
     """Exact iterative top-k extraction over a (TQ, m) candidate tile:
     k passes of argmin / first-min mask / masked index gather / invalidate.
-    Shared by every kernel's merge/extract step."""
+    Shared by every kernel's merge/extract step.
+
+    Winners accumulate into ONE (tq, k) buffer per output via static-index
+    updates: a list of k live (tq, 1) slices each occupies a full
+    lane-padded tile on the Mosaic stack (~256 KB at tq=512), which
+    overflows scoped VMEM at the sufficiency-retry k (~26)."""
     col = jax.lax.broadcasted_iota(jnp.int32, cat.shape, 1)
-    vals = []
-    idxs = []
+    tq = cat.shape[0]
+    colk = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+    vals = jnp.full((tq, k), jnp.inf, cat.dtype)
+    idxs = jnp.full((tq, k), -1, jnp.int32)
     neg_big = jnp.int32(-2147483648)
-    for _ in range(k):
+    for j in range(k):
         am = jnp.argmin(cat, axis=1)[:, None]
         mask = col == am
-        vals.append(jnp.min(cat, axis=1, keepdims=True))
-        idxs.append(jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
-                            keepdims=True))
+        # masked column write (Mosaic has no dynamic_update_slice)
+        vals = jnp.where(colk == j, jnp.min(cat, axis=1, keepdims=True),
+                         vals)
+        idxs = jnp.where(colk == j,
+                         jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
+                                 keepdims=True), idxs)
         cat = jnp.where(mask, jnp.inf, cat)
-    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+    return vals, idxs
 
 
 def _knn_kernel(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
@@ -79,18 +89,19 @@ def _knn_kernel(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     nr = nr_ref[0]
     q = q_ref[:]
     r = r_ref[:]
-    q_sq = jnp.sum(q * q, axis=1, keepdims=True)            # (TQ, 1)
-    r_sq = jnp.sum(r * r, axis=1)[None, :]                  # (1, TR)
-    # the MXU pass: (TQ, DPAD) @ (DPAD, TR), full f32 (default matmul
+    tq, tr = q.shape[0], r.shape[0]   # tile sizes from the block shapes
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)            # (tq, 1)
+    r_sq = jnp.sum(r * r, axis=1)[None, :]                  # (1, tr)
+    # the MXU pass: (tq, DPAD) @ (DPAD, tr), full f32 (default matmul
     # precision would truncate inputs to bf16 => ~1% distance error)
     d2 = q_sq + r_sq - 2.0 * jnp.dot(q, r.T,
                                      preferred_element_type=jnp.float32,
                                      precision=jax.lax.Precision.HIGHEST)
 
-    gcol = j * TR + jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 1)
+    gcol = j * tr + jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 1)
     d2 = jnp.where(gcol < nr, d2, jnp.inf)                  # mask ref padding
     if self_mode:
-        grow = i * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 0)
+        grow = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 0)
         d2 = jnp.where(gcol == grow, -1.0, d2)              # pin self to slot 0
 
     # merge running top-k with this tile's candidates: exact iterative
@@ -139,26 +150,32 @@ def _packed_tile(nr, q, r, run_d2, run_idx, i, j, *, k: int,
 
 def _packed_select(d2, nr, run_d2, run_idx, i, j, *, k: int,
                    self_mode: bool):
-    """Packed top-k selection over a computed (TQ, TR) distance tile,
-    merged with the running top-k.  ``d2`` must already be >= 0."""
-    lcol = jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 1)
-    gcol = j * TR + lcol
+    """Packed top-k selection over a computed (tq, tr) distance tile,
+    merged with the running top-k.  ``d2`` must already be >= 0.  Tile
+    sizes come from ``d2``'s block shape (the wrappers shrink the query
+    tile at high k to fit scoped VMEM)."""
+    tq, tr = d2.shape
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 1)
+    gcol = j * tr + lcol
     d2 = jnp.where(gcol < nr, d2, jnp.inf)
     if self_mode:
-        grow = i * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, TR), 0)
+        grow = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 0)
         d2 = jnp.where(gcol == grow, -1.0, d2)
 
     pk = jax.lax.bitcast_convert_type(d2, jnp.int32)
     pk = (pk & jnp.int32(~LOW_MASK)) | lcol
-    winners = []
+    # winners accumulate into ONE (tq, k) buffer: k live (tq, 1) slices
+    # would each hold a full lane-padded tile of Mosaic stack (scoped-VMEM
+    # OOM at the sufficiency-retry k on v5e)
+    w = jnp.full((tq, k), jnp.int32(2147483647))
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
     int_max = jnp.int32(2147483647)
-    for _ in range(k):
+    for jj in range(k):
         m = jnp.min(pk, axis=1, keepdims=True)     # packed (distance, col)
-        winners.append(m)
+        w = jnp.where(wcol == jj, m, w)   # masked column write (no DUS)
         pk = jnp.where(pk == m, int_max, pk)       # packed keys are unique
-    w = jnp.concatenate(winners, axis=1)            # (TQ, k) int32
     dq = jax.lax.bitcast_convert_type(w & jnp.int32(~LOW_MASK), jnp.float32)
-    gidx = j * TR + (w & jnp.int32(LOW_MASK))
+    gidx = j * tr + (w & jnp.int32(LOW_MASK))
     gidx = jnp.where(jnp.isinf(dq), -1, gidx)
 
     # merge with the running top-k: tiny (TQ, 2k) exact extraction
@@ -223,15 +240,16 @@ def knn_select_pallas_packed_batched(query, ref, k: int,
     # per-member centring (translation-invariant; conditions the identity)
     mu = (jnp.sum(ref, axis=1, keepdims=True)
           / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
+    tq = 256 if k >= 14 else TQ       # scoped-VMEM fit at the retry k
     dpad = _round_up(max(d, 1), LANE)
-    nq_pad = _round_up(nq, TQ)
+    nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(nr_full, TR)
     q = jnp.zeros((bsz, nq_pad, dpad), jnp.float32)
     q = q.at[:, :nq, :d].set((query - mu).astype(jnp.float32))
     r = jnp.zeros((bsz, nr_pad, dpad), jnp.float32)
     r = r.at[:, :nr_full, :d].set((ref - mu).astype(jnp.float32))
 
-    grid = (bsz, nq_pad // TQ, nr_pad // TR)
+    grid = (bsz, nq_pad // tq, nr_pad // TR)
     kernel = functools.partial(_knn_kernel_packed_batched, k=k,
                                self_mode=self_mode)
     d2, idx = pl.pallas_call(
@@ -239,15 +257,15 @@ def knn_select_pallas_packed_batched(query, ref, k: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TQ, dpad), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, tq, dpad), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, dpad), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TQ, k), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, tq, k), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, k), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, tq, k), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -312,8 +330,9 @@ def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
         jnp.asarray(nr, query.dtype), 1.0)
+    tq = 256 if k >= 14 else TQ       # scoped-VMEM fit at the retry k
     dpad_s = _round_up(max(d, 1), 8)             # f32 sublane quantum
-    nq_pad = _round_up(nq, TQ)
+    nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(ref.shape[0], TR)
     q = jnp.zeros((nq_pad, dpad_s), jnp.float32)
     q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
@@ -321,7 +340,7 @@ def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     rt = rt.at[:d, :ref.shape[0]].set((ref - mu).astype(jnp.float32).T)
     nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
 
-    grid = (nq_pad // TQ, nr_pad // TR)
+    grid = (nq_pad // tq, nr_pad // TR)
     kernel = functools.partial(_knn_kernel_packed_smalld, k=k,
                                self_mode=self_mode, d_real=d)
     d2, idx = pl.pallas_call(
@@ -329,15 +348,15 @@ def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TQ, dpad_s), lambda i, j: (i, 0),
+            pl.BlockSpec((tq, dpad_s), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dpad_s, TR), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -395,8 +414,9 @@ def knn_select_pallas_smalld_batched(query, ref, k: int,
 
     mu = (jnp.sum(ref, axis=1, keepdims=True)
           / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
+    tq = 256 if k >= 14 else TQ       # scoped-VMEM fit at the retry k
     dpad_s = _round_up(max(d, 1), 8)
-    nq_pad = _round_up(nq, TQ)
+    nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(nr_full, TR)
     q = jnp.zeros((bsz, nq_pad, dpad_s), jnp.float32)
     q = q.at[:, :nq, :d].set((query - mu).astype(jnp.float32))
@@ -404,7 +424,7 @@ def knn_select_pallas_smalld_batched(query, ref, k: int,
     rt = rt.at[:, :d, :nr_full].set(
         jnp.swapaxes((ref - mu).astype(jnp.float32), 1, 2))
 
-    grid = (bsz, nq_pad // TQ, nr_pad // TR)
+    grid = (bsz, nq_pad // tq, nr_pad // TR)
     kernel = functools.partial(_knn_kernel_packed_smalld_batched, k=k,
                                self_mode=self_mode, d_real=d)
     d2, idx = pl.pallas_call(
@@ -412,15 +432,15 @@ def knn_select_pallas_smalld_batched(query, ref, k: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TQ, dpad_s), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, tq, dpad_s), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dpad_s, TR), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TQ, k), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, tq, k), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, k), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, tq, k), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -688,8 +708,12 @@ def _knn_select_iter(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
         jnp.asarray(nr, query.dtype), 1.0)
+    # smaller query tile at high k (the sufficiency-retry regime): the
+    # k-loop temporaries + merge concat must fit scoped VMEM — TQ=512
+    # overflows at k ~ 26 on v5e (same fix as the binned wrapper)
+    tq = 256 if k >= 14 else TQ
     dpad = _round_up(max(d, 1), LANE)
-    nq_pad = _round_up(nq, TQ)
+    nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(ref.shape[0], TR)
     q = jnp.zeros((nq_pad, dpad), jnp.float32)
     q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
@@ -697,7 +721,7 @@ def _knn_select_iter(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     r = r.at[:ref.shape[0], :d].set((ref - mu).astype(jnp.float32))
     nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
 
-    grid = (nq_pad // TQ, nr_pad // TR)
+    grid = (nq_pad // tq, nr_pad // TR)
     kernel = functools.partial(_ITER_KERNELS[variant], k=k,
                                self_mode=self_mode)
     flops_mm = 2 * nq_pad * nr_pad * dpad
@@ -706,15 +730,15 @@ def _knn_select_iter(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TQ, dpad), lambda i, j: (i, 0),
+            pl.BlockSpec((tq, dpad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, dpad), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -212,3 +212,49 @@ def test_pallas_smalld_batched_interpret(rng):
         assert np.all(true_d2 <= (sk_d ** 2) * (1 + 2.0 ** -10) + 1e-6)
         np.testing.assert_allclose(np.sqrt(d2[i, :nv]), sk_d,
                                    rtol=2.0 ** -11, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["exact", "packed"])
+def test_pallas_high_k_small_tile_interpret(rng, variant):
+    """k >= 14 switches the iterative kernels to the 256-row query tile
+    (the sufficiency-retry regime: retry_pad=24 gives k_sel=26).  The
+    TQ=512 tile overflowed scoped VMEM at that k on v5e once the winner
+    buffers are accounted (regression: duplicate-heavy chains crashed the
+    device pipeline's retry at large row buckets)."""
+    from mcevidence_tpu.ops.knn_pallas import (knn_select_pallas,
+                                               knn_select_pallas_packed)
+    sel = {"exact": knn_select_pallas,
+           "packed": knn_select_pallas_packed}[variant]
+    n, d, k = 700, 4, 26         # n spans 3 tq=256 tiles incl. padding
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    d2, idx = sel(jnp.asarray(x), jnp.asarray(x), k, self_mode=True,
+                  interpret=True)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    sk_d, sk_i = NearestNeighbors(n_neighbors=k).fit(x).kneighbors(x)
+    assert np.all(idx[:, 0] == np.arange(n))    # self pin survives offsets
+    x64 = x.astype(np.float64)
+    if variant == "exact":
+        np.testing.assert_array_equal(np.sort(idx, axis=1),
+                                      np.sort(sk_i, axis=1))
+        np.testing.assert_allclose(np.sqrt(d2), sk_d, rtol=1e-6, atol=1e-4)
+    else:
+        # packed near-ties within the 2^-12 quantization may swap at the
+        # k-th boundary (f64 refinement resolves downstream): assert
+        # QUALITY — every selected candidate's true distance within the
+        # window of sklearn's k-th
+        for r in range(n):
+            true_d2 = np.sum((x64[r] - x64[idx[r]]) ** 2, axis=1)
+            assert np.all(true_d2 <= (sk_d[r, -1] ** 2) * (1 + 2.0 ** -10)
+                          + 1e-6)
+        np.testing.assert_allclose(np.sqrt(d2), sk_d, rtol=2.0 ** -11,
+                                   atol=1e-4)
+
+    # cross mode at high k: ref padding masked, multi-tile queries
+    q = x[:300]
+    d2c, idxc = sel(jnp.asarray(q), jnp.asarray(x), k, interpret=True, nr=n)
+    sk_dc, sk_ic = NearestNeighbors(n_neighbors=k).fit(x).kneighbors(q)
+    idxc = np.asarray(idxc)
+    for r in range(q.shape[0]):
+        true_d2 = np.sum((x64[r] - x64[idxc[r]]) ** 2, axis=1)
+        assert np.all(true_d2 <= (sk_dc[r, -1] ** 2) * (1 + 2.0 ** -10)
+                      + 1e-6)
