@@ -405,6 +405,30 @@ def test_device_tiny_reference_no_spurious_retry(rng, caplog):
     assert out.shape == (3,)
 
 
+def test_device_retry_on_equidistant_ties(rng, caplog):
+    """A 3-D integer lattice gives every interior point 6 equidistant
+    nearest neighbours: with the default pad (k_sel=6) the kmax-th and the
+    worst kept candidate tie exactly, so the sufficiency guard must fire
+    ONE retry (k_sel=26 — the regime whose Pallas kernels overflowed
+    scoped VMEM before the round-3 fix), after which the sqrt(3)-shell
+    margin is wide and the result must match the host refine path."""
+    import itertools
+    import logging
+
+    from mcevidence_tpu.ops.pipeline import (device_refine_evidence,
+                                             host_refine_evidence)
+    theta = np.array(list(itertools.product(range(8), repeat=3)), np.float64)
+    lnl = -0.05 * np.sum((theta - 3.5) ** 2, axis=1)
+    with caplog.at_level(logging.INFO, logger="mcevidence_tpu.ops.pipeline"):
+        got = device_refine_evidence(theta, lnl, kmax=2, engine="xla")
+    assert any("thin margins" in r.message and "re-running" in r.message
+               for r in caplog.records)
+    assert not any(r.levelno >= logging.WARNING and "thin" in r.message
+                   for r in caplog.records)
+    want = host_refine_evidence(theta, lnl, kmax=2, engine="xla")
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
 def test_fused_refine_dotp_batch_matches_per_cell(rng):
     """The kernel-level-batched pipeline (the non-relay batching vehicle,
     ROADMAP item 2) agrees with per-cell dispatch exactly."""
