@@ -160,6 +160,13 @@ extern "C" long long chainload_parse(const char* path, double* out,
                len < sizeof(tok) - 1) {
           tok[len++] = *t++;
         }
+        if (t < end && !is_space(*t) && *t != '\n') {
+          // token longer than the buffer: truncating would silently parse
+          // the tail as extra columns — reject the file instead (the
+          // Python caller falls back to np.loadtxt)
+          ok = false;
+          break;
+        }
         tok[len] = '\0';
         char* next = nullptr;
         errno = 0;

@@ -156,6 +156,50 @@ def test_native_loader_page_aligned_no_trailing_newline(tmp_path):
     np.testing.assert_array_equal(got, np.loadtxt(str(p)).reshape(1, -1))
 
 
+def test_native_loader_overlong_token_rejected(tmp_path):
+    # a token longer than the parser's 128-byte fallback buffer must reject
+    # the file (truncating would silently parse the tail as extra columns
+    # or wrong values), leaving the caller to np.loadtxt which handles it
+    tok = "1." + "0" * 200 + "5e0"
+    p = tmp_path / "long.txt"
+    p.write_text(f"1.0 {tok}\n2.0 3.0\n")
+    got = chainload.load_table(str(p))
+    if chainload._get_lib() is None:
+        pytest.skip("native chainload not built")
+    assert got is None
+    np.testing.assert_allclose(np.loadtxt(str(p)),
+                               [[1.0, float(tok)], [2.0, 3.0]])
+
+
+def test_native_loader_format_fuzz(tmp_path, rng):
+    """Randomized format sweep vs np.loadtxt: mixed fixed/exponent notation,
+    CRLF, leading whitespace, huge/tiny exponents, special tokens."""
+    if chainload._get_lib() is None:
+        pytest.skip("native chainload not built")
+    fmts = ["%.17g", "%.6f", "%.3e", "%.15E", "%24.16e", "%.0f"]
+    for trial in range(12):
+        a = rng.normal(size=(rng.integers(1, 30), rng.integers(1, 8)))
+        a *= 10.0 ** rng.integers(-250, 250, size=a.shape)
+        if trial % 3 == 0:
+            a[rng.integers(a.shape[0]), rng.integers(a.shape[1])] = np.inf
+            a[rng.integers(a.shape[0]), rng.integers(a.shape[1])] = -np.inf
+        fmt = fmts[trial % len(fmts)]
+        newline = "\r\n" if trial % 2 else "\n"
+        lines = [" " * (trial % 3)
+                 + (" " * (1 + trial % 2)).join(fmt % v for v in row)
+                 for row in a]
+        p = tmp_path / f"fz{trial}.txt"
+        p.write_bytes((newline.join(lines) + newline).encode())
+        got = chainload.load_table(str(p))
+        overlong = max(len(fmt % v) for row in a for v in row) > 127
+        if overlong:     # e.g. %.6f of 1e249: must reject, not truncate
+            assert got is None, (trial, fmt)
+            continue
+        assert got is not None, (trial, fmt)
+        want = np.loadtxt(str(p)).reshape(a.shape)
+        np.testing.assert_array_equal(got, want, err_msg=f"{trial} {fmt}")
+
+
 def test_parse_cache_roundtrip_and_invalidation(tmp_path):
     import time as _time
 
