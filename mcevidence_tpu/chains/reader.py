@@ -118,6 +118,12 @@ def load_chains(source: ChainSource, idchain: int = 0,
                 idpattern: str = "_?.txt") -> List[np.ndarray]:
     """Load raw per-chain column matrices [weight, -lnL, theta...] from any
     supported source."""
+    if isinstance(source, str):
+        # Cobaya root (<root>.updated.yaml + <root>.N.txt): column layout
+        # and lnL recovery differ from CosmoMC — dedicated loader
+        from .cobaya import is_cobaya_root, load_cobaya_chains
+        if is_cobaya_root(source):
+            return load_cobaya_chains(source, idchain=idchain)
     if isinstance(source, str) or (
             isinstance(source, (list, tuple)) and source
             and isinstance(source[0], str)):

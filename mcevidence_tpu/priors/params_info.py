@@ -134,9 +134,14 @@ def params_info(fname: str, cosmo: bool = False) -> ParamsInfo:
     if _glob.glob(lp):
         logger.info("params info from MontePython file %s", lp)
         return _parse_log_param_file(lp, cosmo)
+    from ..chains.cobaya import cobaya_params_info, updated_yaml_path
+    cy = updated_yaml_path(fname)
+    if cy is not None:
+        logger.info("params info from Cobaya file %s", cy)
+        return cobaya_params_info(fname, cosmo)
     raise FileNotFoundError(
-        "Could not read parameter volume from CosmoMC .ranges file or "
-        f"MontePython log.param file for root {fname!r}")
+        "Could not read parameter volume from CosmoMC .ranges, MontePython "
+        f"log.param, or Cobaya updated.yaml files for root {fname!r}")
 
 
 def get_prior_volume(root_name: str, cosmo: bool = True,

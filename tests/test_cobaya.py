@@ -1,0 +1,140 @@
+"""Cobaya product ingestion: chain-column mapping, updated.yaml priors,
+prior volume, and end-to-end evidence (extension beyond the reference,
+which predates Cobaya and reads only CosmoMC/MontePython products)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mcevidence_tpu.chains import cobaya, reader
+from mcevidence_tpu.priors.params_info import get_prior_volume, params_info
+
+YAML = """\
+theory:
+  some_theory: null
+likelihood:
+  toy:
+    speed: 1
+params:
+  a:
+    prior:
+      min: -5.0
+      max: 5.0
+    ref: 0.0
+    latex: a
+  b:
+    prior:
+      dist: uniform
+      loc: 0.0
+      scale: 10.0
+  c:
+    latex: c_{derived}
+  d: 3.14
+sampler:
+  mcmc:
+    burn_in: 0
+"""
+
+
+def _write_run(tmp_path, rng, n=2000, nchains=2, with_chi2=True,
+               unit_weights=False):
+    root = str(tmp_path / "toyrun")
+    (tmp_path / "toyrun.updated.yaml").write_text(YAML)
+    header = ["weight", "minuslogpost", "a", "b", "c"]
+    if with_chi2:
+        header += ["minuslogprior", "minuslogprior__0", "chi2", "chi2__toy"]
+    else:
+        header += ["minuslogprior", "minuslogprior__0"]
+    chains = []
+    for i in range(nchains):
+        a = rng.normal(0.0, 0.5, n)
+        b = rng.normal(5.0, 0.5, n)
+        lnl = (-0.5 * ((a / 0.5) ** 2 + ((b - 5.0) / 0.5) ** 2)
+               - math.log(2 * math.pi * 0.5 * 0.5))
+        w = (np.ones(n) if unit_weights
+             else rng.integers(1, 4, n).astype(float))
+        mlp = math.log(100.0) * np.ones(n)          # -ln(1/V), V = 10*10
+        cols = [w, -lnl + mlp, a, b, a + b]
+        if with_chi2:
+            cols += [mlp, mlp, -2.0 * lnl, -2.0 * lnl]
+        else:
+            cols += [mlp, mlp]
+        body = "\n".join(" ".join(f"{v:.16e}" for v in row)
+                         for row in np.column_stack(cols))
+        with open(f"{root}.{i + 1}.txt", "w") as fp:
+            fp.write("# " + " ".join(header) + "\n" + body + "\n")
+        chains.append((w, lnl, a, b))
+    return root, chains
+
+
+def test_sampled_params_and_volume(tmp_path, rng):
+    root, _ = _write_run(tmp_path, rng, n=10)
+    spec = cobaya.sampled_params(root)
+    assert list(spec) == ["a", "b"]                 # derived/fixed excluded
+    assert spec["a"] == (-5.0, 5.0)
+    assert spec["b"] == (0.0, 10.0)                 # loc/scale form
+    info = params_info(root)
+    assert info.names == ["a", "b"] and info.volume == pytest.approx(100.0)
+    # cosmo filter matches no Cobaya name: keeps all sampled params
+    vol, ndim = get_prior_volume(root, cosmo=True)
+    assert vol == pytest.approx(100.0) and ndim == 2
+
+
+def test_load_columns_chi2(tmp_path, rng):
+    root, chains = _write_run(tmp_path, rng, n=50)
+    mats = reader.load_chains(root)
+    assert len(mats) == 2
+    for mat, (w, lnl, a, b) in zip(mats, chains):
+        assert mat.shape == (50, 4)                 # w, -lnL, a, b only
+        np.testing.assert_allclose(mat[:, 0], w)
+        np.testing.assert_allclose(mat[:, 1], -lnl, rtol=1e-14)
+        np.testing.assert_allclose(mat[:, 2], a, rtol=1e-14)
+        np.testing.assert_allclose(mat[:, 3], b, rtol=1e-14)
+    one = reader.load_chains(root, idchain=2)
+    assert len(one) == 1
+    np.testing.assert_allclose(one[0], mats[1])
+
+
+def test_load_columns_minuslogpost_fallback(tmp_path, rng):
+    root, chains = _write_run(tmp_path, rng, n=50, with_chi2=False)
+    mats = reader.load_chains(root)
+    for mat, (w, lnl, a, b) in zip(mats, chains):
+        np.testing.assert_allclose(mat[:, 1], -lnl, rtol=1e-12, atol=1e-12)
+
+
+def test_nonuniform_prior_needs_explicit_volume(tmp_path, rng):
+    root, _ = _write_run(tmp_path, rng, n=10)
+    (tmp_path / "toyrun.updated.yaml").write_text(
+        YAML.replace("      min: -5.0\n      max: 5.0\n",
+                     "      dist: norm\n      loc: 0.0\n      scale: 1.0\n"))
+    with pytest.raises(ValueError, match="non-uniform prior"):
+        params_info(root)
+    vol, ndim = get_prior_volume(root, priorvolume=42.0)
+    assert vol == 42.0 and ndim is None
+    vol, ndim = get_prior_volume(root, allow_unit_fallback=True)
+    assert vol == 1.0
+
+
+def test_end_to_end_evidence(tmp_path, rng):
+    # chains drawn exactly from their own normalized likelihood (unit
+    # weights — i.i.d. draws with synthetic multiplicities would distort
+    # the point density the kNN estimator reads): with the flat prior
+    # volume V the truth is ln Z = -ln V
+    from mcevidence_tpu import MCEvidence
+    root, _ = _write_run(tmp_path, rng, n=4000, unit_weights=True)
+    mce = MCEvidence(root, kmax=2, priorvolume=100.0, verbose=0,
+                     engine="xla")
+    lnz = mce.evidence()
+    assert abs(lnz[0] - (-math.log(100.0))) < 0.15
+
+
+def test_missing_chain_files_raises(tmp_path, rng):
+    root, _ = _write_run(tmp_path, rng, n=10)
+    with pytest.raises(FileNotFoundError):
+        cobaya.resolve_cobaya_files(root, idchain=9)
+    import os
+    for i in (1, 2):
+        os.remove(f"{root}.{i}.txt")
+    with pytest.raises(FileNotFoundError):
+        reader.load_chains(root)
