@@ -124,6 +124,8 @@ def load_chains(source: ChainSource, idchain: int = 0,
         from .cobaya import is_cobaya_root, load_cobaya_chains
         if is_cobaya_root(source):
             return load_cobaya_chains(source, idchain=idchain)
+        if _is_hdf5_file(source):
+            return _hdf5_to_chains(source, idchain=idchain)
     if isinstance(source, str) or (
             isinstance(source, (list, tuple)) and source
             and isinstance(source[0], str)):
@@ -161,6 +163,62 @@ def load_chains(source: ChainSource, idchain: int = 0,
         return [np.asarray(c, dtype=np.float64) for c in source]
 
     raise TypeError(f"unsupported chain source type: {type(source)!r}")
+
+
+def _is_hdf5_file(path: str) -> bool:
+    if not os.path.isfile(path):
+        return False
+    if path.endswith((".h5", ".hdf5")):
+        return True
+    try:
+        with open(path, "rb") as fp:
+            return fp.read(8) == b"\x89HDF\r\n\x1a\n"
+    except OSError:
+        return False
+
+
+def _hdf5_to_chains(path: str, idchain: int = 0) -> List[np.ndarray]:
+    """emcee ``HDFBackend`` file -> per-walker column matrices.
+
+    Layout (emcee >= 3): a group (default name ``mcmc``) holding ``chain``
+    (iteration, walker, ndim) and ``log_prob`` (iteration, walker), with
+    the live step count in the ``iteration`` attribute.  Each walker
+    becomes its own chain so burn-in/thinning/per-chain error bars apply
+    per walker; ``idchain`` > 0 selects a single walker (1-based, like the
+    CosmoMC ``root_<id>.txt`` convention).  ``log_prob`` is consumed as
+    +lnL exactly like the reference's emcee leg consumed
+    ``flatlnprobability`` (reference examples.py:500-531): if the sampled
+    density included a non-flat prior, ln Z inherits that prior ratio.
+    """
+    import h5py
+    with h5py.File(path, "r") as fp:
+        grp = None
+        for name in ("mcmc", *fp.keys()):
+            g = fp.get(name)
+            if (isinstance(g, h5py.Group) and "chain" in g
+                    and "log_prob" in g):
+                grp = g
+                break
+        if grp is None:
+            raise ValueError(
+                f"{path} is HDF5 but has no emcee-backend group (needs "
+                "'chain' + 'log_prob' datasets)")
+        nit = int(grp.attrs.get("iteration", grp["chain"].shape[0]))
+        chain = np.asarray(grp["chain"][:nit], np.float64)
+        logp = np.asarray(grp["log_prob"][:nit], np.float64)
+    if chain.ndim != 3 or logp.shape != chain.shape[:2]:
+        raise ValueError(
+            f"{path}: expected chain (steps, walkers, ndim) and matching "
+            f"log_prob, got {chain.shape} / {logp.shape}")
+    if nit == 0:
+        raise ValueError(f"{path}: emcee backend holds 0 iterations")
+    nwalk = chain.shape[1]
+    walkers = range(nwalk) if idchain <= 0 else (idchain - 1,)
+    if idchain > nwalk:
+        raise ValueError(f"idchain={idchain} but {path} has {nwalk} walkers")
+    ones = np.ones(nit)
+    return [np.column_stack([ones, -logp[:, wk], chain[:, wk]])
+            for wk in walkers]
 
 
 def _inferencedata_to_chains(idata) -> List[np.ndarray]:
