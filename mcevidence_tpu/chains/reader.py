@@ -191,7 +191,11 @@ def _hdf5_to_chains(path: str, idchain: int = 0) -> List[np.ndarray]:
     density included a non-flat prior, ln Z inherits that prior ratio.
     """
     import h5py
-    with h5py.File(path, "r") as fp:
+    try:
+        fh = h5py.File(path, "r")
+    except OSError as e:      # .h5-named but corrupt/not actually HDF5
+        raise ValueError(f"{path} is not a readable HDF5 file: {e}") from e
+    with fh as fp:
         grp = None
         for name in ("mcmc", *fp.keys()):
             g = fp.get(name)

@@ -59,6 +59,13 @@ def test_not_a_backend_rejected(tmp_path):
         reader.load_chains(p)
 
 
+def test_corrupt_h5_clean_error(tmp_path):
+    p = tmp_path / "broken.h5"
+    p.write_bytes(b"this is not hdf5 at all")
+    with pytest.raises(ValueError, match="not a readable HDF5"):
+        reader.load_chains(str(p))
+
+
 def test_end_to_end_evidence(tmp_path, rng):
     # walkers drawn from their own normalized likelihood; flat prior volume
     # V => truth ln Z = -ln V
