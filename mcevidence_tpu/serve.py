@@ -1,0 +1,177 @@
+"""Resident evidence service: JSON-lines requests over stdin/stdout.
+
+The steady-state/production story on relay-attached TPUs: a process pays
+its device program loads ONCE (cold compiles can cost minutes through a
+relay; see BASELINE.md), after which every evidence call runs in
+milliseconds-to-seconds.  This service keeps one warm process resident
+and answers requests at steady-state speed, instead of paying the cold
+cost per invocation the way the one-shot CLI does.  (The reference has no
+serving story at all — its CLI, reference MCEvidence.py:1342-1474, is
+one-shot only.)
+
+Protocol: one JSON object per input line, one JSON object per output
+line (flushed immediately).  Request fields mirror the CLI flags::
+
+    {"root": "/path/chains/toy", "kmax": 3, "burn": 0.1, "thin": 2,
+     "cross": false, "seed": 0, "priorvolume": null, "allparams": false,
+     "unit_volume_fallback": false, "idchain": 0, "ndim": null,
+     "engine": "auto", "precision": "refine", "error": false,
+     "bootstrap": 0, "id": "anything-echoed-back"}
+
+Only ``root`` is required.  Responses::
+
+    {"id": ..., "ok": true, "lnz": [...], "kmax": 3,
+     "prior_volume": ..., "ndim": ..., "wall_s": ...}
+    {"id": ..., "ok": false, "error": "..."}
+
+A blank line is ignored; EOF ends the service with exit code 0.  Run as
+``python -m mcevidence_tpu.serve`` or the ``mcevidence-serve`` console
+script; ``--parse-cache DIR`` and ``--warmup N,D`` (pre-compile the
+bucket for an N-row, D-param chain before accepting requests) are
+process-level options.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+from argparse import ArgumentParser
+from typing import Optional, TextIO
+
+logger = logging.getLogger(__name__)
+
+_ALLOWED = {
+    "id", "root", "kmax", "idchain", "ndim", "burn", "thin", "cross",
+    "seed", "priorvolume", "allparams", "unit_volume_fallback", "engine",
+    "precision", "error", "bootstrap",
+}
+
+
+def handle_request(req: dict) -> dict:
+    """One evidence request -> one response dict (raises nothing)."""
+    rid = req.get("id") if isinstance(req, dict) else None
+
+    def fail(msg: str) -> dict:
+        return {"id": rid, "ok": False, "error": msg}
+
+    if not isinstance(req, dict):
+        return fail("request must be a JSON object")
+    unknown = set(req) - _ALLOWED
+    if unknown:
+        return fail(f"unknown request fields: {sorted(unknown)}")
+    root = req.get("root")
+    if not isinstance(root, str) or not root:
+        return fail("request needs a 'root' string (chain root/file path)")
+
+    t0 = time.perf_counter()
+    try:
+        from .chains.reader import load_chains
+        from .evidence import MCEvidence
+        from .priors.params_info import get_prior_volume
+
+        priorvolume = req.get("priorvolume")
+        prior_volume, ndim_meta = get_prior_volume(
+            root, cosmo=not req.get("allparams", False),
+            priorvolume=priorvolume,
+            allow_unit_fallback=bool(req.get("unit_volume_fallback", False))
+            or priorvolume is not None)
+        ndim = req.get("ndim", None)
+        ndim = ndim if ndim is not None else ndim_meta
+        kmax = int(req.get("kmax", 2))
+        chains = load_chains(root, idchain=int(req.get("idchain", 0)))
+        mce = MCEvidence(chains, split=bool(req.get("cross", False)),
+                         ndim=ndim, priorvolume=prior_volume, kmax=kmax,
+                         verbose=0, burnlen=float(req.get("burn", 0)),
+                         thinlen=float(req.get("thin", 0)),
+                         seed=req.get("seed"),
+                         engine=req.get("engine", "auto"),
+                         precision=req.get("precision", "refine"))
+        lnz = mce.evidence()
+        resp = {"id": rid, "ok": True, "lnz": [float(v) for v in lnz],
+                "kmax": mce.kmax, "prior_volume": float(prior_volume),
+                "ndim": mce.ndim}
+        if req.get("error", False):
+            from .evidence import evidence_with_error
+            mean, err, _ = evidence_with_error(
+                chains, kmax=kmax, ndim=ndim, priorvolume=prior_volume,
+                burnlen=float(req.get("burn", 0)),
+                thinlen=float(req.get("thin", 0)), seed=req.get("seed"),
+                engine=req.get("engine", "auto"),
+                precision=req.get("precision", "refine"))
+            resp["per_chain_mean"] = [float(v) for v in mean]
+            resp["per_chain_err"] = [float(v) for v in err]
+        nboot = int(req.get("bootstrap", 0))
+        if nboot > 0:
+            from .evidence import evidence_bootstrap
+            blnz, berr, _ = evidence_bootstrap(
+                chains, kmax=kmax, n_boot=nboot,
+                seed=req.get("seed") or 0, ndim=ndim,
+                priorvolume=prior_volume,
+                burnlen=float(req.get("burn", 0)),
+                thinlen=float(req.get("thin", 0)),
+                split=bool(req.get("cross", False)),
+                engine=req.get("engine", "auto"))
+            resp["bootstrap_lnz"] = [float(v) for v in blnz]
+            resp["bootstrap_err"] = [float(v) for v in berr]
+    except Exception as e:  # per-request isolation: the service must live on
+        logger.info("request failed: %s", e)
+        return fail(f"{type(e).__name__}: {e}")
+    resp["wall_s"] = round(time.perf_counter() - t0, 6)
+    return resp
+
+
+def serve(stream_in: TextIO, stream_out: TextIO) -> int:
+    for line in stream_in:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except ValueError as e:
+            resp = {"id": None, "ok": False, "error": f"bad JSON: {e}"}
+        else:
+            resp = handle_request(req)
+        print(json.dumps(resp), file=stream_out, flush=True)
+    return 0
+
+
+def _warmup(spec: str) -> None:
+    """Pre-compile the device programs for an N-row, D-param chain shape so
+    the first real request is already warm."""
+    import numpy as np
+
+    from .ops.pipeline import device_refine_evidence
+    n, d = (int(x) for x in spec.split(","))
+    rng = np.random.default_rng(0)
+    theta = rng.normal(size=(n, d))
+    lnl = -0.5 * np.sum(theta * theta, axis=1)
+    device_refine_evidence(theta, lnl, kmax=2)
+    logger.info("warmup compile for (%d, %d) done", n, d)
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = ArgumentParser(
+        prog="mcevidence-serve",
+        description="Resident MCEvidence service: JSON-lines over "
+                    "stdin/stdout (one warm TPU process, many requests)")
+    p.add_argument("--parse-cache", default="", metavar="DIR",
+                   help="cache raw parsed chain tables as .npy under DIR")
+    p.add_argument("--warmup", default="", metavar="N,D",
+                   help="pre-compile device programs for an N-row D-param "
+                        "chain before accepting requests")
+    p.add_argument("-vb", "--verbose", dest="verbose", default=0, type=int)
+    args = p.parse_args(argv)
+    from .utils.logging import configure
+    configure(args.verbose)
+    if args.parse_cache:
+        from .chains.reader import set_parse_cache
+        set_parse_cache(args.parse_cache)
+    if args.warmup:
+        _warmup(args.warmup)
+    return serve(sys.stdin, sys.stdout)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

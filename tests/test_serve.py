@@ -1,0 +1,109 @@
+"""Resident JSON-lines evidence service (serving story — the reference has
+none; its CLI is one-shot only, reference MCEvidence.py:1342-1474)."""
+
+import io
+import json
+import math
+
+import numpy as np
+import pytest
+
+from mcevidence_tpu import evidence_fn, serve
+from tests.conftest import make_gaussian_chain
+
+
+@pytest.fixture
+def toy_root(tmp_path, rng):
+    """CosmoMC-style root: 2 chains from a normalized Gaussian likelihood
+    over the declared prior box (volume 0.2^3)."""
+    theta, lnl = make_gaussian_chain(rng, n=1200, ndim=3, sigma=0.02)
+    (tmp_path / "toy.ranges").write_text(
+        "omegabh2 0.9 1.1\nomegach2 1.9 2.1\ntheta 2.9 3.1\n")
+    for i, sl in enumerate((slice(0, 600), slice(600, None)), 1):
+        cols = np.column_stack([np.ones(600), -lnl[sl], theta[sl]])
+        np.savetxt(tmp_path / f"toy_{i}.txt", cols)
+    return str(tmp_path / "toy"), theta, lnl
+
+
+def _roundtrip(lines):
+    out = io.StringIO()
+    rc = serve.serve(io.StringIO("\n".join(lines) + "\n"), out)
+    assert rc == 0
+    return [json.loads(s) for s in out.getvalue().splitlines()]
+
+
+def test_serve_evidence_and_errors(toy_root):
+    root, theta, lnl = toy_root
+    resps = _roundtrip([
+        json.dumps({"id": "a", "root": root, "kmax": 2, "seed": 0,
+                    "engine": "xla"}),
+        "",                                            # blank: ignored
+        "{not json",
+        json.dumps({"id": "b", "root": root, "bogus_field": 1}),
+        json.dumps({"id": "c", "root": root + "_missing"}),
+        json.dumps({"id": "d", "kmax": 2}),
+        json.dumps({"id": "e", "root": root, "kmax": 2, "cross": True,
+                    "seed": 7, "engine": "xla", "error": True}),
+    ])
+    assert len(resps) == 6                             # blank line skipped
+    a, bad, b, c, d, e = resps
+
+    assert a["id"] == "a" and a["ok"]
+    # truth: chain drawn from its own normalized likelihood => -ln V
+    assert abs(a["lnz"][0] - (-math.log(0.2 ** 3))) < 0.3
+    assert a["prior_volume"] == pytest.approx(0.2 ** 3)
+    assert a["ndim"] == 3 and a["kmax"] == 2 and a["wall_s"] > 0
+    # matches the library call exactly (same seed/engine path)
+    direct = evidence_fn(theta, lnl, kmax=2, engine="xla",
+                         prior_volume=0.2 ** 3)
+    assert a["lnz"][0] == pytest.approx(float(direct[0]), abs=1e-10)
+
+    assert not bad["ok"] and "bad JSON" in bad["error"]
+    assert not b["ok"] and "bogus_field" in b["error"]
+    assert not c["ok"] and b["id"] == "b" and c["id"] == "c"
+    assert not d["ok"] and "root" in d["error"]
+
+    assert e["ok"] and len(e["per_chain_mean"]) == 1
+    assert e["per_chain_err"][0] >= 0
+    assert np.isfinite(e["lnz"]).all()
+
+
+def test_serve_bootstrap_and_volume_fallback(tmp_path, rng):
+    theta, lnl = make_gaussian_chain(rng, n=800, ndim=2, sigma=0.05)
+    cols = np.column_stack([np.ones(800), -lnl, theta])
+    p = tmp_path / "bare_1.txt"                        # no .ranges file
+    np.savetxt(p, cols)
+    root = str(tmp_path / "bare")
+    resps = _roundtrip([
+        json.dumps({"root": root, "kmax": 2}),         # no metadata: error
+        json.dumps({"root": root, "kmax": 2, "priorvolume": 2.5,
+                    "engine": "xla"}),
+        json.dumps({"root": root, "kmax": 2, "unit_volume_fallback": True,
+                    "engine": "xla", "bootstrap": 8, "seed": 1}),
+    ])
+    fail, pv, boot = resps
+    assert not fail["ok"]
+    assert pv["ok"] and pv["prior_volume"] == 2.5
+    assert boot["ok"] and len(boot["bootstrap_lnz"]) == 1
+    assert boot["bootstrap_err"][0] > 0
+    # explicit volume shifts lnZ by -ln(V) exactly
+    assert pv["lnz"][0] == pytest.approx(
+        boot["lnz"][0] - math.log(2.5), abs=1e-9)
+
+
+def test_serve_main_subprocess(toy_root, tmp_path):
+    """The real entry point end to end: spawned process, stdin pipe, CPU
+    platform re-asserted in-process (this deployment's sitecustomize
+    overrides JAX_PLATFORMS in children — docs/TESTING.md)."""
+    import subprocess
+    import sys
+    root, _, _ = toy_root
+    req = json.dumps({"id": 1, "root": root, "kmax": 2, "engine": "xla"})
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from mcevidence_tpu.serve import main; import sys; "
+            "sys.exit(main([]))")
+    r = subprocess.run([sys.executable, "-c", code], input=req + "\n",
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    resp = json.loads(r.stdout.strip().splitlines()[-1])
+    assert resp["ok"] and resp["id"] == 1
