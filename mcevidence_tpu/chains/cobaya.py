@@ -34,8 +34,8 @@ logger = logging.getLogger(__name__)
 
 
 def updated_yaml_path(root: str) -> Optional[str]:
-    """``<root>.updated.yaml`` (also accepts ``<root>`` already ending in
-    ``.updated.yaml`` or a bare ``.yaml``)."""
+    """``<root>.updated.yaml`` (``root`` may already carry the
+    ``.updated.yaml``/``.updated.yml`` suffix)."""
     if root.endswith((".updated.yaml", ".updated.yml")):
         return root if os.path.isfile(root) else None
     for suffix in (".updated.yaml", ".updated.yml"):
@@ -99,6 +99,24 @@ def sampled_params(root: str) -> Dict[str, Optional[Tuple[float, float]]]:
     return out
 
 
+def ordered_sampled_params(root: str) -> Dict[str, Optional[Tuple[float,
+                                                                  float]]]:
+    """``sampled_params`` reordered with registry-cosmological names FIRST
+    (each block in updated.yaml order).
+
+    This ordering is the contract between the chain loader and the prior
+    metadata: ``MCEvidence`` integrates over the first ``ndim`` parameter
+    COLUMNS (evidence.py:229), so when the cosmo-name filter keeps a
+    subset of the sampled parameters, that subset must be exactly the
+    leading columns of what ``load_cobaya_chains`` emits — otherwise the
+    volume and the integrated coordinates silently disagree."""
+    from ..registry import iscosmo_param
+    spec = sampled_params(root)
+    cosmo = {n: b for n, b in spec.items() if iscosmo_param(n)}
+    rest = {n: b for n, b in spec.items() if n not in cosmo}
+    return {**cosmo, **rest}
+
+
 def resolve_cobaya_files(root: str, idchain: int = 0) -> List[str]:
     """``<root>.<i>.txt`` chain files in sorted order (``idchain`` > 0
     selects one, mirroring the CosmoMC ``root_<id>.txt`` semantics)."""
@@ -109,7 +127,8 @@ def resolve_cobaya_files(root: str, idchain: int = 0) -> List[str]:
             raise FileNotFoundError(f"no Cobaya chain file {flist[0]!r}")
         return flist
     pattern = re.compile(re.escape(os.path.basename(root)) + r"\.\d+\.txt$")
-    flist = sorted(f for f in _glob.glob(f"{root}.*.txt")
+    # glob.escape: run directories may contain glob metacharacters ([?*)
+    flist = sorted(f for f in _glob.glob(_glob.escape(root) + ".*.txt")
                    if pattern.match(os.path.basename(f)))
     if not flist:
         raise FileNotFoundError(f"no Cobaya chain files match {root}.N.txt")
@@ -127,7 +146,7 @@ def _header_names(path: str) -> List[str]:
 def load_cobaya_chains(root: str, idchain: int = 0) -> List[np.ndarray]:
     """Per-chain ``[weight, -lnL, sampled params...]`` column matrices."""
     from .reader import parse_chain_file
-    names = list(sampled_params(root).keys())
+    names = list(ordered_sampled_params(root).keys())   # cosmo names first
     flist = resolve_cobaya_files(root, idchain=idchain)
     logger.info("reading Cobaya chain files: %s", ", ".join(flist))
     out = []
@@ -163,11 +182,14 @@ def cobaya_params_info(root: str, cosmo: bool = False):
     ``.ranges`` path does; Cobaya runs typically use theory-code parameter
     names the registry does not know, so when the filter matches nothing
     every sampled parameter is kept (the sampled space IS what ln Z
-    integrates over) with an info log.
+    integrates over) with an info log.  ``load_cobaya_chains`` emits the
+    registry-matching parameters as the LEADING columns (same ordered
+    helper), so a partial match still pairs the filtered volume/ndim with
+    exactly the columns the estimator integrates.
     """
     from ..priors.params_info import ParamsInfo
     from ..registry import iscosmo_param
-    spec = sampled_params(root)
+    spec = ordered_sampled_params(root)
     if cosmo:
         filtered = {n: b for n, b in spec.items() if iscosmo_param(n)}
         if filtered:

@@ -47,6 +47,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _query_tile(k: int) -> int:
+    """Query-tile height for the iterative kernels.
+
+    The k-loop winner buffers plus the merge concat must fit scoped VMEM;
+    at the sufficiency-retry regime (retry_pad=24 -> k_sel ~ 26) the full
+    TQ=512 tile overflows on v5e, so high-k selections run on 256-row
+    tiles.  The threshold is the measured fit boundary — retune here (one
+    site) if tiles or hardware change."""
+    return 256 if k >= 14 else TQ
+
+
 
 def _extract_topk(cat, cat_idx, k: int):
     """Exact iterative top-k extraction over a (TQ, m) candidate tile:
@@ -240,7 +251,7 @@ def knn_select_pallas_packed_batched(query, ref, k: int,
     # per-member centring (translation-invariant; conditions the identity)
     mu = (jnp.sum(ref, axis=1, keepdims=True)
           / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
-    tq = 256 if k >= 14 else TQ       # scoped-VMEM fit at the retry k
+    tq = _query_tile(k)
     dpad = _round_up(max(d, 1), LANE)
     nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(nr_full, TR)
@@ -330,7 +341,7 @@ def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
         jnp.asarray(nr, query.dtype), 1.0)
-    tq = 256 if k >= 14 else TQ       # scoped-VMEM fit at the retry k
+    tq = _query_tile(k)
     dpad_s = _round_up(max(d, 1), 8)             # f32 sublane quantum
     nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(ref.shape[0], TR)
@@ -414,7 +425,7 @@ def knn_select_pallas_smalld_batched(query, ref, k: int,
 
     mu = (jnp.sum(ref, axis=1, keepdims=True)
           / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
-    tq = 256 if k >= 14 else TQ       # scoped-VMEM fit at the retry k
+    tq = _query_tile(k)
     dpad_s = _round_up(max(d, 1), 8)
     nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(nr_full, TR)
@@ -558,9 +569,7 @@ def knn_select_pallas_binned(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
         jnp.asarray(nr, query.dtype), 1.0)
-    # smaller query tile at high k: the (tq, k) revisited outputs plus the
-    # bin store must fit scoped VMEM — TQ=512 OOMs at k >= ~14 on v5e
-    tq = 256 if k >= 14 else TQ
+    tq = _query_tile(k)
     dpad = _round_up(max(d, 1), LANE)
     nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(ref.shape[0], TR)
@@ -708,10 +717,7 @@ def _knn_select_iter(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
         jnp.asarray(nr, query.dtype), 1.0)
-    # smaller query tile at high k (the sufficiency-retry regime): the
-    # k-loop temporaries + merge concat must fit scoped VMEM — TQ=512
-    # overflows at k ~ 26 on v5e (same fix as the binned wrapper)
-    tq = 256 if k >= 14 else TQ
+    tq = _query_tile(k)
     dpad = _round_up(max(d, 1), LANE)
     nq_pad = _round_up(nq, tq)
     nr_pad = _round_up(ref.shape[0], TR)

@@ -49,6 +49,14 @@ _ALLOWED = {
 }
 
 
+def _floats(values) -> list:
+    """JSON-safe float list: RFC 8259 has no NaN/Infinity tokens, and
+    json.dumps would emit them by default, breaking strict client parsers
+    mid-protocol — non-finite values become null."""
+    import math as _math
+    return [float(v) if _math.isfinite(v) else None for v in values]
+
+
 def handle_request(req: dict) -> dict:
     """One evidence request -> one response dict (raises nothing)."""
     rid = req.get("id") if isinstance(req, dict) else None
@@ -89,10 +97,18 @@ def handle_request(req: dict) -> dict:
                          engine=req.get("engine", "auto"),
                          precision=req.get("precision", "refine"))
         lnz = mce.evidence()
-        resp = {"id": rid, "ok": True, "lnz": [float(v) for v in lnz],
-                "kmax": mce.kmax, "prior_volume": float(prior_volume),
+        # prior_volume can itself be inf ('N' = unbounded in a .ranges file)
+        resp = {"id": rid, "ok": True, "lnz": _floats(lnz),
+                "kmax": mce.kmax,
+                "prior_volume": _floats([prior_volume])[0],
                 "ndim": mce.ndim}
-        if req.get("error", False):
+    except Exception as e:  # per-request isolation: the service must live on
+        logger.info("request failed: %s", e)
+        return fail(f"{type(e).__name__}: {e}")
+    # optional error-bar legs degrade per leg, like the CLI: a leg failure
+    # must not discard the (possibly expensive) evidence just computed
+    if req.get("error", False):
+        try:
             from .evidence import evidence_with_error
             mean, err, _ = evidence_with_error(
                 chains, kmax=kmax, ndim=ndim, priorvolume=prior_volume,
@@ -100,10 +116,13 @@ def handle_request(req: dict) -> dict:
                 thinlen=float(req.get("thin", 0)), seed=req.get("seed"),
                 engine=req.get("engine", "auto"),
                 precision=req.get("precision", "refine"))
-            resp["per_chain_mean"] = [float(v) for v in mean]
-            resp["per_chain_err"] = [float(v) for v in err]
-        nboot = int(req.get("bootstrap", 0))
-        if nboot > 0:
+            resp["per_chain_mean"] = _floats(mean)
+            resp["per_chain_err"] = _floats(err)
+        except Exception as e:
+            resp["error_bars_error"] = f"{type(e).__name__}: {e}"
+    nboot = int(req.get("bootstrap", 0))
+    if nboot > 0:
+        try:
             from .evidence import evidence_bootstrap
             blnz, berr, _ = evidence_bootstrap(
                 chains, kmax=kmax, n_boot=nboot,
@@ -113,11 +132,10 @@ def handle_request(req: dict) -> dict:
                 thinlen=float(req.get("thin", 0)),
                 split=bool(req.get("cross", False)),
                 engine=req.get("engine", "auto"))
-            resp["bootstrap_lnz"] = [float(v) for v in blnz]
-            resp["bootstrap_err"] = [float(v) for v in berr]
-    except Exception as e:  # per-request isolation: the service must live on
-        logger.info("request failed: %s", e)
-        return fail(f"{type(e).__name__}: {e}")
+            resp["bootstrap_lnz"] = _floats(blnz)
+            resp["bootstrap_err"] = _floats(berr)
+        except Exception as e:
+            resp["bootstrap_error"] = f"{type(e).__name__}: {e}"
     resp["wall_s"] = round(time.perf_counter() - t0, 6)
     return resp
 

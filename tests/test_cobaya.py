@@ -129,6 +129,41 @@ def test_end_to_end_evidence(tmp_path, rng):
     assert abs(lnz[0] - (-math.log(100.0))) < 0.15
 
 
+def test_partial_cosmo_match_reorders_columns(tmp_path, rng):
+    """When the cosmo-name registry matches a SUBSET of the sampled
+    params, the filtered volume/ndim must pair with exactly the leading
+    chain columns (MCEvidence integrates the first ndim columns):
+    registry-matching params are emitted first by both the loader and
+    params_info."""
+    root = str(tmp_path / "mix")
+    (tmp_path / "mix.updated.yaml").write_text(
+        "params:\n"
+        "  x1:\n    prior: {min: 0.0, max: 2.0}\n"
+        "  tau:\n    prior: {min: 0.0, max: 0.5}\n"
+        "  ns:\n    prior: {min: 0.8, max: 1.2}\n")
+    n = 20
+    x1 = rng.random(n) * 2
+    tau = rng.random(n) * 0.5
+    ns = 0.8 + rng.random(n) * 0.4
+    body = np.column_stack([np.ones(n), np.zeros(n), x1, tau, ns,
+                            np.zeros(n), np.zeros(n)])
+    with open(root + ".1.txt", "w") as fp:
+        fp.write("# weight minuslogpost x1 tau ns minuslogprior chi2\n")
+        np.savetxt(fp, body)
+    info = params_info(root, cosmo=True)
+    assert info.names == ["tau", "ns"]              # registry subset only
+    assert info.volume == pytest.approx(0.5 * 0.4)
+    mats = reader.load_chains(root)
+    # loader column order: cosmo-matching first, so columns [2:2+ndim]
+    # are exactly the params the filtered volume describes
+    np.testing.assert_allclose(mats[0][:, 2], tau)
+    np.testing.assert_allclose(mats[0][:, 3], ns)
+    np.testing.assert_allclose(mats[0][:, 4], x1)
+    # cosmo=False keeps the same (reordered) full set
+    info_all = params_info(root, cosmo=False)
+    assert info_all.names == ["tau", "ns", "x1"]
+
+
 def test_missing_chain_files_raises(tmp_path, rng):
     root, _ = _write_run(tmp_path, rng, n=10)
     with pytest.raises(FileNotFoundError):

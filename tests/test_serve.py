@@ -91,6 +91,29 @@ def test_serve_bootstrap_and_volume_fallback(tmp_path, rng):
         boot["lnz"][0] - math.log(2.5), abs=1e-9)
 
 
+def test_serve_leg_failure_keeps_evidence(tmp_path, rng):
+    """An error-bar leg failure must degrade like the CLI does — the
+    already-computed evidence stays in an ok:true response."""
+    theta, lnl = make_gaussian_chain(rng, n=400, ndim=2, sigma=0.05)
+    np.savetxt(tmp_path / "one_1.txt",
+               np.column_stack([np.ones(400), -lnl, theta]))
+    resp, = _roundtrip([json.dumps(
+        {"root": str(tmp_path / "one"), "kmax": 2, "priorvolume": 1.0,
+         "engine": "xla", "error": True})])       # 1 chain: no scatter bar
+    assert resp["ok"] and np.isfinite(resp["lnz"]).all()
+    assert "error_bars_error" in resp and "per_chain_mean" not in resp
+
+
+def test_serve_json_is_rfc_strict():
+    """Non-finite floats have no RFC 8259 spelling — they must become
+    null, never NaN/Infinity tokens a strict client chokes on."""
+    assert serve._floats([np.inf, -np.inf, np.nan, 1.5]) == \
+        [None, None, None, 1.5]
+    line = json.dumps({"lnz": serve._floats([np.nan])})
+    assert json.loads(line) == {"lnz": [None]}     # round-trips strictly
+    assert "NaN" not in line and "Infinity" not in line
+
+
 def test_serve_main_subprocess(toy_root, tmp_path):
     """The real entry point end to end: spawned process, stdin pipe, CPU
     platform re-asserted in-process (this deployment's sitecustomize
