@@ -98,11 +98,39 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--parse-cache", default="", metavar="DIR",
                    help="cache raw parsed chain tables as .npy under DIR "
                         "(keyed on path+size+mtime)")
+    p.add_argument("--json", action="store_true",
+                   help="print ONE machine-readable JSON line instead of "
+                        "the human report (same fields as the "
+                        "mcevidence-serve protocol)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.json:
+        # one-shot machine-readable mode: route through the service's
+        # request handler so the two protocols cannot drift
+        import json as _json
+
+        from .serve import handle_request
+        configure(0)
+        if args.parse_cache:
+            from .chains.reader import set_parse_cache
+            set_parse_cache(args.parse_cache)
+        if args.paramsfile:
+            load_params_file(args.paramsfile)
+        req = {"root": args.root_name, "kmax": args.kmax,
+               "idchain": args.idchain, "ndim": args.ndim,
+               "burn": args.burnlen, "thin": args.thinlen,
+               "cross": args.cross, "seed": args.seed,
+               "priorvolume": args.priorvolume,
+               "allparams": args.allparams,
+               "unit_volume_fallback": args.unit_volume_fallback,
+               "engine": args.engine, "precision": args.precision,
+               "error": args.error, "bootstrap": args.bootstrap}
+        resp = handle_request({k: v for k, v in req.items() if v is not None})
+        print(_json.dumps(resp))
+        return 0 if resp.get("ok") else 2
     configure(args.verbose)
     logger = logging.getLogger(__name__)
 
@@ -150,6 +178,13 @@ def main(argv=None) -> int:
     mle = mce.evidence()
     for k in range(1, mce.kmax):
         print(f"   ln(B)[k={k}] = {mle[k - 1]}")
+    # nested-sampling roots carry the sampler's own evidence — print the
+    # cross-check the method paper (arXiv:1704.03472) makes by hand
+    from .chains.nested import sampler_lnz
+    own = sampler_lnz(args.root_name)
+    if own is not None:
+        print(f"   sampler's own ln(Z) from its stats file: {own[0]} "
+              f"+/- {own[1]}")
     if args.error:
         from .evidence import evidence_with_error
         try:

@@ -72,6 +72,34 @@ def test_cli_main_end_to_end(tmp_path, rng, capsys):
     assert "ln(B)[k=1]" in out
 
 
+def test_cli_json_mode(tmp_path, rng, capsys):
+    # --json routes through the serve protocol: one parseable line, same
+    # numbers as the human report path
+    import json
+    ndim, n = 2, 800
+    theta = rng.normal(0.0, 0.05, size=(n, ndim))
+    neglnl = 0.5 * np.sum((theta / 0.05) ** 2, axis=1)
+    np.savetxt(tmp_path / f"toy_1.txt",
+               np.column_stack([np.ones(n), neglnl, theta]))
+    (tmp_path / "toy.ranges").write_text("omegabh2 -1 1\nomegach2 -1 1\n")
+    from mcevidence_tpu.cli import main
+    rc = main([str(tmp_path / "toy"), "-k", "2", "--json", "--seed", "0",
+               "--engine", "xla"])
+    assert rc == 0
+    resp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resp["ok"] and resp["ndim"] == 2
+    assert resp["prior_volume"] == 4.0
+    from mcevidence_tpu import evidence_fn
+    direct = evidence_fn(theta, -neglnl, kmax=2, engine="xla",
+                         prior_volume=4.0)
+    assert resp["lnz"][0] == pytest.approx(float(direct[0]), abs=1e-10)
+    # failure is still one JSON line + exit 2
+    rc = main([str(tmp_path / "absent"), "--json"])
+    assert rc == 2
+    resp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not resp["ok"] and "error" in resp
+
+
 def test_cli_missing_root(tmp_path, capsys):
     from mcevidence_tpu.cli import main
     rc = main([str(tmp_path / "absent"), "-vb", "0"])
