@@ -1,0 +1,191 @@
+"""Nested-sampling product ingestion: MultiNest and PolyChord roots.
+
+The estimator's method paper (Heavens et al. 2017, arXiv:1704.03472)
+positions kNN evidence from chains AGAINST nested sampling, but the
+reference framework cannot read nested samplers' outputs (it only parses
+CosmoMC/MontePython products, reference MCEvidence.py:560-606,1204-1272) —
+so the natural cross-check "run MCEvidence on the very samples a nested
+run produced and compare ln Z" required hand conversion.  This module
+reads both families' posterior products directly and also parses the
+sampler's OWN evidence from its stats file, so callers get the comparison
+for free.
+
+Recognized roots (``<root>`` is the sampler's output basename, e.g.
+MultiNest ``chains/1-`` or PolyChord ``chains/run``):
+
+* **MultiNest**: ``<root>.txt`` (posterior rows ``weight  -2lnL
+  params...``; the weight column is the normalized posterior mass of each
+  dead point), ``<root>post_equal_weights.dat`` (``params... lnL``, unit
+  weights), detected via ``<root>stats.dat``.
+* **PolyChord**: ``<root>.txt`` and ``<root>_equal_weights.txt`` (both in
+  the same getdist posterior format ``weight  -2lnL  params...``),
+  detected via ``<root>.stats``.
+
+Either equal-weights file may also be passed as an explicit path.  The
+equal-weights products are the statistically safest input: their rows ARE
+(approximately) posterior draws, which is the estimator's sampling model.
+The weighted ``<root>.txt`` rows are dead points whose POSITIONS follow a
+flatter-than-posterior distribution; the estimator's per-point ``1/w``
+weighting (reference MCEvidence.py:1117) is exactly its correction for
+weighted rows, but the kNN density of heavily down-weighted tails is
+noisier — prefer the equal-weights file when both exist (the automatic
+root dispatch does).
+
+``sampler_lnz(root)`` returns the nested run's own (ln Z, err) parsed
+from ``<root>stats.dat`` / ``<root>.stats`` when present.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+#: suffixes tried for each family, in dispatch-preference order
+_MN_EQUAL = "post_equal_weights.dat"
+_PC_EQUAL = "_equal_weights.txt"
+_MN_STATS = "stats.dat"
+_PC_STATS = ".stats"
+
+
+def nested_kind(root: str) -> Optional[str]:
+    """'multinest' | 'polychord' | None for a root or explicit product path.
+
+    A bare ``<root>.txt`` is never claimed on its own — only the presence
+    of the family's stats or equal-weights product (file names no CosmoMC/
+    Cobaya run produces) marks a nested root, so ordinary chain roots are
+    untouched.
+    """
+    if not isinstance(root, str) or not root:
+        return None
+    if root.endswith(_MN_EQUAL) and os.path.isfile(root):
+        return "multinest"
+    if root.endswith(_PC_EQUAL) and os.path.isfile(root):
+        return "polychord"
+    # an explicit <root>.txt path is claimed only when a sibling nested
+    # product exists for the same base
+    base = root[:-4] if root.endswith(".txt") else root
+    if os.path.isfile(base + _PC_STATS) or os.path.isfile(base + _PC_EQUAL):
+        return "polychord"
+    if os.path.isfile(base + _MN_STATS) or os.path.isfile(base + _MN_EQUAL):
+        return "multinest"
+    return None
+
+
+def is_nested_root(root: str) -> bool:
+    return nested_kind(root) is not None
+
+
+def _strip_product_suffix(root: str) -> str:
+    for suffix in (_MN_EQUAL, _PC_EQUAL, _MN_STATS, _PC_STATS, ".txt"):
+        if root.endswith(suffix):
+            return root[: -len(suffix)]
+    return root
+
+
+def _weighted_posterior_to_chain(arr: np.ndarray, path: str) -> np.ndarray:
+    """getdist posterior format ``weight -2lnL params...`` ->
+    ``[weight, -lnL, params...]`` (the internal CosmoMC contract)."""
+    if arr.ndim != 2 or arr.shape[1] < 3:
+        raise ValueError(f"nested posterior file {path} needs >= 3 columns "
+                         f"(weight, -2lnL, params...); got {arr.shape}")
+    w = arr[:, 0]
+    neg_lnl = 0.5 * arr[:, 1]
+    return np.column_stack([w, neg_lnl, arr[:, 2:]])
+
+
+def _equal_weights_mn_to_chain(arr: np.ndarray, path: str) -> np.ndarray:
+    """MultiNest ``post_equal_weights.dat``: ``params... lnL`` (lnL LAST,
+    already +lnL, unit weights)."""
+    if arr.ndim != 2 or arr.shape[1] < 2:
+        raise ValueError(f"MultiNest equal-weights file {path} needs >= 2 "
+                         f"columns (params..., lnL); got {arr.shape}")
+    n = arr.shape[0]
+    return np.column_stack([np.ones(n), -arr[:, -1], arr[:, :-1]])
+
+
+def load_nested_chains(root: str, kind: Optional[str] = None,
+                       equal_weights: Optional[bool] = None) -> List[np.ndarray]:
+    """Load a MultiNest/PolyChord root (or explicit product path) as one
+    chain ``[weight, -lnL, params...]``.
+
+    ``equal_weights=None`` prefers the equal-weights product when present
+    (see module docstring), falling back to the weighted ``<root>.txt``;
+    True/False force one or the other.
+    """
+    from .reader import parse_chain_file
+    kind = kind or nested_kind(root)
+    if kind is None:
+        raise FileNotFoundError(f"{root!r} is not a MultiNest/PolyChord root "
+                                "(no stats or equal-weights product found)")
+    explicit_weighted = root.endswith(".txt") and os.path.isfile(root)
+    if root.endswith((_MN_EQUAL, _PC_EQUAL)) and os.path.isfile(root):
+        base, eq_path = _strip_product_suffix(root), root
+    else:
+        base = _strip_product_suffix(root)
+        eq_path = base + (_MN_EQUAL if kind == "multinest" else _PC_EQUAL)
+        if not os.path.isfile(eq_path):
+            eq_path = None
+
+    # an explicitly named weighted file is honored; bare roots prefer the
+    # equal-weights product when one exists (see module docstring)
+    use_equal = equal_weights if equal_weights is not None else (
+        eq_path is not None and not explicit_weighted)
+    if use_equal:
+        if eq_path is None:
+            raise FileNotFoundError(
+                f"no equal-weights product for {kind} root {base!r}")
+        logger.info("reading %s equal-weights file: %s", kind, eq_path)
+        arr = parse_chain_file(eq_path)
+        if kind == "multinest":
+            return [_equal_weights_mn_to_chain(arr, eq_path)]
+        return [_weighted_posterior_to_chain(arr, eq_path)]
+
+    txt = base + ".txt"
+    if not os.path.isfile(txt):
+        raise FileNotFoundError(
+            f"no weighted posterior file {txt!r} for {kind} root")
+    logger.info("reading %s weighted posterior file: %s", kind, txt)
+    return [_weighted_posterior_to_chain(parse_chain_file(txt), txt)]
+
+
+_MN_LNZ_RE = re.compile(
+    r"Global Log-Evidence\s*:\s*(-?[\d.]+(?:[eEdD][+-]?\d+)?)"
+    r"\s*\+/-\s*([\d.]+(?:[eEdD][+-]?\d+)?)")
+_PC_LNZ_RE = re.compile(
+    r"^log\(Z\)\s*=\s*(-?[\d.]+(?:[eEdD][+-]?\d+)?)"
+    r"\s*\+/-\s*([\d.]+(?:[eEdD][+-]?\d+)?)")
+
+
+def _fortran_float(tok: str) -> float:
+    return float(tok.replace("D", "E").replace("d", "e"))
+
+
+def sampler_lnz(root: str) -> Optional[Tuple[float, float]]:
+    """The nested run's own (ln Z, err) from its stats file, or None.
+
+    MultiNest ``<root>stats.dat``: the first ``... Global Log-Evidence :
+    X +/- Y`` line (the plain nested-sampling estimate precedes the
+    importance-sampling one).  PolyChord ``<root>.stats``: the global
+    ``log(Z) = X +/- Y`` line (per-cluster ``log(Z_i)`` lines don't match).
+    """
+    kind = nested_kind(root)
+    if kind is None:
+        return None
+    base = _strip_product_suffix(root)
+    path = base + (_MN_STATS if kind == "multinest" else _PC_STATS)
+    if not os.path.isfile(path):
+        return None
+    pattern = _MN_LNZ_RE if kind == "multinest" else _PC_LNZ_RE
+    with open(path, "r", errors="replace") as fp:
+        for line in fp:
+            m = pattern.search(line.strip())
+            if m:
+                return _fortran_float(m.group(1)), _fortran_float(m.group(2))
+    logger.warning("no ln Z line found in %s", path)
+    return None

@@ -126,6 +126,12 @@ def load_chains(source: ChainSource, idchain: int = 0,
             return load_cobaya_chains(source, idchain=idchain)
         if _is_hdf5_file(source):
             return _hdf5_to_chains(source, idchain=idchain)
+        # MultiNest/PolyChord roots (detected via their stats/equal-weights
+        # products): -2lnL column convention + posterior-mass weights
+        from .nested import load_nested_chains, nested_kind
+        nkind = nested_kind(source)
+        if nkind is not None:
+            return load_nested_chains(source, kind=nkind)
     if isinstance(source, str) or (
             isinstance(source, (list, tuple)) and source
             and isinstance(source[0], str)):

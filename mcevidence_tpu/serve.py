@@ -102,6 +102,12 @@ def handle_request(req: dict) -> dict:
                 "kmax": mce.kmax,
                 "prior_volume": _floats([prior_volume])[0],
                 "ndim": mce.ndim}
+        # nested-sampling roots: surface the sampler's own ln Z so clients
+        # get the method-paper cross-check in the same response
+        from .chains.nested import sampler_lnz
+        own = sampler_lnz(root)
+        if own is not None:
+            resp["sampler_lnz"], resp["sampler_lnz_err"] = _floats(own)
     except Exception as e:  # per-request isolation: the service must live on
         logger.info("request failed: %s", e)
         return fail(f"{type(e).__name__}: {e}")

@@ -1,0 +1,159 @@
+"""Nested-sampling (MultiNest/PolyChord) ingestion tests.
+
+The reference cannot read nested samplers' products at all (its reader
+only parses CosmoMC/MontePython chains, reference MCEvidence.py:560-606);
+this family is a framework extension.  Correctness contract: the column
+conventions (-2lnL vs -lnL, lnL-last equal-weights layout, posterior-mass
+weights) must map onto the internal [w, -lnL, theta...] contract so that
+evidence on a nested run's own samples reproduces the direct estimate.
+"""
+
+import numpy as np
+import pytest
+
+from mcevidence_tpu.chains.nested import (load_nested_chains, nested_kind,
+                                          sampler_lnz)
+from mcevidence_tpu.chains.reader import load_chains
+
+
+def _posterior_draws(rng, n=1200, ndim=3, sigma=0.05):
+    theta = rng.normal(0.0, sigma, size=(n, ndim))
+    lnl = (-0.5 * np.sum((theta / sigma) ** 2, axis=1)
+           - 0.5 * ndim * np.log(2 * np.pi) - ndim * np.log(sigma))
+    return theta, lnl
+
+
+def _write_polychord(tmp_path, theta, lnl, weights=None, stats=True):
+    root = str(tmp_path / "pc_run")
+    w = np.ones(len(theta)) if weights is None else weights
+    body = np.column_stack([w, -2.0 * lnl, theta])
+    np.savetxt(root + ".txt", body, fmt="%.16e")
+    np.savetxt(root + "_equal_weights.txt",
+               np.column_stack([np.ones(len(theta)), -2.0 * lnl, theta]),
+               fmt="%.16e")
+    if stats:
+        (tmp_path / "pc_run.stats").write_text(
+            "Evidence estimates:\n"
+            "===================\n"
+            "log(Z)       =  -4.17 +/-   0.31\n"
+            "log(Z_1)     =  -4.20 +/-   0.35\n")
+    return root
+
+
+def _write_multinest(tmp_path, theta, lnl, weights=None, stats=True):
+    root = str(tmp_path / "mn-")
+    w = (np.full(len(theta), 1.0 / len(theta))
+         if weights is None else weights)
+    np.savetxt(root + ".txt", np.column_stack([w, -2.0 * lnl, theta]),
+               fmt="%.16e")
+    np.savetxt(root + "post_equal_weights.dat",
+               np.column_stack([theta, lnl]), fmt="%.16e")
+    if stats:
+        (tmp_path / "mn-stats.dat").write_text(
+            " Nested Sampling Global Log-Evidence           :"
+            "  -0.427196427973957E+01 +/-  0.178578641986135E+00\n"
+            " Nested Importance Sampling Global Log-Evidence :"
+            "  -0.450000000000000E+01 +/-  0.100000000000000E+00\n")
+    return root
+
+
+def test_kind_detection(tmp_path, rng):
+    theta, lnl = _posterior_draws(rng, n=50)
+    pc = _write_polychord(tmp_path, theta, lnl)
+    mn = _write_multinest(tmp_path, theta, lnl)
+    assert nested_kind(pc) == "polychord"
+    assert nested_kind(mn) == "multinest"
+    assert nested_kind(pc + "_equal_weights.txt") == "polychord"
+    assert nested_kind(mn + "post_equal_weights.dat") == "multinest"
+    # explicit weighted file with a sibling stats product is claimed too
+    assert nested_kind(pc + ".txt") == "polychord"
+    # a plain CosmoMC-style root is never claimed
+    np.savetxt(tmp_path / "cosmomc_1.txt",
+               np.column_stack([np.ones(10), lnl[:10], theta[:10]]))
+    assert nested_kind(str(tmp_path / "cosmomc")) is None
+    assert nested_kind(str(tmp_path / "cosmomc_1.txt")) is None
+
+
+def test_polychord_columns_and_dispatch(tmp_path, rng):
+    theta, lnl = _posterior_draws(rng, n=200)
+    root = _write_polychord(tmp_path, theta, lnl)
+    for src in (root, root + "_equal_weights.txt"):
+        (chain,) = load_chains(src)
+        np.testing.assert_allclose(chain[:, 0], 1.0)
+        np.testing.assert_allclose(chain[:, 1], -lnl, rtol=1e-14)  # -lnL
+        np.testing.assert_allclose(chain[:, 2:], theta, rtol=1e-14)
+
+
+def test_multinest_columns_both_products(tmp_path, rng):
+    theta, lnl = _posterior_draws(rng, n=200)
+    root = _write_multinest(tmp_path, theta, lnl)
+    # bare root prefers the equal-weights product (params..., lnL layout)
+    (chain,) = load_chains(root)
+    np.testing.assert_allclose(chain[:, 0], 1.0)
+    np.testing.assert_allclose(chain[:, 1], -lnl, rtol=1e-14)
+    np.testing.assert_allclose(chain[:, 2:], theta, rtol=1e-14)
+    # the weighted dead-point file keeps its posterior-mass weights
+    (wchain,) = load_nested_chains(root, equal_weights=False)
+    np.testing.assert_allclose(wchain[:, 0], 1.0 / len(theta))
+    np.testing.assert_allclose(wchain[:, 1], -lnl, rtol=1e-14)
+
+
+def test_explicit_weighted_file_honored(tmp_path, rng):
+    theta, lnl = _posterior_draws(rng, n=100)
+    root = _write_multinest(tmp_path, theta, lnl)
+    (chain,) = load_chains(root + ".txt")
+    np.testing.assert_allclose(chain[:, 0], 1.0 / len(theta))
+
+
+def test_sampler_lnz_parsing(tmp_path, rng):
+    theta, lnl = _posterior_draws(rng, n=50)
+    pc = _write_polychord(tmp_path, theta, lnl)
+    mn = _write_multinest(tmp_path, theta, lnl)
+    assert sampler_lnz(pc) == pytest.approx((-4.17, 0.31))
+    # first (plain nested-sampling) line wins over the INS one; Fortran
+    # E-notation parses
+    assert sampler_lnz(mn) == pytest.approx((-4.27196427973957, 0.178578641986135))
+    assert sampler_lnz(str(tmp_path / "nothing")) is None
+
+
+def test_evidence_matches_direct_estimate(tmp_path, rng):
+    # a nested run whose equal-weight rows ARE posterior draws must give
+    # the same lnZ as feeding those draws directly (the framework's own
+    # array path) — ingestion adds nothing but column mapping
+    theta, lnl = _posterior_draws(rng, n=1500, ndim=3)
+    root = _write_polychord(tmp_path, theta, lnl)
+    from mcevidence_tpu import evidence_fn
+    lnz_nested = evidence_fn(load_chains(root)[0][:, 2:],
+                             lnl, kmax=2, engine="xla", prior_volume=1.0)
+    lnz_direct = evidence_fn(theta, lnl, kmax=2, engine="xla",
+                             prior_volume=1.0)
+    assert float(lnz_nested[0]) == pytest.approx(float(lnz_direct[0]),
+                                                 abs=1e-12)
+
+
+def test_facade_end_to_end_with_weights(tmp_path, rng):
+    # weighted dead-point file flows through the full facade: float
+    # posterior-mass weights survive ingestion (scale-invariance of the
+    # estimator is exercised by comparing against the same rows with
+    # weights scaled by 1000)
+    theta, lnl = _posterior_draws(rng, n=900, ndim=2)
+    w = rng.uniform(0.5, 2.0, size=len(theta))
+    w /= w.sum()
+    root = _write_multinest(tmp_path, theta, lnl, weights=w)
+    from mcevidence_tpu.evidence import MCEvidence
+    chains = load_nested_chains(root, equal_weights=False)
+    lnz1 = MCEvidence(chains, kmax=2, verbose=0, engine="xla").evidence()
+    scaled = [np.column_stack([c[:, 0] * 1e3, c[:, 1:]]) for c in chains]
+    lnz2 = MCEvidence(scaled, kmax=2, verbose=0, engine="xla").evidence()
+    assert float(lnz1[0]) == pytest.approx(float(lnz2[0]), abs=1e-10)
+
+
+def test_serve_reports_sampler_lnz(tmp_path, rng):
+    theta, lnl = _posterior_draws(rng, n=400, ndim=2)
+    root = _write_polychord(tmp_path, theta, lnl)
+    from mcevidence_tpu.serve import handle_request
+    resp = handle_request({"root": root, "kmax": 2, "engine": "xla",
+                           "priorvolume": 1.0})
+    assert resp["ok"], resp
+    assert resp["sampler_lnz"] == pytest.approx(-4.17)
+    assert resp["sampler_lnz_err"] == pytest.approx(0.31)
