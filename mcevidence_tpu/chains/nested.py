@@ -110,7 +110,8 @@ def _equal_weights_mn_to_chain(arr: np.ndarray, path: str) -> np.ndarray:
 
 
 def load_nested_chains(root: str, kind: Optional[str] = None,
-                       equal_weights: Optional[bool] = None) -> List[np.ndarray]:
+                       equal_weights: Optional[bool] = None,
+                       idchain: int = 0) -> List[np.ndarray]:
     """Load a MultiNest/PolyChord root (or explicit product path) as one
     chain ``[weight, -lnL, params...]``.
 
@@ -119,11 +120,20 @@ def load_nested_chains(root: str, kind: Optional[str] = None,
     True/False force one or the other.
     """
     from .reader import parse_chain_file
+    if idchain > 0:
+        raise ValueError(
+            "nested-sampling products are one combined posterior set; "
+            "-ic/idchain does not select anything for a MultiNest/PolyChord "
+            f"root (got idchain={idchain})")
     kind = kind or nested_kind(root)
     if kind is None:
         raise FileNotFoundError(f"{root!r} is not a MultiNest/PolyChord root "
                                 "(no stats or equal-weights product found)")
-    explicit_weighted = root.endswith(".txt") and os.path.isfile(root)
+    # the PolyChord equal-weights suffix itself ends in ".txt" — it is an
+    # explicit EQUAL-weights request, not a weighted-file one
+    explicit_weighted = (root.endswith(".txt")
+                         and not root.endswith(_PC_EQUAL)
+                         and os.path.isfile(root))
     if root.endswith((_MN_EQUAL, _PC_EQUAL)) and os.path.isfile(root):
         base, eq_path = _strip_product_suffix(root), root
     else:
@@ -174,18 +184,24 @@ def sampler_lnz(root: str) -> Optional[Tuple[float, float]]:
     importance-sampling one).  PolyChord ``<root>.stats``: the global
     ``log(Z) = X +/- Y`` line (per-cluster ``log(Z_i)`` lines don't match).
     """
-    kind = nested_kind(root)
-    if kind is None:
-        return None
-    base = _strip_product_suffix(root)
-    path = base + (_MN_STATS if kind == "multinest" else _PC_STATS)
-    if not os.path.isfile(path):
-        return None
-    pattern = _MN_LNZ_RE if kind == "multinest" else _PC_LNZ_RE
-    with open(path, "r", errors="replace") as fp:
-        for line in fp:
-            m = pattern.search(line.strip())
-            if m:
-                return _fortran_float(m.group(1)), _fortran_float(m.group(2))
-    logger.warning("no ln Z line found in %s", path)
+    try:
+        kind = nested_kind(root)
+        if kind is None:
+            return None
+        base = _strip_product_suffix(root)
+        path = base + (_MN_STATS if kind == "multinest" else _PC_STATS)
+        if not os.path.isfile(path):
+            return None
+        pattern = _MN_LNZ_RE if kind == "multinest" else _PC_LNZ_RE
+        with open(path, "r", errors="replace") as fp:
+            for line in fp:
+                m = pattern.search(line.strip())
+                if m:
+                    return (_fortran_float(m.group(1)),
+                            _fortran_float(m.group(2)))
+        logger.warning("no ln Z line found in %s", path)
+    except (OSError, ValueError) as e:
+        # this is an informational cross-check — a corrupt/unreadable stats
+        # file must never fail (or discard) the evidence computation itself
+        logger.warning("could not parse sampler lnZ near %s: %s", root, e)
     return None

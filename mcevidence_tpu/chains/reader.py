@@ -131,7 +131,7 @@ def load_chains(source: ChainSource, idchain: int = 0,
         from .nested import load_nested_chains, nested_kind
         nkind = nested_kind(source)
         if nkind is not None:
-            return load_nested_chains(source, kind=nkind)
+            return load_nested_chains(source, kind=nkind, idchain=idchain)
     if isinstance(source, str) or (
             isinstance(source, (list, tuple)) and source
             and isinstance(source[0], str)):

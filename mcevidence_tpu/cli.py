@@ -113,7 +113,9 @@ def main(argv=None) -> int:
         import json as _json
 
         from .serve import handle_request
-        configure(0)
+        # logging goes to stderr and cannot corrupt the one-line JSON
+        # stdout protocol, so -vb is honored
+        configure(args.verbose)
         if args.parse_cache:
             from .chains.reader import set_parse_cache
             set_parse_cache(args.parse_cache)

@@ -16,14 +16,13 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
 import time
 
 import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SIZES = (2000, 8000, 32768, 65536)
 NDIM = 6
@@ -52,6 +51,13 @@ def main() -> int:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="mce_serve_bench_")
+    try:
+        return _run(tmp, rng, reps)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run(tmp: str, rng, reps: int) -> int:
     roots = {n: make_root(tmp, n, rng) for n in SIZES}
 
     reqs = []
@@ -85,8 +91,9 @@ def main() -> int:
     for n in SIZES:
         w = walls[n]
         steady = sorted(w[1:]) or w
+        p95_ix = min(len(steady) - 1, math.ceil(0.95 * len(steady)) - 1)
         print(f"{n:>7} {w[0]:>8.3f} {steady[len(steady) // 2]:>8.3f} "
-              f"{steady[max(0, int(len(steady) * 0.95) - 1)]:>8.3f}")
+              f"{steady[p95_ix]:>8.3f}")
     return 0
 
 

@@ -75,13 +75,20 @@ def test_kind_detection(tmp_path, rng):
 
 
 def test_polychord_columns_and_dispatch(tmp_path, rng):
+    # the weighted file carries NON-unit weights so the two products are
+    # distinguishable: both the bare root and the explicit equal-weights
+    # path must load the equal-weights rows, not the dead-point file
     theta, lnl = _posterior_draws(rng, n=200)
-    root = _write_polychord(tmp_path, theta, lnl)
+    w = rng.uniform(0.1, 1.0, size=len(theta))
+    root = _write_polychord(tmp_path, theta, lnl, weights=w)
     for src in (root, root + "_equal_weights.txt"):
         (chain,) = load_chains(src)
         np.testing.assert_allclose(chain[:, 0], 1.0)
         np.testing.assert_allclose(chain[:, 1], -lnl, rtol=1e-14)  # -lnL
         np.testing.assert_allclose(chain[:, 2:], theta, rtol=1e-14)
+    # the explicitly named weighted file is still honored
+    (wchain,) = load_chains(root + ".txt")
+    np.testing.assert_allclose(wchain[:, 0], w, rtol=1e-14)
 
 
 def test_multinest_columns_both_products(tmp_path, rng):
@@ -114,6 +121,16 @@ def test_sampler_lnz_parsing(tmp_path, rng):
     # E-notation parses
     assert sampler_lnz(mn) == pytest.approx((-4.27196427973957, 0.178578641986135))
     assert sampler_lnz(str(tmp_path / "nothing")) is None
+    # a corrupt stats file must not raise — the cross-check is informational
+    (tmp_path / "pc_run.stats").write_text("log(Z) = 1.2.3 +/- 0.1.2\n")
+    assert sampler_lnz(pc) is None
+
+
+def test_idchain_rejected_for_nested_roots(tmp_path, rng):
+    theta, lnl = _posterior_draws(rng, n=50)
+    root = _write_multinest(tmp_path, theta, lnl)
+    with pytest.raises(ValueError, match="idchain"):
+        load_chains(root, idchain=2)
 
 
 def test_evidence_matches_direct_estimate(tmp_path, rng):
