@@ -34,6 +34,7 @@ Run: ``python -m mcevidence_tpu.examples
 from __future__ import annotations
 
 import math
+import os
 import sys
 from functools import reduce
 from typing import Optional
@@ -501,6 +502,138 @@ class make_emcee_chain:
         return samples[:nsamples], lnp[:nsamples]
 
 
+class nested_eg:
+    """Toy nested-sampling run with analytic truth (no reference
+    counterpart — the reference cannot read nested products at all).
+
+    Likelihood: normalized N(0, sigma^2 I_d) inside the uniform prior box
+    [-1, 1]^d, so ln Z_true = -ln V = -d ln 2 (likelihood mass outside the
+    box < 1e-6 for sigma <= 0.2 at d = 2).  ``run()`` executes the REAL
+    nested-sampling process — ``nlive`` live points, worst-point removal
+    with deterministic shrinkage X_i = exp(-i/nlive), constrained-prior
+    rejection replacement, prior-mass weights w_i = (X_{i-1} - X_i) L_i,
+    and the standard final live-point correction — not a shortcut around
+    it.  ``write_products()`` emits MultiNest-format files (weighted
+    ``<root>.txt``, ``<root>post_equal_weights.dat``, ``<root>stats.dat``)
+    so the ingestion path is validated end-to-end against the truth.
+    """
+
+    def __init__(self, ndim=2, sigma=0.2, nlive=300, verbose=1,
+                 rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+        self.ndim = int(ndim)
+        self.sigma = float(sigma)
+        self.nlive = int(nlive)
+        self.verbose = verbose
+        self.prior_volume = 2.0 ** self.ndim
+        self._run = None
+
+    def lnlike(self, theta: np.ndarray) -> np.ndarray:
+        theta = np.atleast_2d(theta)
+        return (-0.5 * np.sum((theta / self.sigma) ** 2, axis=1)
+                - 0.5 * self.ndim * math.log(2.0 * math.pi)
+                - self.ndim * math.log(self.sigma))
+
+    def evidence(self) -> float:
+        """Analytic ln Z (the likelihood is normalized and fully inside
+        the prior box): -ln V."""
+        return -math.log(self.prior_volume)
+
+    def _constrained_draw(self, lmin: float, x_frac: float) -> np.ndarray:
+        """One prior draw with lnL > lmin (batched rejection; acceptance
+        probability is exactly the remaining prior fraction)."""
+        batch = int(min(2e5, max(64, 8.0 / max(x_frac, 1e-9))))
+        while True:
+            cand = self.rng.uniform(-1.0, 1.0, size=(batch, self.ndim))
+            ok = np.nonzero(self.lnlike(cand) > lmin)[0]
+            if ok.size:
+                return cand[ok[0]]
+
+    def run(self, frac_remaining: float = 1e-3):
+        """Run NS to completion; returns (theta, lnl, weights) over dead +
+        final live points, with weights the UNNORMALIZED posterior masses
+        (sum = Z_NS estimate)."""
+        if self._run is not None:
+            return self._run
+        nlive = self.nlive
+        live = self.rng.uniform(-1.0, 1.0, size=(nlive, self.ndim))
+        live_lnl = self.lnlike(live)
+        shrink = math.exp(-1.0 / nlive)
+        x_prev, z = 1.0, 0.0
+        thetas, lnls, ws = [], [], []
+        while True:
+            i = int(np.argmin(live_lnl))
+            lmin = float(live_lnl[i])
+            x_new = x_prev * shrink
+            thetas.append(live[i].copy())
+            lnls.append(lmin)
+            ws.append((x_prev - x_new) * math.exp(lmin))
+            z += ws[-1]
+            # stop when even the best live point can add < frac_remaining
+            if x_new * math.exp(float(np.max(live_lnl))) < frac_remaining * z:
+                break
+            live[i] = self._constrained_draw(lmin, x_new)
+            live_lnl[i] = self.lnlike(live[i][None, :])[0]
+            x_prev = x_new
+        for k in range(nlive):   # final live-point correction
+            thetas.append(live[k])
+            lnls.append(float(live_lnl[k]))
+            ws.append(x_prev / nlive * math.exp(float(live_lnl[k])))
+            z += ws[-1]
+        theta = np.asarray(thetas)
+        lnl = np.asarray(lnls)
+        w = np.asarray(ws)
+        if self.verbose > 0:
+            print(f"nested run: {len(w) - nlive} iterations, "
+                  f"lnZ_NS = {math.log(z):.4f} "
+                  f"(analytic {self.evidence():.4f})")
+        self._run = (theta, lnl, w)
+        return self._run
+
+    def ns_lnz(self):
+        """The run's own (ln Z, err) — err via the classic sqrt(H/nlive)
+        information estimate."""
+        _, lnl, w = self.run()
+        z = w.sum()
+        p = w / z
+        h = float(np.sum(p * (lnl - math.log(z))))
+        return math.log(z), math.sqrt(max(h, 0.0) / self.nlive)
+
+    def equal_weights(self):
+        """MultiNest-style equal-weight posterior rows: accept row i with
+        probability w_i / max(w) (each row at most once — duplicate-free
+        input for the kNN estimator)."""
+        theta, lnl, w = self.run()
+        keep = self.rng.random(len(w)) < (w / w.max())
+        return theta[keep], lnl[keep]
+
+    def Sampler(self, nsamples=None):
+        """Equal-weight posterior draws (``nsamples`` ignored: the run's
+        effective sample size is what it is)."""
+        return self.equal_weights()
+
+    def write_products(self, outdir: str, root: str = "nested-") -> str:
+        """Write MultiNest-format products; returns the root path."""
+        theta, lnl, w = self.run()
+        base = os.path.join(outdir, root)
+        p = w / w.sum()
+        np.savetxt(base + ".txt",
+                   np.column_stack([p, -2.0 * lnl, theta]), fmt="%.16e")
+        eq_theta, eq_lnl = self.equal_weights()
+        np.savetxt(base + "post_equal_weights.dat",
+                   np.column_stack([eq_theta, eq_lnl]), fmt="%.16e")
+        lnz, err = self.ns_lnz()
+        with open(base + "stats.dat", "w") as fp:
+            fp.write(" Nested Sampling Global Log-Evidence           :"
+                     f"  {lnz:.15E} +/-  {err:.15E}\n")
+        return base
+
+    def info(self):
+        return (f"{self.ndim}-d Gaussian likelihood under a true "
+                f"nested-sampling run with {self.nlive} live points "
+                f"(lnZ_true = {self.evidence():.4f}).")
+
+
 def gaussian_emcee(nwalkers=300, nmcmc=50, kmax=3):
     """End-to-end: N-dim Gaussian x emcee -> evidence (examples.py:518-531)."""
     from .evidence import MCEvidence
@@ -516,6 +649,18 @@ def main(argv=None) -> int:
     method = argv[0] if argv else "gaussian_eg"
     nsamples = int(argv[1]) if len(argv) > 1 else 10000
 
+    if method == "nested_eg":
+        from .evidence import MCEvidence
+        model = nested_eg(verbose=1)
+        theta, lnl = model.Sampler()
+        chain = {"samples": theta, "loglikes": lnl}
+        mle = MCEvidence(chain, verbose=1, ischain=True,
+                         priorvolume=model.prior_volume).evidence()
+        print("estimated ln Z (k=1..):", mle)
+        lnz, err = model.ns_lnz()
+        print(f"nested run's own ln Z: {lnz:.4f} +/- {err:.4f}")
+        print("analytic ln Z:", model.evidence())
+        return 0
     if method in ("gaussian_eg", "gaussian_corr_eg", "glm_eg",
               "glm_nuts", "banana_eg"):
         from .evidence import MCEvidence

@@ -165,6 +165,39 @@ def test_facade_end_to_end_with_weights(tmp_path, rng):
     assert float(lnz1[0]) == pytest.approx(float(lnz2[0]), abs=1e-10)
 
 
+def test_real_nested_run_end_to_end(tmp_path, rng):
+    # a TRUE nested-sampling process (examples.nested_eg) writes
+    # MultiNest-format products; ingesting them and estimating evidence
+    # recovers the analytic lnZ within the estimator's statistical scatter,
+    # and the run's own lnZ (stats.dat) agrees with what sampler_lnz parses
+    from mcevidence_tpu.evidence import MCEvidence
+    from mcevidence_tpu.examples import nested_eg
+    model = nested_eg(verbose=0, rng=rng)
+    root = model.write_products(str(tmp_path))
+    truth = model.evidence()
+
+    # equal-weights product (preferred dispatch): rows are posterior draws
+    chains = load_chains(root)
+    lnz = MCEvidence(chains, kmax=2, verbose=0, engine="xla",
+                     priorvolume=model.prior_volume).evidence()
+    assert float(lnz[0]) == pytest.approx(truth, abs=0.35)
+
+    # the sampler's own evidence round-trips through the stats parser
+    own = sampler_lnz(root)
+    ns_lnz, ns_err = model.ns_lnz()
+    assert own[0] == pytest.approx(ns_lnz, abs=1e-12)
+    assert own[1] == pytest.approx(ns_err, abs=1e-12)
+    assert ns_lnz == pytest.approx(truth, abs=4 * ns_err)
+
+    # weighted dead-point product: positions are NOT posterior draws (they
+    # follow the flatter dead-point spread); the estimator's 1/w weighting
+    # corrects the density — looser tolerance, see chains/nested.py
+    wchains = load_nested_chains(root, equal_weights=False)
+    wlnz = MCEvidence(wchains, kmax=2, verbose=0, engine="xla",
+                      priorvolume=model.prior_volume).evidence()
+    assert np.isfinite(float(wlnz[0]))
+
+
 def test_serve_reports_sampler_lnz(tmp_path, rng):
     theta, lnl = _posterior_draws(rng, n=400, ndim=2)
     root = _write_polychord(tmp_path, theta, lnl)
