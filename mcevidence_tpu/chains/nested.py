@@ -20,6 +20,11 @@ MultiNest ``chains/1-`` or PolyChord ``chains/run``):
 * **PolyChord**: ``<root>.txt`` and ``<root>_equal_weights.txt`` (both in
   the same getdist posterior format ``weight  -2lnL  params...``),
   detected via ``<root>.stats``.
+* **UltraNest**: a run directory (or its ``chains/`` subdir, or the file
+  itself) holding ``chains/weighted_post.txt`` /
+  ``chains/equal_weighted_post.txt`` — self-describing header names
+  (``weight``, ``logl``, params); the run's own ln Z comes from
+  ``info/results.json`` (``logz``/``logzerr``).
 
 Either equal-weights file may also be passed as an explicit path.  The
 equal-weights products are the statistically safest input: their rows ARE
@@ -53,8 +58,21 @@ _MN_STATS = "stats.dat"
 _PC_STATS = ".stats"
 
 
+def _ultranest_weighted_path(root: str) -> Optional[str]:
+    """Resolve an UltraNest ``weighted_post.txt`` from a run dir, its
+    ``chains/`` subdir, or the file path itself."""
+    if root.endswith("weighted_post.txt") and os.path.isfile(root):
+        return root
+    for cand in (os.path.join(root, "chains", "weighted_post.txt"),
+                 os.path.join(root, "weighted_post.txt")):
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
 def nested_kind(root: str) -> Optional[str]:
-    """'multinest' | 'polychord' | None for a root or explicit product path.
+    """'multinest' | 'polychord' | 'ultranest' | None for a root or
+    explicit product path.
 
     A bare ``<root>.txt`` is never claimed on its own — only the presence
     of the family's stats or equal-weights product (file names no CosmoMC/
@@ -67,6 +85,8 @@ def nested_kind(root: str) -> Optional[str]:
         return "multinest"
     if root.endswith(_PC_EQUAL) and os.path.isfile(root):
         return "polychord"
+    if _ultranest_weighted_path(root) is not None:
+        return "ultranest"
     # an explicit <root>.txt path is claimed only when a sibling nested
     # product exists for the same base
     base = root[:-4] if root.endswith(".txt") else root
@@ -109,6 +129,49 @@ def _equal_weights_mn_to_chain(arr: np.ndarray, path: str) -> np.ndarray:
     return np.column_stack([np.ones(n), -arr[:, -1], arr[:, :-1]])
 
 
+def _read_header_names(path: str) -> List[str]:
+    """First-line column names (UltraNest writes them with no '#' prefix;
+    accept one anyway)."""
+    with open(path, "r") as fp:
+        first = fp.readline().strip()
+    if first.startswith("#"):
+        first = first[1:]
+    return first.split()
+
+
+def _load_ultranest(root: str, equal_weights: Optional[bool]) -> List[np.ndarray]:
+    """UltraNest run products (self-describing headers): the run dir's
+    ``chains/weighted_post.txt`` (columns named in the header, including
+    ``weight`` and ``logl``) and, preferred for bare roots,
+    ``chains/equal_weighted_post.txt`` (same layout minus the weight
+    column)."""
+    wpath = _ultranest_weighted_path(root)
+    if wpath is None:
+        raise FileNotFoundError(f"no UltraNest weighted_post.txt under {root!r}")
+    eq_path = os.path.join(os.path.dirname(wpath), "equal_weighted_post.txt")
+    explicit_weighted = root.endswith("weighted_post.txt")
+    use_equal = equal_weights if equal_weights is not None else (
+        os.path.isfile(eq_path) and not explicit_weighted)
+    path = eq_path if use_equal else wpath
+    if use_equal and not os.path.isfile(eq_path):
+        raise FileNotFoundError(f"no UltraNest equal-weights product {eq_path!r}")
+    names = _read_header_names(path)
+    if "logl" not in names:
+        raise ValueError(f"UltraNest file {path} has no 'logl' column "
+                         f"(header: {names}); cannot recover lnL")
+    logger.info("reading UltraNest posterior file: %s", path)
+    arr = np.loadtxt(path, skiprows=1, ndmin=2)
+    if arr.shape[1] != len(names):
+        raise ValueError(f"UltraNest file {path}: header names {len(names)} "
+                         f"columns, file has {arr.shape[1]}")
+    col = {n: i for i, n in enumerate(names)}
+    lnl = arr[:, col["logl"]]
+    w = arr[:, col["weight"]] if "weight" in col else np.ones(len(arr))
+    keep = [i for n, i in sorted(col.items(), key=lambda kv: kv[1])
+            if n not in ("weight", "logl")]
+    return [np.column_stack([w, -lnl, arr[:, keep]])]
+
+
 def load_nested_chains(root: str, kind: Optional[str] = None,
                        equal_weights: Optional[bool] = None,
                        idchain: int = 0) -> List[np.ndarray]:
@@ -127,8 +190,11 @@ def load_nested_chains(root: str, kind: Optional[str] = None,
             f"root (got idchain={idchain})")
     kind = kind or nested_kind(root)
     if kind is None:
-        raise FileNotFoundError(f"{root!r} is not a MultiNest/PolyChord root "
-                                "(no stats or equal-weights product found)")
+        raise FileNotFoundError(f"{root!r} is not a MultiNest/PolyChord/"
+                                "UltraNest root (no stats or equal-weights "
+                                "product found)")
+    if kind == "ultranest":
+        return _load_ultranest(root, equal_weights)
     # the PolyChord equal-weights suffix itself ends in ".txt" — it is an
     # explicit EQUAL-weights request, not a weighted-file one
     explicit_weighted = (root.endswith(".txt")
@@ -164,6 +230,24 @@ def load_nested_chains(root: str, kind: Optional[str] = None,
     return [_weighted_posterior_to_chain(parse_chain_file(txt), txt)]
 
 
+def _ultranest_lnz(root: str) -> Optional[Tuple[float, float]]:
+    """UltraNest ``info/results.json`` (keys ``logz``/``logzerr``),
+    resolved relative to the run dir owning ``chains/weighted_post.txt``."""
+    import json
+    wpath = _ultranest_weighted_path(root)
+    if wpath is None:
+        return None
+    rundir = os.path.dirname(os.path.dirname(wpath))
+    for cand in (os.path.join(rundir, "info", "results.json"),
+                 os.path.join(rundir, "results.json")):
+        if os.path.isfile(cand):
+            with open(cand, "r") as fp:
+                res = json.load(fp)
+            if "logz" in res:
+                return float(res["logz"]), float(res.get("logzerr", 0.0))
+    return None
+
+
 _MN_LNZ_RE = re.compile(
     r"Global Log-Evidence\s*:\s*(-?[\d.]+(?:[eEdD][+-]?\d+)?)"
     r"\s*\+/-\s*([\d.]+(?:[eEdD][+-]?\d+)?)")
@@ -188,6 +272,8 @@ def sampler_lnz(root: str) -> Optional[Tuple[float, float]]:
         kind = nested_kind(root)
         if kind is None:
             return None
+        if kind == "ultranest":
+            return _ultranest_lnz(root)
         base = _strip_product_suffix(root)
         path = base + (_MN_STATS if kind == "multinest" else _PC_STATS)
         if not os.path.isfile(path):

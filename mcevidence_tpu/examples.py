@@ -612,17 +612,40 @@ class nested_eg:
         effective sample size is what it is)."""
         return self.equal_weights()
 
-    def write_products(self, outdir: str, root: str = "nested-") -> str:
-        """Write MultiNest-format products; returns the root path."""
+    def write_products(self, outdir: str, root: str = "nested-",
+                       style: str = "multinest") -> str:
+        """Write nested-run products; returns the root path.
+
+        ``style='multinest'``: ``<root>.txt`` + ``post_equal_weights.dat``
+        + ``stats.dat``.  ``style='ultranest'``: a run directory with
+        ``chains/weighted_post.txt`` / ``equal_weighted_post.txt``
+        (header-named columns) + ``info/results.json``.
+        """
         theta, lnl, w = self.run()
-        base = os.path.join(outdir, root)
         p = w / w.sum()
+        lnz, err = self.ns_lnz()
+        eq_theta, eq_lnl = self.equal_weights()
+        if style == "ultranest":
+            rundir = os.path.join(outdir, root.rstrip("-"))
+            os.makedirs(os.path.join(rundir, "chains"), exist_ok=True)
+            os.makedirs(os.path.join(rundir, "info"), exist_ok=True)
+            names = " ".join(f"p{j}" for j in range(self.ndim))
+            np.savetxt(os.path.join(rundir, "chains", "weighted_post.txt"),
+                       np.column_stack([p, lnl, theta]), fmt="%.16e",
+                       header=f"weight logl {names}", comments="")
+            np.savetxt(os.path.join(rundir, "chains",
+                                    "equal_weighted_post.txt"),
+                       np.column_stack([eq_lnl, eq_theta]), fmt="%.16e",
+                       header=f"logl {names}", comments="")
+            import json
+            with open(os.path.join(rundir, "info", "results.json"), "w") as fp:
+                json.dump({"logz": lnz, "logzerr": err}, fp)
+            return rundir
+        base = os.path.join(outdir, root)
         np.savetxt(base + ".txt",
                    np.column_stack([p, -2.0 * lnl, theta]), fmt="%.16e")
-        eq_theta, eq_lnl = self.equal_weights()
         np.savetxt(base + "post_equal_weights.dat",
                    np.column_stack([eq_theta, eq_lnl]), fmt="%.16e")
-        lnz, err = self.ns_lnz()
         with open(base + "stats.dat", "w") as fp:
             fp.write(" Nested Sampling Global Log-Evidence           :"
                      f"  {lnz:.15E} +/-  {err:.15E}\n")

@@ -8,6 +8,8 @@ weights) must map onto the internal [w, -lnL, theta...] contract so that
 evidence on a nested run's own samples reproduces the direct estimate.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -196,6 +198,48 @@ def test_real_nested_run_end_to_end(tmp_path, rng):
     wlnz = MCEvidence(wchains, kmax=2, verbose=0, engine="xla",
                       priorvolume=model.prior_volume).evidence()
     assert np.isfinite(float(wlnz[0]))
+
+
+def test_ultranest_run_dir_end_to_end(tmp_path, rng):
+    # a true NS run written in UltraNest layout (run dir with chains/ and
+    # info/) loads through every root spelling, recovers the analytic lnZ
+    # from the equal-weights product, and surfaces results.json's logz
+    from mcevidence_tpu.evidence import MCEvidence
+    from mcevidence_tpu.examples import nested_eg
+    model = nested_eg(verbose=0, rng=rng)
+    rundir = model.write_products(str(tmp_path), style="ultranest")
+    ns_lnz, ns_err = model.ns_lnz()
+
+    for src in (rundir, os.path.join(rundir, "chains"),
+                os.path.join(rundir, "chains", "weighted_post.txt")):
+        assert nested_kind(src) == "ultranest"
+    (eq,) = load_chains(rundir)         # equal-weights preferred
+    np.testing.assert_allclose(eq[:, 0], 1.0)
+    lnz = MCEvidence([eq], kmax=2, verbose=0, engine="xla",
+                     priorvolume=model.prior_volume).evidence()
+    assert float(lnz[0]) == pytest.approx(model.evidence(), abs=0.35)
+
+    # explicit weighted path keeps its posterior-mass weights and maps
+    # logl (+lnL, not -2lnL) correctly
+    (wchain,) = load_chains(os.path.join(rundir, "chains",
+                                         "weighted_post.txt"))
+    theta, lnl, w = model.run()
+    np.testing.assert_allclose(wchain[:, 0], w / w.sum(), rtol=1e-14)
+    np.testing.assert_allclose(wchain[:, 1], -lnl, rtol=1e-14)
+    np.testing.assert_allclose(wchain[:, 2:], theta, rtol=1e-14)
+
+    own = sampler_lnz(rundir)
+    assert own[0] == pytest.approx(ns_lnz, abs=1e-12)
+    assert own[1] == pytest.approx(ns_err, abs=1e-12)
+
+
+def test_ultranest_missing_logl_rejected(tmp_path):
+    chains = tmp_path / "run" / "chains"
+    chains.mkdir(parents=True)
+    (chains / "weighted_post.txt").write_text(
+        "weight p0 p1\n1.0 0.1 0.2\n")
+    with pytest.raises(ValueError, match="logl"):
+        load_chains(str(tmp_path / "run"))
 
 
 def test_serve_reports_sampler_lnz(tmp_path, rng):
