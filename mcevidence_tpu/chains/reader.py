@@ -152,6 +152,23 @@ def load_chains(source: ChainSource, idchain: int = 0,
     if post is not None and hasattr(post, "data_vars"):
         return _inferencedata_to_chains(source)
 
+    # duck-typed dynesty Results: .samples (N, d), .logl (+lnL), .logwt
+    # (unnormalized ln posterior mass per dead point) — the in-memory
+    # sibling of the MultiNest/PolyChord file products (chains/nested.py);
+    # weights are normalized in log space to avoid underflow (logwt spans
+    # hundreds of nats on real runs).  Checked BEFORE the getdist duck
+    # branch: dynesty has no .loglikes, so there is no overlap, but logwt
+    # must win over a hypothetical .weights attribute.
+    if (hasattr(source, "samples") and hasattr(source, "logl")
+            and hasattr(source, "logwt")):
+        samples = np.atleast_2d(np.asarray(source.samples, np.float64))
+        n = samples.shape[0]
+        lnl = np.asarray(source.logl, np.float64).reshape(n)
+        logwt = np.asarray(source.logwt, np.float64).reshape(n)
+        w = np.exp(logwt - logwt.max())
+        w /= w.sum()
+        return [np.column_stack([w, -lnl, samples])]
+
     # duck-typed getdist-style object: .samples (N, d), .loglikes (-lnL),
     # optional .weights — the reference consumed getdist MCSamples when that
     # package was installed (MCEvidence.py:45-59); here any object with the

@@ -242,6 +242,24 @@ def test_ultranest_missing_logl_rejected(tmp_path):
         load_chains(str(tmp_path / "run"))
 
 
+def test_dynesty_results_duck_object(rng):
+    # in-memory sibling of the file products: a dynesty-shaped Results
+    # object (.samples/.logl/.logwt) ingests with normalized posterior
+    # masses; wildly negative logwt (hundreds of nats) must not underflow
+    from types import SimpleNamespace
+    theta, lnl = _posterior_draws(rng, n=300)
+    logwt = lnl - 900.0 + rng.uniform(0, 1, size=len(lnl))
+    res = SimpleNamespace(samples=theta, logl=lnl, logwt=logwt)
+    (chain,) = load_chains(res)
+    np.testing.assert_allclose(chain[:, 0].sum(), 1.0, rtol=1e-12)
+    assert np.all(chain[:, 0] > 0)
+    np.testing.assert_allclose(chain[:, 1], -lnl, rtol=1e-14)
+    np.testing.assert_allclose(chain[:, 2:], theta, rtol=1e-14)
+    # relative masses follow exp(logwt)
+    np.testing.assert_allclose(np.log(chain[:, 0]) - np.log(chain[0, 0]),
+                               logwt - logwt[0], atol=1e-9)
+
+
 def test_serve_reports_sampler_lnz(tmp_path, rng):
     theta, lnl = _posterior_draws(rng, n=400, ndim=2)
     root = _write_polychord(tmp_path, theta, lnl)
