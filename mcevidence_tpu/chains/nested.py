@@ -58,15 +58,29 @@ _MN_STATS = "stats.dat"
 _PC_STATS = ".stats"
 
 
-def _ultranest_weighted_path(root: str) -> Optional[str]:
-    """Resolve an UltraNest ``weighted_post.txt`` from a run dir, its
-    ``chains/`` subdir, or the file path itself."""
-    if root.endswith("weighted_post.txt") and os.path.isfile(root):
-        return root
-    for cand in (os.path.join(root, "chains", "weighted_post.txt"),
-                 os.path.join(root, "weighted_post.txt")):
-        if os.path.isfile(cand):
-            return cand
+_UN_WEIGHTED = "weighted_post.txt"
+_UN_EQUAL = "equal_weighted_post.txt"
+
+
+def _ultranest_locate(root: str) -> Optional[Tuple[str, Optional[str]]]:
+    """Resolve an UltraNest root to ``(dirpath, explicit)``: the directory
+    holding the posterior files, and which file the caller explicitly
+    named ('weighted' | 'equal' | None for a dir).  Exact basenames only —
+    ``equal_weighted_post.txt`` must not be mistaken for the weighted file
+    (it is a suffix of it)."""
+    if os.path.isfile(root):
+        base = os.path.basename(root)
+        if base == _UN_WEIGHTED:
+            return os.path.dirname(root), "weighted"
+        if base == _UN_EQUAL:
+            return os.path.dirname(root), "equal"
+        return None
+    if not os.path.isdir(root):
+        return None
+    for d in (os.path.join(root, "chains"), root):
+        if (os.path.isfile(os.path.join(d, _UN_WEIGHTED))
+                or os.path.isfile(os.path.join(d, _UN_EQUAL))):
+            return d, None
     return None
 
 
@@ -85,7 +99,7 @@ def nested_kind(root: str) -> Optional[str]:
         return "multinest"
     if root.endswith(_PC_EQUAL) and os.path.isfile(root):
         return "polychord"
-    if _ultranest_weighted_path(root) is not None:
+    if _ultranest_locate(root) is not None:
         return "ultranest"
     # an explicit <root>.txt path is claimed only when a sibling nested
     # product exists for the same base
@@ -139,36 +153,70 @@ def _read_header_names(path: str) -> List[str]:
     return first.split()
 
 
+def _parse_after_header(path: str) -> np.ndarray:
+    """Numeric body of a header-led whitespace table (pandas C engine,
+    ~10x np.loadtxt on big files; same fallback chain as the CosmoMC
+    parser minus the native path, which cannot skip the bare header)."""
+    try:
+        import pandas as pd
+        return pd.read_csv(path, sep=r"\s+", header=None, skiprows=1,
+                           comment="#", dtype=np.float64).to_numpy()
+    except ImportError:
+        return np.loadtxt(path, skiprows=1, ndmin=2)
+
+
+def _ultranest_parse(path: str) -> Tuple[List[str], np.ndarray]:
+    names = _read_header_names(path)
+    arr = _parse_after_header(path)
+    if arr.shape[1] != len(names):
+        raise ValueError(f"UltraNest file {path}: header names {len(names)} "
+                         f"columns, file has {arr.shape[1]}")
+    return names, arr
+
+
 def _load_ultranest(root: str, equal_weights: Optional[bool]) -> List[np.ndarray]:
     """UltraNest run products (self-describing headers): the run dir's
     ``chains/weighted_post.txt`` (columns named in the header, including
     ``weight`` and ``logl``) and, preferred for bare roots,
-    ``chains/equal_weighted_post.txt`` (same layout minus the weight
-    column)."""
-    wpath = _ultranest_weighted_path(root)
-    if wpath is None:
-        raise FileNotFoundError(f"no UltraNest weighted_post.txt under {root!r}")
-    eq_path = os.path.join(os.path.dirname(wpath), "equal_weighted_post.txt")
-    explicit_weighted = root.endswith("weighted_post.txt")
-    use_equal = equal_weights if equal_weights is not None else (
-        os.path.isfile(eq_path) and not explicit_weighted)
+    ``chains/equal_weighted_post.txt`` (unit weights; some UltraNest
+    versions omit its ``logl`` column, in which case the default dispatch
+    falls back to the weighted file)."""
+    loc = _ultranest_locate(root)
+    if loc is None:
+        raise FileNotFoundError(f"no UltraNest posterior products under "
+                                f"{root!r}")
+    dirpath, explicit = loc
+    wpath = os.path.join(dirpath, _UN_WEIGHTED)
+    eq_path = os.path.join(dirpath, _UN_EQUAL)
+    if explicit == "weighted" and equal_weights is not True:
+        use_equal = False
+    elif equal_weights is None:
+        use_equal = explicit == "equal" or (os.path.isfile(eq_path)
+                                            and explicit != "weighted")
+    else:
+        use_equal = equal_weights
     path = eq_path if use_equal else wpath
-    if use_equal and not os.path.isfile(eq_path):
-        raise FileNotFoundError(f"no UltraNest equal-weights product {eq_path!r}")
-    names = _read_header_names(path)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"no UltraNest product {path!r}")
+    names, arr = _ultranest_parse(path)
     if "logl" not in names:
-        raise ValueError(f"UltraNest file {path} has no 'logl' column "
-                         f"(header: {names}); cannot recover lnL")
+        # real UltraNest equal-weights files may carry only the parameter
+        # columns; the weighted sibling always has logl
+        if (use_equal and equal_weights is None and explicit is None
+                and os.path.isfile(wpath)):
+            logger.info("UltraNest %s has no 'logl' column; falling back "
+                        "to %s", path, wpath)
+            path = wpath
+            names, arr = _ultranest_parse(path)
+        if "logl" not in names:
+            raise ValueError(f"UltraNest file {path} has no 'logl' column "
+                             f"(header: {names}); cannot recover lnL")
     logger.info("reading UltraNest posterior file: %s", path)
-    arr = np.loadtxt(path, skiprows=1, ndmin=2)
-    if arr.shape[1] != len(names):
-        raise ValueError(f"UltraNest file {path}: header names {len(names)} "
-                         f"columns, file has {arr.shape[1]}")
-    col = {n: i for i, n in enumerate(names)}
-    lnl = arr[:, col["logl"]]
-    w = arr[:, col["weight"]] if "weight" in col else np.ones(len(arr))
-    keep = [i for n, i in sorted(col.items(), key=lambda kv: kv[1])
-            if n not in ("weight", "logl")]
+    lnl = arr[:, names.index("logl")]
+    w = (arr[:, names.index("weight")] if "weight" in names
+         else np.ones(len(arr)))
+    # index-based selection: duplicate header labels must not collapse
+    keep = [i for i, n in enumerate(names) if n not in ("weight", "logl")]
     return [np.column_stack([w, -lnl, arr[:, keep]])]
 
 
@@ -232,18 +280,21 @@ def load_nested_chains(root: str, kind: Optional[str] = None,
 
 def _ultranest_lnz(root: str) -> Optional[Tuple[float, float]]:
     """UltraNest ``info/results.json`` (keys ``logz``/``logzerr``),
-    resolved relative to the run dir owning ``chains/weighted_post.txt``."""
+    resolved relative to the run dir that owns the posterior files (the
+    parent of a ``chains/`` subdir, or the flat dir itself)."""
     import json
-    wpath = _ultranest_weighted_path(root)
-    if wpath is None:
+    loc = _ultranest_locate(root)
+    if loc is None:
         return None
-    rundir = os.path.dirname(os.path.dirname(wpath))
+    dirpath = loc[0]
+    rundir = (os.path.dirname(dirpath)
+              if os.path.basename(dirpath) == "chains" else dirpath)
     for cand in (os.path.join(rundir, "info", "results.json"),
                  os.path.join(rundir, "results.json")):
         if os.path.isfile(cand):
             with open(cand, "r") as fp:
                 res = json.load(fp)
-            if "logz" in res:
+            if isinstance(res, dict) and "logz" in res:
                 return float(res["logz"]), float(res.get("logzerr", 0.0))
     return None
 
@@ -286,8 +337,9 @@ def sampler_lnz(root: str) -> Optional[Tuple[float, float]]:
                     return (_fortran_float(m.group(1)),
                             _fortran_float(m.group(2)))
         logger.warning("no ln Z line found in %s", path)
-    except (OSError, ValueError) as e:
+    except (OSError, ValueError, TypeError, KeyError) as e:
         # this is an informational cross-check — a corrupt/unreadable stats
-        # file must never fail (or discard) the evidence computation itself
+        # file (including {"logz": null} from an aborted UltraNest run)
+        # must never fail (or discard) the evidence computation itself
         logger.warning("could not parse sampler lnZ near %s: %s", root, e)
     return None

@@ -166,6 +166,15 @@ def load_chains(source: ChainSource, idchain: int = 0,
         lnl = np.asarray(source.logl, np.float64).reshape(n)
         logwt = np.asarray(source.logwt, np.float64).reshape(n)
         w = np.exp(logwt - logwt.max())
+        # real runs span logwt ranges of thousands of nats: rows > ~745
+        # nats below the peak underflow to exactly 0, and zero weights
+        # poison the estimator (1/w) — drop them (they carry no posterior
+        # mass at f64 resolution anyway)
+        keep = w > 0.0
+        if not np.all(keep):
+            logger.info("dynesty ingestion: dropping %d of %d rows with "
+                        "underflowed posterior mass", int((~keep).sum()), n)
+            samples, lnl, w = samples[keep], lnl[keep], w[keep]
         w /= w.sum()
         return [np.column_stack([w, -lnl, samples])]
 

@@ -562,6 +562,13 @@ class nested_eg:
         x_prev, z = 1.0, 0.0
         thetas, lnls, ws = [], [], []
         while True:
+            # stop when even the best live point can add < frac_remaining;
+            # checked BEFORE the kill so the final live set never contains
+            # an already-recorded dead point (no double counting, no
+            # duplicate rows in the posterior products)
+            if z > 0.0 and (x_prev * math.exp(float(np.max(live_lnl)))
+                            < frac_remaining * z):
+                break
             i = int(np.argmin(live_lnl))
             lmin = float(live_lnl[i])
             x_new = x_prev * shrink
@@ -569,9 +576,6 @@ class nested_eg:
             lnls.append(lmin)
             ws.append((x_prev - x_new) * math.exp(lmin))
             z += ws[-1]
-            # stop when even the best live point can add < frac_remaining
-            if x_new * math.exp(float(np.max(live_lnl))) < frac_remaining * z:
-                break
             live[i] = self._constrained_draw(lmin, x_new)
             live_lnl[i] = self.lnlike(live[i][None, :])[0]
             x_prev = x_new

@@ -242,6 +242,90 @@ def test_ultranest_missing_logl_rejected(tmp_path):
         load_chains(str(tmp_path / "run"))
 
 
+def test_ultranest_params_only_equal_file_falls_back(tmp_path):
+    # real UltraNest may write equal_weighted_post.txt with ONLY parameter
+    # columns; the default run-dir dispatch must fall back to the weighted
+    # sibling instead of failing
+    chains = tmp_path / "run" / "chains"
+    chains.mkdir(parents=True)
+    (chains / "equal_weighted_post.txt").write_text(
+        "p0 p1\n0.1 0.2\n0.3 0.4\n")
+    (chains / "weighted_post.txt").write_text(
+        "weight logl p0 p1\n0.25 -1.0 0.1 0.2\n0.75 -2.0 0.3 0.4\n")
+    (chain,) = load_chains(str(tmp_path / "run"))
+    np.testing.assert_allclose(chain[:, 0], [0.25, 0.75])
+    np.testing.assert_allclose(chain[:, 1], [1.0, 2.0])   # -logl
+    # an explicit request for the params-only equal file still errors
+    with pytest.raises(ValueError, match="logl"):
+        load_nested_chains(str(chains / "equal_weighted_post.txt"),
+                           equal_weights=True)
+
+
+def test_ultranest_flat_layout_and_equal_only(tmp_path):
+    # files directly in the run dir (no chains/ subdir) + results.json
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "weighted_post.txt").write_text(
+        "weight logl p0\n0.5 -1.0 0.1\n0.5 -2.0 0.3\n")
+    (flat / "results.json").write_text('{"logz": -9.9, "logzerr": 0.4}')
+    assert nested_kind(str(flat)) == "ultranest"
+    assert sampler_lnz(str(flat)) == pytest.approx((-9.9, 0.4))
+    # a dir holding ONLY the equal-weights product is still recognized
+    eqonly = tmp_path / "eqonly" / "chains"
+    eqonly.mkdir(parents=True)
+    (eqonly / "equal_weighted_post.txt").write_text(
+        "logl p0\n-1.0 0.1\n-2.0 0.3\n")
+    (chain,) = load_chains(str(tmp_path / "eqonly"))
+    np.testing.assert_allclose(chain[:, 0], 1.0)
+    # an aborted run's {"logz": null} must not raise
+    (flat / "results.json").write_text('{"logz": null}')
+    assert sampler_lnz(str(flat)) is None
+
+
+def test_ultranest_explicit_equal_path_not_weighted(tmp_path):
+    # 'equal_weighted_post.txt' ends with 'weighted_post.txt': the exact-
+    # basename match must keep the two products distinct both ways
+    chains = tmp_path / "run" / "chains"
+    chains.mkdir(parents=True)
+    (chains / "weighted_post.txt").write_text(
+        "weight logl p0\n0.2 -1.0 0.1\n0.8 -2.0 0.3\n")
+    (chains / "equal_weighted_post.txt").write_text(
+        "logl p0\n-1.0 0.1\n-2.0 0.3\n")
+    (eq,) = load_chains(str(chains / "equal_weighted_post.txt"))
+    np.testing.assert_allclose(eq[:, 0], 1.0)
+    # forcing the weighted rows from the explicit equal path works too
+    (wt,) = load_nested_chains(str(chains / "equal_weighted_post.txt"),
+                               equal_weights=False)
+    np.testing.assert_allclose(wt[:, 0], [0.2, 0.8])
+
+
+def test_ultranest_duplicate_header_labels_keep_all_columns(tmp_path):
+    chains = tmp_path / "run" / "chains"
+    chains.mkdir(parents=True)
+    (chains / "weighted_post.txt").write_text(
+        "weight logl x x\n1.0 -1.0 0.1 0.2\n1.0 -2.0 0.3 0.4\n")
+    (chain,) = load_chains(str(tmp_path / "run"))
+    assert chain.shape == (2, 4)          # w, -lnL, and BOTH x columns
+    np.testing.assert_allclose(chain[:, 2:], [[0.1, 0.2], [0.3, 0.4]])
+
+
+def test_dynesty_extreme_logwt_span_stays_finite(rng):
+    # logwt spanning thousands of nats: underflowed rows are dropped, the
+    # survivors normalize, and the evidence stays finite
+    from types import SimpleNamespace
+    from mcevidence_tpu import evidence_fn
+    theta, lnl = _posterior_draws(rng, n=500)
+    logwt = np.linspace(-3000.0, 0.0, len(lnl))
+    res = SimpleNamespace(samples=theta, logl=lnl, logwt=logwt)
+    (chain,) = load_chains(res)
+    assert np.all(chain[:, 0] > 0)
+    np.testing.assert_allclose(chain[:, 0].sum(), 1.0, rtol=1e-12)
+    assert len(chain) < len(lnl)          # some rows were dropped
+    lnz = evidence_fn(chain[:, 2:], -chain[:, 1], chain[:, 0],
+                      kmax=2, engine="xla", prior_volume=1.0)
+    assert np.isfinite(float(lnz[0]))
+
+
 def test_dynesty_results_duck_object(rng):
     # in-memory sibling of the file products: a dynesty-shaped Results
     # object (.samples/.logl/.logwt) ingests with normalized posterior
