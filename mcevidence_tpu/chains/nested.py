@@ -1,4 +1,4 @@
-"""Nested-sampling product ingestion: MultiNest and PolyChord roots.
+"""Nested-sampling product ingestion: MultiNest, PolyChord, UltraNest.
 
 The estimator's method paper (Heavens et al. 2017, arXiv:1704.03472)
 positions kNN evidence from chains AGAINST nested sampling, but the
@@ -37,7 +37,8 @@ noisier — prefer the equal-weights file when both exist (the automatic
 root dispatch does).
 
 ``sampler_lnz(root)`` returns the nested run's own (ln Z, err) parsed
-from ``<root>stats.dat`` / ``<root>.stats`` when present.
+from ``<root>stats.dat`` / ``<root>.stats`` / ``info/results.json``
+when present.
 """
 
 from __future__ import annotations
@@ -161,7 +162,7 @@ def _parse_after_header(path: str) -> np.ndarray:
         import pandas as pd
         return pd.read_csv(path, sep=r"\s+", header=None, skiprows=1,
                            comment="#", dtype=np.float64).to_numpy()
-    except ImportError:
+    except Exception:
         return np.loadtxt(path, skiprows=1, ndmin=2)
 
 
@@ -234,7 +235,7 @@ def load_nested_chains(root: str, kind: Optional[str] = None,
     if idchain > 0:
         raise ValueError(
             "nested-sampling products are one combined posterior set; "
-            "-ic/idchain does not select anything for a MultiNest/PolyChord "
+            "-ic/idchain does not select anything for a nested-sampler "
             f"root (got idchain={idchain})")
     kind = kind or nested_kind(root)
     if kind is None:
