@@ -202,6 +202,14 @@ class MCEvidence:
         self.ndim = nparam if ndim is None else ndim
         self.info["NparamsCosmo"] = self.ndim
         self.info["Nsamples"] = ", ".join(str(x) for x in self.nsample)
+        # nested-sampler roots carry their own evidence estimate — surface
+        # it for the method-paper cross-check (key absent for other
+        # sources, keeping reference info-dict parity there)
+        if self.fname is not None:
+            from .chains.nested import sampler_lnz
+            own = sampler_lnz(self.fname)
+            if own is not None:
+                self.info["sampler_lnZ"], self.info["sampler_lnZ_err"] = own
         logger.info("chain array dimensions: %s x %s", self.nsample, self.ndim)
 
         self.batch_plan: BatchPlan = make_batch_plan(

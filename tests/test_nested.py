@@ -344,6 +344,22 @@ def test_dynesty_results_duck_object(rng):
                                logwt - logwt[0], atol=1e-9)
 
 
+def test_facade_info_carries_sampler_lnz(tmp_path, rng):
+    # MCEvidence(root).evidence(info=True) surfaces the nested run's own
+    # lnZ; the keys are absent for non-nested sources (reference parity)
+    from mcevidence_tpu.evidence import MCEvidence
+    theta, lnl = _posterior_draws(rng, n=400, ndim=2)
+    root = _write_polychord(tmp_path, theta, lnl)
+    mce = MCEvidence(root, kmax=2, verbose=0, engine="xla", priorvolume=1.0)
+    _, info = mce.evidence(info=True)
+    assert info["sampler_lnZ"] == pytest.approx(-4.17)
+    assert info["sampler_lnZ_err"] == pytest.approx(0.31)
+    mce2 = MCEvidence({"samples": theta, "loglikes": lnl}, kmax=2,
+                      verbose=0, engine="xla")
+    _, info2 = mce2.evidence(info=True)
+    assert "sampler_lnZ" not in info2
+
+
 def test_serve_reports_sampler_lnz(tmp_path, rng):
     theta, lnl = _posterior_draws(rng, n=400, ndim=2)
     root = _write_polychord(tmp_path, theta, lnl)
