@@ -24,6 +24,10 @@ Only ``root`` is required.  Responses::
      "prior_volume": ..., "ndim": ..., "wall_s": ...}
     {"id": ..., "ok": false, "error": "..."}
 
+plus, when ``root`` is a nested-sampling product (MultiNest/PolyChord/
+UltraNest), ``sampler_lnz``/``sampler_lnz_err`` — the run's own evidence
+parsed from its stats file.
+
 A blank line is ignored; EOF ends the service with exit code 0.  Run as
 ``python -m mcevidence_tpu.serve`` or the ``mcevidence-serve`` console
 script; ``--parse-cache DIR`` and ``--warmup N,D`` (pre-compile the
