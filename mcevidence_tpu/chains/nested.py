@@ -275,7 +275,10 @@ def load_nested_chains(root: str, kind: Optional[str] = None,
     if not os.path.isfile(txt):
         raise FileNotFoundError(
             f"no weighted posterior file {txt!r} for {kind} root")
-    logger.info("reading %s weighted posterior file: %s", kind, txt)
+    logger.info("reading %s weighted posterior file: %s (rows are "
+                "likelihood-ordered dead points, not an MCMC time series — "
+                "burn-in/thinning fractions act on that ordering)",
+                kind, txt)
     return [_weighted_posterior_to_chain(parse_chain_file(txt), txt)]
 
 
