@@ -90,6 +90,14 @@ def test_examples_main_runs(capsys, rng):
     assert "estimated ln Z" in out
 
 
+def test_examples_main_nested_eg(capsys):
+    from mcevidence_tpu.examples import main
+    main(["nested_eg"])
+    out = capsys.readouterr().out
+    assert "nested run's own ln Z" in out
+    assert "analytic ln Z" in out
+
+
 def test_banana_quadrature_evidence(rng):
     """Non-Gaussian curved target sampled exactly iid: the estimate must
     match the quadrature truth.  No linear map Gaussianizes the banana, so
