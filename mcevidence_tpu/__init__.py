@@ -13,6 +13,7 @@ from ._version import __version__
 from .compat import MCSamples, split_var
 from .evidence import (MCEvidence, evidence_bootstrap, evidence_fn,
                        evidence_with_error)
+from .chains.nested import load_nested_chains, sampler_lnz
 from .registry import COSMO_PARAMS, extend_cosmo_params, iscosmo_param
 from .priors.params_info import get_prior_volume, params_info
 from .samplers import nuts_sample, stretch_sample
@@ -29,6 +30,8 @@ __all__ = [
     "evidence_bootstrap",
     "nuts_sample",
     "stretch_sample",
+    "load_nested_chains",
+    "sampler_lnz",
     "COSMO_PARAMS",
     "cosmo_params_list",
     "extend_cosmo_params",
