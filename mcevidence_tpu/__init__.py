@@ -3,10 +3,12 @@
 A from-scratch JAX/XLA/Pallas implementation of the Heavens et al. (2017,
 arXiv:1704.03472) kNN marginal-likelihood estimator with the full capability
 surface of the reference MCEvidence package: chain ingestion (CosmoMC /
-MontePython), burn-in, three thinning algorithms, auto- and cross-evidence,
-importance reweighting, prior volumes, CLI, and the Planck full-grid batch
-driver — with the O(N^2 d) nearest-neighbour sweep running on the TPU MXU and
-scaling across chips via an ICI ring.
+MontePython / Cobaya / emcee-HDF5 / MultiNest / PolyChord / UltraNest /
+dynesty / ArviZ), burn-in, three thinning algorithms, auto- and
+cross-evidence, importance reweighting, prior volumes, CLI, a resident
+JSON-lines service, and the Planck full-grid batch driver — with the
+O(N^2 d) nearest-neighbour sweep running on the TPU MXU and scaling across
+chips via an ICI ring.
 """
 
 from ._version import __version__
