@@ -326,6 +326,16 @@ def test_dynesty_extreme_logwt_span_stays_finite(rng):
     assert np.isfinite(float(lnz[0]))
 
 
+def test_cli_prints_sampler_lnz(tmp_path, rng, capsys):
+    theta, lnl = _posterior_draws(rng, n=400, ndim=2)
+    root = _write_polychord(tmp_path, theta, lnl)
+    from mcevidence_tpu.cli import main
+    rc = main([root, "-k", "2", "--engine", "xla", "-pv", "1", "-vb", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "sampler's own ln(Z) from its stats file: -4.17 +/- 0.31" in out
+
+
 def test_dynesty_results_duck_object(rng):
     # in-memory sibling of the file products: a dynesty-shaped Results
     # object (.samples/.logl/.logwt) ingests with normalized posterior
