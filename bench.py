@@ -21,9 +21,29 @@ value = NN pairs/sec/chip; vs_baseline = sklearn CPU wall / TPU wall.
 
 import json
 import math
+import os
+import threading
 import time
 
 import numpy as np
+
+
+def _arm_watchdog(seconds: float = 1500.0):
+    """If the accelerator/relay is unreachable, emit ONE schema-compatible
+    JSON line (value 0 marks the failure) instead of hanging the driver
+    forever.  Disarmed as soon as the first device computation completes;
+    generous enough (25 min) to sit through a cold remote compile."""
+    def fire():
+        print(json.dumps({
+            "metric": "nn_pairs_per_sec_per_chip", "value": 0.0,
+            "unit": "pairs/s", "vs_baseline": 0.0,
+            "error": f"no device result within {seconds:.0f}s "
+                     "(accelerator/relay unreachable?)"}), flush=True)
+        os._exit(2)
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def synthetic_chain(n, ndim, seed=0):
@@ -58,6 +78,9 @@ def sklearn_reference(theta, lnl, kmax):
 
 
 def main():
+    # armed before the first jax import: relay hangs can occur at backend
+    # init, long before the first computation
+    watchdog = _arm_watchdog()
     import jax
     import jax.numpy as jnp
     from mcevidence_tpu.utils.cache import enable_compilation_cache
@@ -110,6 +133,7 @@ def main():
 
     # compile + warm-up (forces real execution via scalar fetch)
     _, mle = evidence_reps(s32, l32, w32)
+    watchdog.cancel()
     mle = np.asarray(mle)
     t0 = time.perf_counter()
     total, _ = evidence_reps(s32, l32, w32)
@@ -158,4 +182,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:     # e.g. RuntimeError: Unable to initialize
+        # backend 'axon': UNAVAILABLE — emit the schema line rather than a
+        # bare traceback so the driver's record stays machine-readable
+        print(json.dumps({
+            "metric": "nn_pairs_per_sec_per_chip", "value": 0.0,
+            "unit": "pairs/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"}), flush=True)
+        raise
