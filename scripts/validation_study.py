@@ -171,6 +171,46 @@ def main(n_seeds: int = 6) -> None:
         print(f"| {thin} | {nkept[thin]} | {v.mean():+.4f} | "
               f"{float(np.sqrt(np.mean(v ** 2))):.4f} |")
 
+    nested_leg(n_seeds=max(n_seeds, 8))
+
+
+def nested_leg(n_seeds: int = 8) -> None:
+    """Nested-sampling products vs analytic truth: a TRUE NS process
+    (examples.nested_eg) written as MultiNest files and re-ingested; both
+    product conventions plus the run's own sum-of-weights estimate.
+    Runs on CPU (the nested chains are small; host xla engine keeps the
+    study runnable when no accelerator is attached)."""
+    import math
+    import tempfile
+
+    from mcevidence_tpu.chains.nested import load_nested_chains
+    from mcevidence_tpu.evidence import MCEvidence
+    from mcevidence_tpu.examples import nested_eg
+
+    print("\n## Nested-sampling products  (true NS process, nlive=300, "
+          f"{n_seeds} seeds; truth ln Z = -d ln 2)\n")
+    print("| d | input | mean ln Z | bias | std |")
+    print("|---|---|---|---|---|")
+    for ndim, seed0 in ((2, 0), (4, 100)):
+        eq, wt, ns = [], [], []
+        for s in range(n_seeds):
+            m = nested_eg(ndim=ndim, verbose=0,
+                          rng=np.random.default_rng(seed0 + s))
+            root = m.write_products(tempfile.mkdtemp())
+            for out, chains in ((eq, load_nested_chains(root)),
+                                (wt, load_nested_chains(root,
+                                                        equal_weights=False))):
+                out.append(float(MCEvidence(
+                    chains, kmax=2, verbose=0, engine="xla",
+                    priorvolume=m.prior_volume).evidence()[0]))
+            ns.append(m.ns_lnz()[0])
+        truth = -ndim * math.log(2.0)
+        for name, v in (("equal-weights", eq), ("weighted dead-point", wt),
+                        ("NS own estimate", ns)):
+            a = np.asarray(v)
+            print(f"| {ndim} | {name} | {a.mean():+.4f} | "
+                  f"{a.mean() - truth:+.4f} | {a.std():.4f} |")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 6)
