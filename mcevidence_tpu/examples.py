@@ -540,8 +540,25 @@ class nested_eg:
         return -math.log(self.prior_volume)
 
     def _constrained_draw(self, lmin: float, x_frac: float) -> np.ndarray:
-        """One prior draw with lnL > lmin (batched rejection; acceptance
-        probability is exactly the remaining prior fraction)."""
+        """One prior draw with lnL > lmin.
+
+        The constraint region {lnL > lmin} is the ball |theta| < r(lmin)
+        (spherical Gaussian): once it lies fully inside the prior box the
+        draw is made exactly — uniform direction x radius ~ u^(1/d) — which
+        keeps deep-X iterations O(1) at any d (prior-rejection cost grows
+        like 1/X and is hopeless by d ~ 8).  While the ball still pokes out
+        of the box (early iterations, acceptance ~X ~ 1) batched rejection
+        against the prior is used; both branches sample the SAME
+        constrained-prior distribution, so this is the real NS process.
+        """
+        lnl_peak = float(self.lnlike(np.zeros((1, self.ndim)))[0])
+        r2 = max(0.0, 2.0 * (lnl_peak - lmin)) * self.sigma ** 2
+        r = math.sqrt(r2)
+        if r < 1.0:
+            direction = self.rng.normal(size=self.ndim)
+            direction /= np.linalg.norm(direction)
+            radius = r * self.rng.random() ** (1.0 / self.ndim)
+            return radius * direction
         batch = int(min(2e5, max(64, 8.0 / max(x_frac, 1e-9))))
         while True:
             cand = self.rng.uniform(-1.0, 1.0, size=(batch, self.ndim))

@@ -191,7 +191,7 @@ def nested_leg(n_seeds: int = 8) -> None:
           f"{n_seeds} seeds; truth ln Z = -d ln 2)\n")
     print("| d | input | mean ln Z | bias | std |")
     print("|---|---|---|---|---|")
-    for ndim, seed0 in ((2, 0), (4, 100)):
+    for ndim, seed0 in ((2, 0), (4, 100), (8, 200)):
         eq, wt, ns = [], [], []
         for s in range(n_seeds):
             m = nested_eg(ndim=ndim, verbose=0,
