@@ -511,9 +511,10 @@ class nested_eg:
     box < 1e-6 for sigma <= 0.2 at d = 2).  ``run()`` executes the REAL
     nested-sampling process — ``nlive`` live points, worst-point removal
     with deterministic shrinkage X_i = exp(-i/nlive), constrained-prior
-    rejection replacement, prior-mass weights w_i = (X_{i-1} - X_i) L_i,
-    and the standard final live-point correction — not a shortcut around
-    it.  ``write_products()`` emits MultiNest-format files (weighted
+    replacement (exact in-ball draws deep in the run, prior rejection
+    early — see ``_constrained_draw``), prior-mass weights
+    w_i = (X_{i-1} - X_i) L_i, and the standard final live-point
+    correction — not a shortcut around it.  ``write_products()`` emits MultiNest-format files (weighted
     ``<root>.txt``, ``<root>post_equal_weights.dat``, ``<root>stats.dat``)
     so the ingestion path is validated end-to-end against the truth.
     """
