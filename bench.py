@@ -28,17 +28,22 @@ import time
 import numpy as np
 
 
+def _failure_line(error: str) -> str:
+    """ONE schema-compatible JSON line marking a failed run (value 0)."""
+    return json.dumps({
+        "metric": "nn_pairs_per_sec_per_chip", "value": 0.0,
+        "unit": "pairs/s", "vs_baseline": 0.0, "error": error})
+
+
 def _arm_watchdog(seconds: float = 1500.0):
-    """If the accelerator/relay is unreachable, emit ONE schema-compatible
-    JSON line (value 0 marks the failure) instead of hanging the driver
-    forever.  Disarmed as soon as the first device computation completes;
-    generous enough (25 min) to sit through a cold remote compile."""
+    """If the accelerator/relay is unreachable, emit the failure line
+    instead of hanging the driver forever.  Stays armed until the final
+    result line prints (dispatch is async — ANY fetch can be the one that
+    blocks); generous enough (25 min) for a cold remote compile plus the
+    full run."""
     def fire():
-        print(json.dumps({
-            "metric": "nn_pairs_per_sec_per_chip", "value": 0.0,
-            "unit": "pairs/s", "vs_baseline": 0.0,
-            "error": f"no device result within {seconds:.0f}s "
-                     "(accelerator/relay unreachable?)"}), flush=True)
+        print(_failure_line(f"no result within {seconds:.0f}s "
+                            "(accelerator/relay unreachable?)"), flush=True)
         os._exit(2)
     t = threading.Timer(seconds, fire)
     t.daemon = True
@@ -131,9 +136,10 @@ def main():
     l32 = jnp.asarray(lnl, jnp.float32)
     w32 = jnp.ones(N, jnp.float32)
 
-    # compile + warm-up (forces real execution via scalar fetch)
+    # compile + warm-up (np.asarray is the blocking fetch — dispatch alone
+    # returns before execution; the watchdog stays armed until the final
+    # print, covering every later sync too)
     _, mle = evidence_reps(s32, l32, w32)
-    watchdog.cancel()
     mle = np.asarray(mle)
     t0 = time.perf_counter()
     total, _ = evidence_reps(s32, l32, w32)
@@ -164,6 +170,7 @@ def main():
     fast = fast_auto_evidence(theta, lnl, kmax=KMAX)
     dlnz_fast = float(np.max(np.abs(np.asarray(fast) - oracle)))
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "nn_pairs_per_sec_per_chip",
         "value": pairs_per_s,
@@ -187,8 +194,5 @@ if __name__ == "__main__":
     except Exception as e:     # e.g. RuntimeError: Unable to initialize
         # backend 'axon': UNAVAILABLE — emit the schema line rather than a
         # bare traceback so the driver's record stays machine-readable
-        print(json.dumps({
-            "metric": "nn_pairs_per_sec_per_chip", "value": 0.0,
-            "unit": "pairs/s", "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}"}), flush=True)
+        print(_failure_line(f"{type(e).__name__}: {e}"), flush=True)
         raise

@@ -181,7 +181,9 @@ def main(argv=None) -> int:
     for k in range(1, mce.kmax):
         print(f"   ln(B)[k={k}] = {mle[k - 1]}")
     # nested-sampling roots carry the sampler's own evidence — print the
-    # cross-check the method paper (arXiv:1704.03472) makes by hand
+    # cross-check the method paper (arXiv:1704.03472) makes by hand.
+    # (MCEvidence received pre-loaded arrays here, so its info dict cannot
+    # carry the keys; this is the path's single stats-file parse.)
     from .chains.nested import sampler_lnz
     own = sampler_lnz(args.root_name)
     if own is not None:

@@ -527,6 +527,9 @@ class nested_eg:
         self.nlive = int(nlive)
         self.verbose = verbose
         self.prior_volume = 2.0 ** self.ndim
+        # lnL at the mode (run-constant, used by every constrained draw)
+        self._lnl_peak = (-0.5 * self.ndim * math.log(2.0 * math.pi)
+                          - self.ndim * math.log(self.sigma))
         self._run = None
 
     def lnlike(self, theta: np.ndarray) -> np.ndarray:
@@ -552,8 +555,7 @@ class nested_eg:
         against the prior is used; both branches sample the SAME
         constrained-prior distribution, so this is the real NS process.
         """
-        lnl_peak = float(self.lnlike(np.zeros((1, self.ndim)))[0])
-        r2 = max(0.0, 2.0 * (lnl_peak - lmin)) * self.sigma ** 2
+        r2 = max(0.0, 2.0 * (self._lnl_peak - lmin)) * self.sigma ** 2
         r = math.sqrt(r2)
         if r < 1.0:
             direction = self.rng.normal(size=self.ndim)

@@ -107,7 +107,9 @@ def handle_request(req: dict) -> dict:
                 "prior_volume": _floats([prior_volume])[0],
                 "ndim": mce.ndim}
         # nested-sampling roots: surface the sampler's own ln Z so clients
-        # get the method-paper cross-check in the same response
+        # get the method-paper cross-check in the same response.  (This IS
+        # the single parse on this path: MCEvidence received pre-loaded
+        # arrays, not the root, so its info dict cannot carry the keys.)
         from .chains.nested import sampler_lnz
         own = sampler_lnz(root)
         if own is not None:

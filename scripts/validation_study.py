@@ -178,9 +178,11 @@ def nested_leg(n_seeds: int = 8) -> None:
     """Nested-sampling products vs analytic truth: a TRUE NS process
     (examples.nested_eg) written as MultiNest files and re-ingested; both
     product conventions plus the run's own sum-of-weights estimate.
-    Runs on CPU (the nested chains are small; host xla engine keeps the
-    study runnable when no accelerator is attached)."""
+    Uses the XLA kNN engine (no Pallas requirement), so it runs on
+    whatever backend the process has — the chains are small (~1-6k
+    rows)."""
     import math
+    import shutil
     import tempfile
 
     from mcevidence_tpu.chains.nested import load_nested_chains
@@ -196,13 +198,17 @@ def nested_leg(n_seeds: int = 8) -> None:
         for s in range(n_seeds):
             m = nested_eg(ndim=ndim, verbose=0,
                           rng=np.random.default_rng(seed0 + s))
-            root = m.write_products(tempfile.mkdtemp())
-            for out, chains in ((eq, load_nested_chains(root)),
-                                (wt, load_nested_chains(root,
-                                                        equal_weights=False))):
-                out.append(float(MCEvidence(
-                    chains, kmax=2, verbose=0, engine="xla",
-                    priorvolume=m.prior_volume).evidence()[0]))
+            tmp = tempfile.mkdtemp(prefix="mce_nested_study_")
+            try:
+                root = m.write_products(tmp)
+                for out, chains in ((eq, load_nested_chains(root)),
+                                    (wt, load_nested_chains(
+                                        root, equal_weights=False))):
+                    out.append(float(MCEvidence(
+                        chains, kmax=2, verbose=0, engine="xla",
+                        priorvolume=m.prior_volume).evidence()[0]))
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
             ns.append(m.ns_lnz()[0])
         truth = -ndim * math.log(2.0)
         for name, v in (("equal-weights", eq), ("weighted dead-point", wt),
