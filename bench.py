@@ -22,33 +22,88 @@ value = NN pairs/sec/chip; vs_baseline = sklearn CPU wall / TPU wall.
 import json
 import math
 import os
+import subprocess
+import sys
 import threading
 import time
 
 import numpy as np
 
 
-def _failure_line(error: str) -> str:
-    """ONE schema-compatible JSON line marking a failed run (value 0)."""
-    return json.dumps({
-        "metric": "nn_pairs_per_sec_per_chip", "value": 0.0,
-        "unit": "pairs/s", "vs_baseline": 0.0, "error": error})
+def _failure_line(error: str, phase: str = "") -> str:
+    """ONE schema-compatible JSON line marking a failed run (value 0).
+
+    ``phase`` names WHICH stage blocked/failed (backend-init vs compile vs
+    run) so a driver-side failure record is diagnosable, not just 0."""
+    rec = {"metric": "nn_pairs_per_sec_per_chip", "value": 0.0,
+           "unit": "pairs/s", "vs_baseline": 0.0, "error": error}
+    if phase:
+        rec["phase"] = phase
+    return json.dumps(rec)
 
 
-def _arm_watchdog(seconds: float = 1500.0):
-    """If the accelerator/relay is unreachable, emit the failure line
-    instead of hanging the driver forever.  Stays armed until the final
-    result line prints (dispatch is async — ANY fetch can be the one that
-    blocks); generous enough (25 min) for a cold remote compile plus the
-    full run."""
-    def fire():
-        print(_failure_line(f"no result within {seconds:.0f}s "
-                            "(accelerator/relay unreachable?)"), flush=True)
-        os._exit(2)
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
-    return t
+class _Watchdog:
+    """Phase-scoped deadline: pet() at each stage boundary re-arms the timer
+    with that stage's own budget, so a slow-but-alive stage (e.g. a cold
+    remote compile) is not killed by an unrelated stage's deadline, while a
+    genuinely blocked fetch still emits the failure line naming the stage
+    it blocked in (dispatch is async — ANY fetch can be the one that
+    blocks)."""
+
+    def __init__(self):
+        self._timer = None
+        self.phase = "start"
+
+    current_phase = "start"            # class-level: read by __main__'s
+                                       # except handler for the failure line
+
+    def pet(self, phase: str, seconds: float) -> None:
+        self.cancel()
+        self.phase = phase
+        _Watchdog.current_phase = phase
+
+        def fire():
+            print(_failure_line(
+                f"no progress within {seconds:.0f}s during '{phase}' "
+                "(accelerator/relay unreachable?)", phase), flush=True)
+            os._exit(2)
+        self._timer = threading.Timer(seconds, fire)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def cancel(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
+
+
+def _probe_backend_with_retries(attempts: int = 3, timeout: float = 120.0,
+                                backoff: float = 30.0):
+    """Bounded backend-init probe: (backend_name, n_devices) or None.
+
+    Each attempt runs ``jax.default_backend()`` in a SUBPROCESS with a hard
+    timeout — during a relay outage in-process init blocks forever and
+    cannot be cancelled, a child can always be killed.  Retries with
+    backoff ride out transient relay flaps (the round-3 outage pattern:
+    init either blocks or raises UNAVAILABLE for minutes at a time)."""
+    code = "import jax; print(jax.default_backend(), len(jax.devices()))"
+    for i in range(attempts):
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=timeout)
+            if proc.returncode == 0:
+                name, n = proc.stdout.strip().splitlines()[-1].split()
+                return name, int(n)
+            tail = (proc.stderr or "").strip().splitlines()[-1:]
+            print(f"# backend probe {i + 1}/{attempts}: rc="
+                  f"{proc.returncode} {tail}", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# backend probe {i + 1}/{attempts}: no response in "
+                  f"{timeout:.0f}s", file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(backoff * (i + 1))
+    return None
 
 
 def synthetic_chain(n, ndim, seed=0):
@@ -83,9 +138,24 @@ def sklearn_reference(theta, lnl, kmax):
 
 
 def main():
-    # armed before the first jax import: relay hangs can occur at backend
-    # init, long before the first computation
-    watchdog = _arm_watchdog()
+    # phase 1 — bounded out-of-process init probes with retries: a relay
+    # outage is detected and named in <=3*(timeout+backoff) instead of one
+    # long in-process hang (VERDICT r3 item 2)
+    probed = _probe_backend_with_retries(
+        attempts=int(os.environ.get("MCE_BENCH_PROBE_ATTEMPTS", "3")),
+        timeout=float(os.environ.get("MCE_BENCH_PROBE_TIMEOUT", "120")))
+    if probed is None:
+        print(_failure_line("backend init unreachable after bounded "
+                            "subprocess probes with retries",
+                            "backend-init"), flush=True)
+        os._exit(2)
+    print(f"# backend probe ok: {probed[0]} x{probed[1]}",
+          file=sys.stderr, flush=True)
+
+    # phase 2 — in-process init (should be warm now, but the relay can
+    # still flap between probe and use; keep it on its own deadline)
+    watchdog = _Watchdog()
+    watchdog.pet("backend-init-inprocess", 300.0)
     import jax
     import jax.numpy as jnp
     from mcevidence_tpu.utils.cache import enable_compilation_cache
@@ -137,15 +207,18 @@ def main():
     w32 = jnp.ones(N, jnp.float32)
 
     # compile + warm-up (np.asarray is the blocking fetch — dispatch alone
-    # returns before execution; the watchdog stays armed until the final
-    # print, covering every later sync too)
+    # returns before execution); cold remote compiles through the relay
+    # can cost many minutes, so this stage gets the largest budget
+    watchdog.pet("warmup-compile", 1200.0)
     _, mle = evidence_reps(s32, l32, w32)
     mle = np.asarray(mle)
+    watchdog.pet("timed-run", 300.0)
     t0 = time.perf_counter()
     total, _ = evidence_reps(s32, l32, w32)
     float(total)                       # host sync
     tpu_s = (time.perf_counter() - t0) / REPS
 
+    watchdog.pet("sklearn-baseline", 900.0)
     t0 = time.perf_counter()
     oracle = sklearn_reference(theta, lnl, KMAX)
     cpu_s = time.perf_counter() - t0
@@ -155,6 +228,7 @@ def main():
 
     # parity of the production 'device' mode (double-float refinement on
     # device, scalars-only fetch) on the same workload; timed warm
+    watchdog.pet("device-mode-parity", 900.0)
     from mcevidence_tpu.ops.pipeline import (device_refine_auto_evidence,
                                              fast_auto_evidence)
     dev = device_refine_auto_evidence(theta, lnl, kmax=KMAX)
@@ -170,12 +244,21 @@ def main():
     fast = fast_auto_evidence(theta, lnl, kmax=KMAX)
     dlnz_fast = float(np.max(np.abs(np.asarray(fast) - oracle)))
 
+    # MFU: the MXU work per evidence step is the -2*Q@R^T distance matmul,
+    # N^2*d MACs = 2*N^2*d FLOPs (‖a‖²/‖b‖² terms are O(N*d), negligible);
+    # normalized against the v5e bf16 MXU peak of 197 TFLOP/s.  Low MFU is
+    # expected at d=8: the kernel is selection(VPU)-bound, not matmul-bound
+    # (docs/KERNEL_NOTES.md small-d study).
+    matmul_tflops = 2.0 * N * N * NDIM / tpu_s / 1e12
+
     watchdog.cancel()
     print(json.dumps({
         "metric": "nn_pairs_per_sec_per_chip",
         "value": pairs_per_s,
         "unit": "pairs/s",
         "vs_baseline": cpu_s / tpu_s,
+        "matmul_tflops_per_s": matmul_tflops,
+        "mfu_vs_v5e_bf16_peak_197tflops": matmul_tflops / 197.0,
         "tpu_wall_s": tpu_s,
         "sklearn_cpu_wall_s": cpu_s,
         "backend": backend,
@@ -194,5 +277,6 @@ if __name__ == "__main__":
     except Exception as e:     # e.g. RuntimeError: Unable to initialize
         # backend 'axon': UNAVAILABLE — emit the schema line rather than a
         # bare traceback so the driver's record stays machine-readable
-        print(_failure_line(f"{type(e).__name__}: {e}"), flush=True)
+        print(_failure_line(f"{type(e).__name__}: {e}",
+                            _Watchdog.current_phase), flush=True)
         raise

@@ -174,6 +174,24 @@ def _tabulate(df: pd.DataFrame) -> str:
         return df.to_string(float_format=lambda x: f"{x:.2f}")
 
 
+def _try_params_info(fname, info):
+    """Per-model metadata with grid-grade degradation: a corrupt or missing
+    ``.ranges``/``log.param`` file NaNs THIS model's row (like an unavailable
+    chain) instead of aborting the whole dataset/shard.  Extends the
+    reference's one graceful-degradation feature — unavailable cells become
+    NaN, planck_mcevidence.py:355-361 — to metadata failures, which the
+    reference would crash on."""
+    try:
+        return params_info(fname, cosmo=True)
+    except Exception as exc:
+        logger.warning("*** params_info failed for %s: %s", fname, exc)
+        info["N_read"].append("")
+        info["N_used"].append("")
+        info["PriorVol"].append(0)
+        info["ndim"].append(0)
+        return None
+
+
 def _try_ingest(fchain, burnfrac, thinfrac, cross, seed):
     """Worker-thread ingest: returns the ChainPair or the exception."""
     from .chains.reader import ingest
@@ -222,7 +240,9 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                              ("PriorVol", 0), ("ndim", 0)):
                 info[key].append(val)
             continue
-        par = params_info(fname, cosmo=True)
+        par = _try_params_info(fname, info)
+        if par is None:
+            continue
         if mm == "base":
             vol_norm = par.volume
         prior_volume = par.volume / vol_norm
@@ -460,7 +480,9 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
             info["PriorVol"].append(0)
             info["ndim"].append(0)
             continue
-        par = params_info(fname, cosmo=True)
+        par = _try_params_info(fname, info)
+        if par is None:
+            continue
         if mm == "base":
             vol_norm = par.volume
         prior_volume = par.volume / vol_norm

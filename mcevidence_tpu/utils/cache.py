@@ -26,9 +26,21 @@ def enable_compilation_cache(path: str = "") -> None:
     # only worth it (and only safe) for accelerator backends: TPU compiles
     # cost minutes, while cached CPU AOT executables can carry machine
     # features the current host lacks (SIGILL risk when the cache dir moves
-    # between heterogeneous CPU hosts).
+    # between heterogeneous CPU hosts).  Deciding must NOT initialize the
+    # backend: init can block indefinitely behind a dead relay (BASELINE.md
+    # ops note), and this function runs in entry points that must stay
+    # outage-proof — when the backend is not up yet, infer from the pinned
+    # platform config and the registered (not instantiated) plugins.
     try:
-        if jax.default_backend() != "tpu":
+        from jax._src import xla_bridge
+        if getattr(xla_bridge, "_backends", None):
+            accel = jax.default_backend() == "tpu"   # exact: already up
+        else:
+            platforms = (jax.config.jax_platforms or "").split(",")
+            factories = set(getattr(xla_bridge, "_backend_factories", {}))
+            accel = ("cpu" not in platforms[:1]
+                     and bool(factories - {"cpu", "interpreter"}))
+        if not accel:
             _enabled = True
             return
     except Exception:

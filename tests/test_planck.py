@@ -326,6 +326,57 @@ def test_grid_quantum_env_allchains(minigrid, tmp_path, monkeypatch):
         assert list(out_q[col]) == list(out_ref[col])
 
 
+@pytest.mark.parametrize("batch_cells", [False, True])
+def test_corrupt_ranges_degrades_to_nan_row(minigrid, tmp_path, caplog,
+                                            batch_cells):
+    """A corrupt .ranges file must NaN only that model's row, like an
+    unavailable chain (VERDICT r3 item 3) — the other models still complete
+    and the aggregate artifacts are written."""
+    import logging
+
+    rootdir, ds = minigrid
+    bad = os.path.join(rootdir, "base_w", ds, f"base_w_{ds}.ranges")
+    with open(bad, "w") as f:
+        f.write("omegabh2 not_a_number also_bad\n")
+    with caplog.at_level(logging.WARNING, logger="mcevidence_tpu.planck"):
+        df = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                     engine="xla", batch_cells=batch_cells)
+    assert df is not None
+    assert list(df.index) == ["base", "base_w"]
+    assert np.isfinite(df.loc["base", "AllChains"])
+    assert np.isnan(df.loc["base_w", "AllChains"])
+    assert df.loc["base_w", "PriorVol"] == 0
+    assert any("params_info failed" in r.message for r in caplog.records)
+    # the full grid run + aggregation survives it too
+    outdir = str(tmp_path / "out_corrupt")
+    all_df = planck.run_grid(rootdir, outdir, kmax=2, verbose=0,
+                             engine="xla", datasets=[ds],
+                             batch_cells=batch_cells)
+    assert ds in all_df
+    planck.aggregate(outdir, rootdir=rootdir, datasets=[ds], all_df=all_df)
+    assert os.path.exists(os.path.join(outdir, "AllChains",
+                                       "delta_lnE_all.txt"))
+
+
+def test_corrupt_base_ranges_keeps_other_models(minigrid, caplog):
+    """Even the BASE model's metadata failing (the volume normalizer,
+    reference planck_mcevidence.py:329-331) must not abort the dataset:
+    the other models complete with unnormalized volumes."""
+    import logging
+
+    rootdir, ds = minigrid
+    bad = os.path.join(rootdir, "base", ds, f"base_{ds}.ranges")
+    os.remove(bad)
+    # params_info falls back to log.param discovery and then fails; both
+    # per-cell and batched paths must degrade, not raise
+    with caplog.at_level(logging.WARNING, logger="mcevidence_tpu.planck"):
+        df = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
+                                     engine="xla")
+    assert df is not None
+    assert np.isnan(df.loc["base", "AllChains"])
+    assert np.isfinite(df.loc["base_w", "AllChains"])
+
+
 def test_grid_batched_device_cross(minigrid, tmp_path):
     rootdir, ds = minigrid
     out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,
