@@ -114,6 +114,26 @@ def resolve_chain_files(fname: Union[str, Sequence[str]],
     return flist
 
 
+def _getdist_mcsamples_cls():
+    """getdist's MCSamples class when the package is importable, else None.
+
+    Looks at sys.modules first so an already-imported (or test-stubbed)
+    getdist wins without re-import machinery; the class lives at
+    ``getdist.MCSamples`` (re-exported) and ``getdist.mcsamples.MCSamples``.
+    """
+    import sys
+    gd = sys.modules.get("getdist")
+    if gd is None:
+        try:
+            import getdist as gd
+        except Exception:
+            return None
+    cls = getattr(gd, "MCSamples", None)
+    if cls is None:
+        cls = getattr(getattr(gd, "mcsamples", None), "MCSamples", None)
+    return cls if isinstance(cls, type) else None
+
+
 def load_chains(source: ChainSource, idchain: int = 0,
                 idpattern: str = "_?.txt") -> List[np.ndarray]:
     """Load raw per-chain column matrices [weight, -lnL, theta...] from any
@@ -151,6 +171,27 @@ def load_chains(source: ChainSource, idchain: int = 0,
     post = getattr(source, "posterior", None)
     if post is not None and hasattr(post, "data_vars"):
         return _inferencedata_to_chains(source)
+
+    # the actual getdist package (isinstance-gated): the reference
+    # optionally consumed getdist MCSamples objects (reference
+    # MCEvidence.py:45-59 — effectively dead there, shadowed at :536).
+    # getdist's WeightedSamples contract: .samples (N, d), .loglikes =
+    # -lnL (or None when the chain carried no likelihood column), and
+    # .weights ALWAYS an array (the package defaults it to ones).  The
+    # explicit gate pins that contract ahead of every duck branch so a
+    # real getdist object can never drift into another interpretation;
+    # getdist is optional — when not installed this is a no-op.
+    gd_cls = _getdist_mcsamples_cls()
+    if gd_cls is not None and isinstance(source, gd_cls):
+        samples = np.atleast_2d(np.asarray(source.samples, np.float64))
+        n = samples.shape[0]
+        if source.loglikes is None:
+            raise ValueError(
+                "getdist MCSamples has loglikes=None: evidence needs -lnL "
+                "per sample (load the chain with a likelihood column)")
+        neg_lnl = np.asarray(source.loglikes, np.float64).reshape(n)
+        w = np.asarray(source.weights, np.float64).reshape(n)
+        return [np.column_stack([w, neg_lnl, samples])]
 
     # duck-typed dynesty Results: .samples (N, d), .logl (+lnL), .logwt
     # (unnormalized ln posterior mass per dead point) — the in-memory

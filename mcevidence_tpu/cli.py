@@ -62,7 +62,11 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--thin", "--thinlen", dest="thinlen", default=0,
                    type=float,
                    help="thinning: 0<thinlen<1 Poisson-samples weights; "
-                        "thinlen>1 getdist weighted thinning")
+                        "thinlen>1 getdist weighted thinning; thinlen<0 "
+                        "thins by the chain's own estimated autocorrelation "
+                        "length scaled by |thinlen| (the reference "
+                        "documented this mode but never implemented it, "
+                        "quirk Q9)")
     p.add_argument("-vb", "--verbose", dest="verbose", default=1, type=int,
                    help="0: warnings, 1: info, 2: debug")
     p.add_argument("-pv", "--pvolume", dest="priorvolume", default=None,

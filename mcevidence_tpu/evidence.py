@@ -79,6 +79,10 @@ def evidence_fn(samples: np.ndarray,
                 samples, lnlike, w, samples2=samples2, kmax=kmax,
                 prior_volume=prior_volume, sum_adjusted_weights=sumw,
                 engine=engine)
+        logger.info(
+            "precision='device' unsupported for cross + covtype='single' "
+            "whitening (per-partition stats are host-side); falling back "
+            "to precision='refine' — timings will be refine-path timings")
         precision = "refine"
     if cross:
         samples2 = np.atleast_2d(np.asarray(samples2, np.float64))
@@ -321,6 +325,15 @@ class MCEvidence:
             if info:
                 return out, self.info
             return out
+
+        if self.precision == "device":
+            # surfacing the silent downgrade (VERDICT r3 item 4): a user
+            # benchmarking 'device' mode on an unsupported config should
+            # know they are measuring the refine path
+            logger.info(
+                "precision='device' unsupported for this request (batched "
+                "brange, prewhiten=False, or cross + covtype='single'); "
+                "falling back to precision='refine'")
 
         # Fully-fused single-jit device program for the common fast-mode
         # case (one batch covering the whole chain, auto mode: covtype

@@ -286,7 +286,9 @@ class banana_eg:
             g2 = np.linspace(l2, h2, 4001)
             ln = self.lnlike(np.stack(np.meshgrid(g1, g2, indexing="ij"),
                                       axis=-1))
-            integral = np.trapezoid(np.trapezoid(np.exp(ln), g2, axis=1), g1)
+            # np.trapezoid is NumPy >= 2.0; fall back to the 1.x name
+            trap = getattr(np, "trapezoid", None) or np.trapz
+            integral = trap(trap(np.exp(ln), g2, axis=1), g1)
             self._lnz = float(math.log(integral)
                               - math.log(self.prior_volume))
         return self._lnz

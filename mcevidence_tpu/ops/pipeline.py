@@ -290,9 +290,33 @@ def _refine_dotp_post(qhi, qlo, rhi, rlo, scalh, scall, valid, ndim,
 # reuse across dispatches is safe.  Keyed by (name, shape, dtype); sizes are
 # bucketed, so the pool stays small.
 _HOST_BUFFERS: dict = {}
+_POOLING_OK: "bool | None" = None     # None = not yet verified on backend
+
+
+def _staging_copy_is_safe() -> bool:
+    """One-time runtime proof that ``jnp.array(x, copy=True)`` detaches the
+    device value from the host buffer on THIS backend (ADVICE r3): stage a
+    buffer, mutate the source, sync, compare.  A backend that zero-copies
+    or reads the host buffer asynchronously after return would surface the
+    mutation — in that case buffer pooling is disabled (fresh numpy arrays
+    per call: slower host prep, never corruption) and we warn once."""
+    global _POOLING_OK
+    if _POOLING_OK is None:
+        src = np.full(512, 1.0, np.float32)
+        dev = jnp.array(src, copy=True)
+        src[:] = 2.0
+        _POOLING_OK = bool(np.all(np.asarray(dev) == 1.0))
+        if not _POOLING_OK:
+            logger.warning(
+                "jnp.array(copy=True) did not detach the host buffer on "
+                "backend %r: disabling host-buffer pooling (correct but "
+                "slower host prep)", jax.default_backend())
+    return _POOLING_OK
 
 
 def _pooled(name, shape, dtype):
+    if not _staging_copy_is_safe():
+        return np.zeros(shape, dtype)
     key = (name, tuple(np.atleast_1d(shape)), np.dtype(dtype).str)
     buf = _HOST_BUFFERS.get(key)
     if buf is None:

@@ -329,6 +329,18 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                 groups.setdefault(key, []).append(cell)
             pend_b = []     # dispatch every chunk before fetching any
             for group in groups.values():
+                # tail remainder: padding a full-quantum dispatch with
+                # duplicate cells wastes up to (quantum-1)/quantum of that
+                # dispatch's device work (ADVICE r3).  When the remainder
+                # is a minority of a chunk, route those cells through the
+                # per-cell pipelined path below instead (no padding, shapes
+                # shared with the `small` cells); pad only when the
+                # remainder is most of a chunk (waste < 50%) or the whole
+                # group is smaller than one chunk (no full chunk exists).
+                n_full, rem = divmod(len(group), quantum)
+                if n_full and 0 < rem <= quantum // 2:
+                    small.extend(group[n_full * quantum:])
+                    group = group[:n_full * quantum]
                 for c0 in range(0, len(group), quantum):
                     chunk = group[c0:c0 + quantum]
                     ntrue = len(chunk)
@@ -682,7 +694,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("-b", "--burnfrac", "--burnin", "--remove",
                    dest="burnfrac", default=0, type=float)
     p.add_argument("-t", "--thin", "--thinfrac", dest="thinfrac",
-                   default=0, type=float)
+                   default=0, type=float,
+                   help="thinning: 0<t<1 Poisson, t>1 getdist weighted, "
+                        "t<0 autocorrelation-length x |t| (quirk Q9: the "
+                        "reference documented t<0 but never implemented it)")
     p.add_argument("-o", "--out", "--outdir", dest="outdir",
                    default="planck_mce_fullGrid_R2_H0Reiss2016")
     p.add_argument("--N", "--name", dest="name", default="mce")

@@ -478,3 +478,22 @@ def test_adversarial_inputs_graceful(rng):
                                    engine="xla")[0])
     out = evidence_fn(th[:1], lnl[:1], kmax=2, engine="xla")
     assert out.shape == (0,)   # 1 row: no neighbours exist — empty, no crash
+
+
+def test_pooled_staging_self_check(monkeypatch):
+    # ADVICE r3: pooling safety is proven at runtime, not assumed.  On this
+    # backend the copy must detach (check passes, buffers are reused); with
+    # a simulated aliasing backend pooling must turn itself off (fresh
+    # buffers per call), never corrupt.
+    from mcevidence_tpu.ops import pipeline
+
+    monkeypatch.setattr(pipeline, "_POOLING_OK", None)
+    assert pipeline._staging_copy_is_safe()
+    a = pipeline._pooled("selfcheck", (8,), np.float32)
+    b = pipeline._pooled("selfcheck", (8,), np.float32)
+    assert a is b
+
+    monkeypatch.setattr(pipeline, "_POOLING_OK", False)
+    c = pipeline._pooled("selfcheck2", (8,), np.float32)
+    d = pipeline._pooled("selfcheck2", (8,), np.float32)
+    assert c is not d

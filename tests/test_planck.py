@@ -377,6 +377,23 @@ def test_corrupt_base_ranges_keeps_other_models(minigrid, caplog):
     assert np.isfinite(df.loc["base_w", "AllChains"])
 
 
+def test_grid_quantum_remainder_routes_per_cell(minigrid, monkeypatch):
+    # 4 per-chain cells at quantum 3: one full chunk + a 1-cell remainder,
+    # which must route through the per-cell path (no padded duplicate
+    # dispatch, ADVICE r3) and still match the per-cell reference exactly
+    rootdir, ds = minigrid
+    out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, nchain=2,
+                                      verbose=0, engine="xla")
+    monkeypatch.setenv("MCE_GRID_QUANTUM", "3")
+    out_q = planck.dataset_evidence(rootdir, ds, kmax=2, nchain=2,
+                                    verbose=0, batch_cells=True,
+                                    precision="device")
+    for col in ("chain1", "chain2"):
+        np.testing.assert_allclose(out_q[col], out_ref[col], atol=1e-6)
+    for col in ("N_read", "N_used", "ndim", "PriorVol"):
+        assert list(out_q[col]) == list(out_ref[col])
+
+
 def test_grid_batched_device_cross(minigrid, tmp_path):
     rootdir, ds = minigrid
     out_ref = planck.dataset_evidence(rootdir, ds, kmax=2, verbose=0,

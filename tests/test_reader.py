@@ -132,6 +132,61 @@ def test_getdist_style_object(rng):
     np.testing.assert_array_equal(chains[0][:, 0], 1.0)
 
 
+def _stub_getdist_module(monkeypatch):
+    """Register a minimal stand-in for the real getdist package: pins the
+    package-path attribute contract (.samples, .loglikes = -lnL, .weights
+    ALWAYS an array — getdist defaults it to ones) without needing the
+    package installed (VERDICT r3 item 8; reference MCEvidence.py:45-59)."""
+    import sys
+    import types
+
+    mod = types.ModuleType("getdist")
+
+    class MCSamples:
+        def __init__(self, samples=None, loglikes=None, weights=None):
+            self.samples = np.atleast_2d(np.asarray(samples, np.float64))
+            self.loglikes = (None if loglikes is None
+                             else np.asarray(loglikes, np.float64))
+            # the real package never leaves weights as None
+            self.weights = (np.ones(len(self.samples)) if weights is None
+                            else np.asarray(weights, np.float64))
+
+    mod.MCSamples = MCSamples
+    sub = types.ModuleType("getdist.mcsamples")
+    sub.MCSamples = MCSamples
+    mod.mcsamples = sub
+    monkeypatch.setitem(sys.modules, "getdist", mod)
+    monkeypatch.setitem(sys.modules, "getdist.mcsamples", sub)
+    return MCSamples
+
+
+def test_getdist_package_isinstance_branch(rng, monkeypatch):
+    MCSamplesCls = _stub_getdist_module(monkeypatch)
+    s = rng.normal(size=(40, 3))
+    neg_lnl = rng.random(40)
+    w = rng.integers(1, 4, 40).astype(float)
+    g = MCSamplesCls(samples=s, loglikes=neg_lnl, weights=w)
+    chains = reader.load_chains(g)
+    assert len(chains) == 1 and chains[0].shape == (40, 5)
+    np.testing.assert_allclose(chains[0][:, 0], w)
+    np.testing.assert_allclose(chains[0][:, 1], neg_lnl)   # stays -lnL
+    np.testing.assert_allclose(chains[0][:, 2:], s)
+    # same numbers as the explicit dict path (sign convention: dict
+    # loglikes are +lnL, getdist loglikes are -lnL)
+    from mcevidence_tpu import MCEvidence
+    a = MCEvidence(g, kmax=2, verbose=0, engine="xla").evidence()
+    b = MCEvidence({"samples": s, "loglikes": -neg_lnl, "weights": w},
+                   kmax=2, verbose=0, engine="xla").evidence()
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_getdist_package_loglikes_none_is_clear_error(rng, monkeypatch):
+    MCSamplesCls = _stub_getdist_module(monkeypatch)
+    g = MCSamplesCls(samples=rng.normal(size=(10, 2)))
+    with pytest.raises(ValueError, match="loglikes=None"):
+        reader.load_chains(g)
+
+
 def test_native_loader_fortran_exponent(tmp_path):
     p = tmp_path / "f.txt"
     p.write_text("1.5d2 -2.5D-1\n")
