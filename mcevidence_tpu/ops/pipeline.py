@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import threading
 from typing import Optional
 
 import numpy as np
@@ -317,7 +318,12 @@ def _staging_copy_is_safe() -> bool:
 def _pooled(name, shape, dtype):
     if not _staging_copy_is_safe():
         return np.zeros(shape, dtype)
-    key = (name, tuple(np.atleast_1d(shape)), np.dtype(dtype).str)
+    # thread id in the key: concurrent preparers (mcevidence-serve --workers
+    # N) must never share a staging buffer — one thread's fill would clobber
+    # another's between fill and dispatch.  Pool size stays bounded by
+    # (shapes x worker threads).
+    key = (name, threading.get_ident(), tuple(np.atleast_1d(shape)),
+           np.dtype(dtype).str)
     buf = _HOST_BUFFERS.get(key)
     if buf is None:
         buf = np.zeros(shape, dtype)

@@ -30,15 +30,19 @@ parsed from its stats file.
 
 A blank line is ignored; EOF ends the service with exit code 0.  Run as
 ``python -m mcevidence_tpu.serve`` or the ``mcevidence-serve`` console
-script; ``--parse-cache DIR`` and ``--warmup N,D`` (pre-compile the
-bucket for an N-row, D-param chain before accepting requests) are
-process-level options.
+script; ``--parse-cache DIR``, ``--warmup N,D`` (pre-compile the
+bucket for an N-row, D-param chain before accepting requests) and
+``--workers N`` (overlap up to N requests — host prep and device
+dispatch for request N+1 run while request N blocks on its fetch;
+responses stay strictly in request order, so clients need no changes)
+are process-level options.
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import os
 import sys
 import time
 from argparse import ArgumentParser
@@ -152,18 +156,60 @@ def handle_request(req: dict) -> dict:
     return resp
 
 
-def serve(stream_in: TextIO, stream_out: TextIO) -> int:
-    for line in stream_in:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            req = json.loads(line)
-        except ValueError as e:
-            resp = {"id": None, "ok": False, "error": f"bad JSON: {e}"}
-        else:
-            resp = handle_request(req)
-        print(json.dumps(resp), file=stream_out, flush=True)
+def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
+    """Request loop.  ``workers>1`` overlaps requests: up to ``workers``
+    are in flight at once (one thread each: host prep for request N+1 runs
+    while request N blocks on its device fetch — the same
+    dispatch-before-fetch overlap the batched grid path uses), while
+    responses stay strictly in request order so the single-client protocol
+    is byte-identical to serial mode.  Each in-flight request preps into
+    its own thread-keyed staging buffers (ops/pipeline._pooled)."""
+    if workers <= 1:
+        for line in stream_in:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+            except ValueError as e:
+                resp = {"id": None, "ok": False, "error": f"bad JSON: {e}"}
+            else:
+                resp = handle_request(req)
+            print(json.dumps(resp), file=stream_out, flush=True)
+        return 0
+
+    from collections import deque
+    from concurrent.futures import Future, ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=workers)
+    pending: deque = deque()        # response futures, request order
+
+    def emit_head():
+        print(json.dumps(pending.popleft().result()), file=stream_out,
+              flush=True)
+
+    try:
+        for line in stream_in:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+            except ValueError as e:
+                fut: Future = Future()   # keep ordering for malformed lines
+                fut.set_result({"id": None, "ok": False,
+                                "error": f"bad JSON: {e}"})
+            else:
+                fut = pool.submit(handle_request, req)
+            pending.append(fut)
+            while len(pending) > workers:   # bound the in-flight window
+                emit_head()
+            while pending and pending[0].done():
+                emit_head()
+        while pending:
+            emit_head()
+    finally:
+        pool.shutdown(wait=False)
     return 0
 
 
@@ -191,7 +237,17 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--warmup", default="", metavar="N,D",
                    help="pre-compile device programs for an N-row D-param "
                         "chain before accepting requests")
+    p.add_argument("--workers", default=1, type=int, metavar="N",
+                   help="overlap up to N requests (responses stay in "
+                        "request order); 1 = strictly serial")
     p.add_argument("-vb", "--verbose", dest="verbose", default=0, type=int)
+    plat = os.environ.get("MCE_FORCE_PLATFORM")
+    if plat:
+        # late re-assertion of the platform (same as planck.main): the env
+        # var alone is read too early — sitecustomize imports jax at
+        # interpreter start and force-selects the TPU plugin
+        import jax
+        jax.config.update("jax_platforms", plat)
     args = p.parse_args(argv)
     from .utils.logging import configure
     configure(args.verbose)
@@ -200,7 +256,7 @@ def main(argv: Optional[list] = None) -> int:
         set_parse_cache(args.parse_cache)
     if args.warmup:
         _warmup(args.warmup)
-    return serve(sys.stdin, sys.stdout)
+    return serve(sys.stdin, sys.stdout, workers=max(1, args.workers))
 
 
 if __name__ == "__main__":

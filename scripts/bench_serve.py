@@ -1,5 +1,5 @@
-"""Serving benchmark: steady-state latency of the resident JSON-lines
-service (mcevidence_tpu.serve) on one warm process.
+"""Serving benchmark: steady-state latency + concurrency scaling of the
+resident JSON-lines service (mcevidence_tpu.serve) on one warm process.
 
 Generates CosmoMC-style toy roots at several chain sizes, starts ONE
 service process, replays a shuffled request stream against it, and
@@ -8,7 +8,13 @@ host prep + device + fetch per request) plus the end-to-end stream
 throughput.  First touch of each shape bucket pays the device program
 load; the steady-state numbers are what a long-lived deployment sees.
 
-Usage: python scripts/bench_serve.py [reps_per_size]
+Second leg (VERDICT r3 item 5): the same stream at the 2k-8k row sizes
+through ``--workers K`` service processes with K outstanding client
+requests, K = 1 vs 2 vs 4 — shows the dispatch/fetch overlap gain of the
+pipelined serve loop with zero protocol change (responses stay in
+request order).
+
+Usage: python scripts/bench_serve.py [reps_per_size] [--clients 1,2,4]
 """
 
 from __future__ import annotations
@@ -25,7 +31,13 @@ import time
 import numpy as np
 
 SIZES = (2000, 8000, 32768, 65536)
+CONC_SIZES = (2000, 8000)
+if os.environ.get("MCE_SERVE_BENCH_SIZES"):   # e.g. CPU smoke runs
+    SIZES = tuple(int(x) for x in
+                  os.environ["MCE_SERVE_BENCH_SIZES"].split(","))
+    CONC_SIZES = SIZES[:2]
 NDIM = 6
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_root(dirpath: str, n: int, rng) -> str:
@@ -47,17 +59,49 @@ def make_root(dirpath: str, n: int, rng) -> str:
     return root
 
 
+def _start_service(workers: int = 1) -> subprocess.Popen:
+    cmd = [sys.executable, "-m", "mcevidence_tpu.serve"]
+    if workers > 1:
+        cmd += ["--workers", str(workers)]
+    return subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                            stdout=subprocess.PIPE, text=True, cwd=REPO)
+
+
+def _run_stream(proc: subprocess.Popen, reqs, window: int = 1):
+    """Replay ``reqs`` keeping up to ``window`` outstanding; responses are
+    read in request order (the service guarantees ordering).  Returns
+    (total_wall_s, responses)."""
+    responses = []
+    t0 = time.perf_counter()
+    sent = 0
+    for i in range(len(reqs)):
+        while sent < len(reqs) and sent - i < window:
+            proc.stdin.write(json.dumps(reqs[sent]) + "\n")
+            proc.stdin.flush()
+            sent += 1
+        resp = json.loads(proc.stdout.readline())
+        assert resp["ok"], resp
+        responses.append(resp)
+    return time.perf_counter() - t0, responses
+
+
 def main() -> int:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = [a for a in sys.argv[1:]]
+    clients = (1, 2, 4)
+    if "--clients" in args:
+        i = args.index("--clients")
+        clients = tuple(int(x) for x in args[i + 1].split(","))
+        del args[i:i + 2]
+    reps = int(args[0]) if args else 5
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="mce_serve_bench_")
     try:
-        return _run(tmp, rng, reps)
+        return _run(tmp, rng, reps, clients)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _run(tmp: str, rng, reps: int) -> int:
+def _run(tmp: str, rng, reps: int, clients) -> int:
     roots = {n: make_root(tmp, n, rng) for n in SIZES}
 
     reqs = []
@@ -68,22 +112,13 @@ def _run(tmp: str, rng, reps: int) -> int:
     order = np.random.default_rng(1).permutation(len(reqs))
     reqs = [reqs[i] for i in order]
 
-    proc = subprocess.Popen(
-        [sys.executable, "-m", "mcevidence_tpu.serve"],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    t0 = time.perf_counter()
-    walls: dict = {n: [] for n in SIZES}
-    for req in reqs:
-        proc.stdin.write(json.dumps(req) + "\n")
-        proc.stdin.flush()
-        resp = json.loads(proc.stdout.readline())
-        assert resp["ok"], resp
-        n = int(resp["id"].split(":")[0])
-        walls[n].append(resp["wall_s"])
-    total = time.perf_counter() - t0
+    proc = _start_service()
+    total, responses = _run_stream(proc, reqs, window=1)
     proc.stdin.close()
     proc.wait(timeout=60)
+    walls: dict = {n: [] for n in SIZES}
+    for resp in responses:
+        walls[int(resp["id"].split(":")[0])].append(resp["wall_s"])
 
     print(f"\n{len(reqs)} requests in {total:.1f}s "
           f"({len(reqs) / total:.2f} req/s end-to-end, one process)")
@@ -94,6 +129,34 @@ def _run(tmp: str, rng, reps: int) -> int:
         p95_ix = min(len(steady) - 1, math.ceil(0.95 * len(steady)) - 1)
         print(f"{n:>7} {w[0]:>8.3f} {steady[len(steady) // 2]:>8.3f} "
               f"{steady[p95_ix]:>8.3f}")
+
+    # concurrency leg: K outstanding requests vs --workers K, 2k-8k sizes
+    conc_reqs = []
+    for r in range(max(reps, 4)):
+        for n in CONC_SIZES:
+            conc_reqs.append({"id": f"{n}:{r}", "root": roots[n],
+                              "kmax": 2, "precision": "device"})
+    conc_reqs = [conc_reqs[i] for i in
+                 np.random.default_rng(2).permutation(len(conc_reqs))]
+    print(f"\nconcurrency scaling ({len(conc_reqs)} requests, "
+          f"rows in {CONC_SIZES}):")
+    print(f"{'clients':>8} {'wall_s':>8} {'req/s':>8} {'vs serial':>10}")
+    base = None
+    for k in clients:
+        proc = _start_service(workers=k)
+        # warm the shape buckets outside the timed stream
+        _run_stream(proc, [{"id": f"w{n}", "root": roots[n], "kmax": 2,
+                            "precision": "device"} for n in CONC_SIZES],
+                    window=1)
+        wall, resp = _run_stream(proc, conc_reqs, window=k)
+        proc.stdin.close()
+        proc.wait(timeout=60)
+        ids_ok = [r["id"] for r in resp] == [q["id"] for q in conc_reqs]
+        assert ids_ok, "responses out of request order!"
+        if base is None:
+            base = wall
+        print(f"{k:>8} {wall:>8.2f} {len(conc_reqs) / wall:>8.2f} "
+              f"{base / wall:>9.2f}x")
     return 0
 
 
