@@ -22,7 +22,6 @@ value = NN pairs/sec/chip; vs_baseline = sklearn CPU wall / TPU wall.
 import json
 import math
 import os
-import subprocess
 import sys
 import threading
 import time
@@ -81,29 +80,16 @@ def _probe_backend_with_retries(attempts: int = 3, timeout: float = 120.0,
                                 backoff: float = 30.0):
     """Bounded backend-init probe: (backend_name, n_devices) or None.
 
-    Each attempt runs ``jax.default_backend()`` in a SUBPROCESS with a hard
-    timeout — during a relay outage in-process init blocks forever and
-    cannot be cancelled, a child can always be killed.  Retries with
-    backoff ride out transient relay flaps (the round-3 outage pattern:
-    init either blocks or raises UNAVAILABLE for minutes at a time)."""
-    code = "import jax; print(jax.default_backend(), len(jax.devices()))"
-    for i in range(attempts):
-        try:
-            proc = subprocess.run([sys.executable, "-c", code],
-                                  capture_output=True, text=True,
-                                  timeout=timeout)
-            if proc.returncode == 0:
-                name, n = proc.stdout.strip().splitlines()[-1].split()
-                return name, int(n)
-            tail = (proc.stderr or "").strip().splitlines()[-1:]
-            print(f"# backend probe {i + 1}/{attempts}: rc="
-                  f"{proc.returncode} {tail}", file=sys.stderr, flush=True)
-        except subprocess.TimeoutExpired:
-            print(f"# backend probe {i + 1}/{attempts}: no response in "
-                  f"{timeout:.0f}s", file=sys.stderr, flush=True)
-        if i + 1 < attempts:
-            time.sleep(backoff * (i + 1))
-    return None
+    Shared implementation (mcevidence_tpu/utils/backend_probe.py): each
+    attempt initializes the backend in a SUBPROCESS with a hard timeout —
+    during a relay outage in-process init blocks forever and cannot be
+    cancelled, a child can always be killed; retries with backoff ride out
+    transient relay flaps, and an unparseable probe answer counts as a
+    failed attempt rather than raising."""
+    from mcevidence_tpu.utils.backend_probe import probe_backend_with_retries
+    return probe_backend_with_retries(
+        attempts=attempts, timeout=timeout, backoff=backoff,
+        log=lambda m: print(f"# {m}", file=sys.stderr, flush=True))
 
 
 def synthetic_chain(n, ndim, seed=0):
@@ -248,8 +234,16 @@ def main():
     # N^2*d MACs = 2*N^2*d FLOPs (‖a‖²/‖b‖² terms are O(N*d), negligible);
     # normalized against the v5e bf16 MXU peak of 197 TFLOP/s.  Low MFU is
     # expected at d=8: the kernel is selection(VPU)-bound, not matmul-bound
-    # (docs/KERNEL_NOTES.md small-d study).
-    matmul_tflops = 2.0 * N * N * NDIM / tpu_s / 1e12
+    # (docs/KERNEL_NOTES.md small-d study).  TPU-only: normalizing a CPU
+    # run against a v5e peak would be a meaningless number in a
+    # machine-readable field.
+    mfu_fields = {}
+    if on_tpu:
+        matmul_tflops = 2.0 * N * N * NDIM / tpu_s / 1e12
+        mfu_fields = {
+            "matmul_tflops_per_s": matmul_tflops,
+            "mfu_vs_v5e_bf16_peak_197tflops": matmul_tflops / 197.0,
+        }
 
     watchdog.cancel()
     print(json.dumps({
@@ -257,8 +251,7 @@ def main():
         "value": pairs_per_s,
         "unit": "pairs/s",
         "vs_baseline": cpu_s / tpu_s,
-        "matmul_tflops_per_s": matmul_tflops,
-        "mfu_vs_v5e_bf16_peak_197tflops": matmul_tflops / 197.0,
+        **mfu_fields,
         "tpu_wall_s": tpu_s,
         "sklearn_cpu_wall_s": cpu_s,
         "backend": backend,

@@ -242,6 +242,16 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
             continue
         par = _try_params_info(fname, info)
         if par is None:
+            if mm == "base":
+                logger.warning(
+                    "base model metadata failed: PriorVol for the other "
+                    "models is NOT normalized by the base volume "
+                    "(reference convention, planck_mcevidence.py:329-331) "
+                    "— absolute lnE values shift by ln(V_base)")
+            for ext in chain_exts:     # don't parse/hold chains we'll skip
+                fut = parse_futures.pop(fname + ext, None)
+                if fut is not None:
+                    fut.cancel()
             continue
         if mm == "base":
             vol_norm = par.volume
@@ -494,6 +504,16 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
             continue
         par = _try_params_info(fname, info)
         if par is None:
+            if mm == "base":
+                logger.warning(
+                    "base model metadata failed: PriorVol for the other "
+                    "models is NOT normalized by the base volume "
+                    "(reference convention, planck_mcevidence.py:329-331) "
+                    "— absolute lnE values shift by ln(V_base)")
+            for ext in chain_exts:     # don't parse/hold chains we'll skip
+                fut = futures.pop(fname + ext, None)
+                if fut is not None:
+                    fut.cancel()
             continue
         if mm == "base":
             vol_norm = par.volume

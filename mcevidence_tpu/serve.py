@@ -178,21 +178,45 @@ def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
             print(json.dumps(resp), file=stream_out, flush=True)
         return 0
 
-    from collections import deque
+    import threading
     from concurrent.futures import Future, ThreadPoolExecutor
+    from queue import Queue
 
     pool = ThreadPoolExecutor(max_workers=workers)
-    pending: deque = deque()        # response futures, request order
+    out_q: Queue = Queue()          # response futures, request order
+    # end-to-end backpressure: the reader blocks once `2*workers` requests
+    # are in flight or completed-but-unwritten, so a client that floods
+    # requests without reading responses cannot grow memory unboundedly
+    slots = threading.Semaphore(2 * workers)
+    writer_dead = threading.Event()
 
-    def emit_head():
-        print(json.dumps(pending.popleft().result()), file=stream_out,
-              flush=True)
+    def writer():
+        # a DEDICATED writer thread is what makes lock-step clients work:
+        # the reader thread blocks on stdin between requests, so it can
+        # never be the one to emit a response that completes meanwhile
+        while True:
+            fut = out_q.get()
+            if fut is None:
+                return
+            try:
+                if not writer_dead.is_set():
+                    print(json.dumps(fut.result()), file=stream_out,
+                          flush=True)
+            except Exception:       # e.g. client closed its read end
+                writer_dead.set()
+            finally:
+                slots.release()
 
+    wt = threading.Thread(target=writer, name="serve-writer", daemon=True)
+    wt.start()
     try:
         for line in stream_in:
+            if writer_dead.is_set():
+                break
             line = line.strip()
             if not line:
                 continue
+            slots.acquire()          # one slot per queued future, ALWAYS
             try:
                 req = json.loads(line)
             except ValueError as e:
@@ -201,16 +225,12 @@ def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
                                 "error": f"bad JSON: {e}"})
             else:
                 fut = pool.submit(handle_request, req)
-            pending.append(fut)
-            while len(pending) > workers:   # bound the in-flight window
-                emit_head()
-            while pending and pending[0].done():
-                emit_head()
-        while pending:
-            emit_head()
+            out_q.put(fut)
     finally:
+        out_q.put(None)
+        wt.join()
         pool.shutdown(wait=False)
-    return 0
+    return 1 if writer_dead.is_set() else 0
 
 
 def _warmup(spec: str) -> None:

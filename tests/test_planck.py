@@ -375,6 +375,8 @@ def test_corrupt_base_ranges_keeps_other_models(minigrid, caplog):
     assert df is not None
     assert np.isnan(df.loc["base", "AllChains"])
     assert np.isfinite(df.loc["base_w", "AllChains"])
+    # the lost base normalization is announced (round-4 review finding)
+    assert any("NOT normalized" in r.message for r in caplog.records)
 
 
 def test_grid_quantum_remainder_routes_per_cell(minigrid, monkeypatch):

@@ -165,6 +165,47 @@ def test_serve_workers_device_precision_concurrent(toy_root):
         np.testing.assert_allclose(ra["lnz"], rb["lnz"], atol=1e-12)
 
 
+def test_serve_workers_lockstep_client_no_deadlock(toy_root):
+    """REGRESSION (round-4 review): a lock-step client — write one request,
+    block on the response before sending the next — must work against
+    --workers N.  The first implementation only emitted responses from the
+    stdin-reading thread, which was blocked on the next line the client
+    would never send: permanent deadlock.  Real pipes required; StringIO
+    streams deliver EOF immediately and mask the hang."""
+    import subprocess
+    import sys
+    root, _, _ = toy_root
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from mcevidence_tpu.serve import main; import sys; "
+            "sys.exit(main(['--workers', '2']))")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                            text=True)
+    try:
+        import threading
+
+        got = []
+
+        def lockstep():
+            for i in range(3):
+                proc.stdin.write(json.dumps(
+                    {"id": i, "root": root, "kmax": 2,
+                     "engine": "xla"}) + "\n")
+                proc.stdin.flush()
+                got.append(json.loads(proc.stdout.readline()))
+            proc.stdin.close()
+
+        t = threading.Thread(target=lockstep, daemon=True)
+        t.start()
+        t.join(timeout=240)
+        assert not t.is_alive(), "lock-step client deadlocked"
+        assert [r["id"] for r in got] == [0, 1, 2]
+        assert all(r["ok"] for r in got)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        proc.kill()
+
+
 def test_serve_main_subprocess(toy_root, tmp_path):
     """The real entry point end to end: spawned process, stdin pipe, CPU
     platform re-asserted in-process (this deployment's sitecustomize
