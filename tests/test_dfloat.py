@@ -69,3 +69,31 @@ def test_candidate_d2_df_absent(rng):
     qh, ql = _pair(q)
     d2h, _ = df.candidate_d2_df(qh, ql, qh, ql, jnp.asarray(idx))
     assert np.all(np.isinf(np.asarray(d2h)))
+
+
+def test_import_does_not_initialize_backend():
+    """REGRESSION (round 4): importing the double-float module must not
+    create device arrays — a module-level jnp constant initialized the
+    backend at import time, which blocks forever behind a dead relay.
+    Checked in a subprocess so this process's already-initialized backend
+    cannot mask it."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "from mcevidence_tpu.ops import dfloat, estimator, whiten\n"
+        "from mcevidence_tpu.chains import reader, preprocess\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, "
+        "'import initialized a backend: %r' % (xla_bridge._backends,)\n"
+        "print('clean')\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=120)
+    assert p.returncode == 0, p.stderr
+    assert p.stdout.strip().splitlines()[-1] == "clean"
