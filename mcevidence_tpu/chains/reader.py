@@ -84,10 +84,15 @@ def parse_chain_file(path: str) -> np.ndarray:
             arr = np.loadtxt(path)
     if cpath:
         try:
+            import threading
             os.makedirs(_PARSE_CACHE_DIR, exist_ok=True)
-            tmp = f"{cpath}.{os.getpid()}.tmp.npy"
+            # pid AND thread id: concurrent serve workers (--workers N) in
+            # one process may parse the same file; each writer needs its
+            # own tmp before the atomic publish
+            tmp = (f"{cpath}.{os.getpid()}-{threading.get_ident()}"
+                   ".tmp.npy")
             np.save(tmp, arr)
-            os.replace(tmp, cpath)      # atomic: concurrent shards race-safe
+            os.replace(tmp, cpath)      # atomic: concurrent writers race-safe
         except Exception as e:
             logger.warning("parse cache write failed for %s: %s", cpath, e)
     return arr

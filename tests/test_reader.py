@@ -369,3 +369,27 @@ def test_parse_cache_corrupt_entry_reparsed(tmp_path, caplog):
         assert any("cache read failed" in r.message for r in caplog.records)
     finally:
         reader.set_parse_cache(None)
+
+
+def test_parse_cache_concurrent_writers(tmp_path):
+    # serve --workers N can parse the SAME file from multiple threads with
+    # the parse cache on: per-writer tmp names + atomic publish must never
+    # corrupt the cache entry or the returned arrays
+    from concurrent.futures import ThreadPoolExecutor
+
+    f = tmp_path / "cc_1.txt"
+    want = np.arange(400.0).reshape(50, 8)
+    np.savetxt(f, want)
+    reader.set_parse_cache(str(tmp_path / "pc"))
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            outs = list(pool.map(
+                lambda _: reader.parse_chain_file(str(f)), range(8)))
+        for o in outs:
+            np.testing.assert_array_equal(o, want)
+        # the published entry is intact and served on the next read
+        np.testing.assert_array_equal(reader.parse_chain_file(str(f)), want)
+        leftovers = list((tmp_path / "pc").glob("*.tmp.npy"))
+        assert not leftovers, leftovers
+    finally:
+        reader.set_parse_cache(None)
