@@ -143,13 +143,22 @@ def main():
     watchdog = _Watchdog()
     watchdog.pet("backend-init-inprocess", 300.0)
     import jax
+    plat = os.environ.get("MCE_FORCE_PLATFORM")
+    if plat:
+        # same late re-assertion as planck.main/serve.main: env vars are
+        # read before sitecustomize force-selects the TPU plugin
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
     from mcevidence_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from mcevidence_tpu.ops.estimator import log_evidence_from_knn
     from mcevidence_tpu.ops.whiten import whiten_jnp
 
-    N, NDIM, KMAX, REPS = 65536, 8, 5, 8
+    # canonical workload; MCE_BENCH_N/MCE_BENCH_REPS exist for bounded CPU
+    # smoke runs of the full path (the driver always runs the defaults)
+    N = int(os.environ.get("MCE_BENCH_N", "65536"))
+    NDIM, KMAX = 8, 5
+    REPS = int(os.environ.get("MCE_BENCH_REPS", "8"))
     theta, lnl = synthetic_chain(N, NDIM)
     backend = jax.default_backend()
     on_tpu = backend == "tpu"

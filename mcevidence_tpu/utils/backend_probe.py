@@ -14,7 +14,13 @@ import sys
 import time
 from typing import Optional, Tuple
 
-_PROBE_CODE = "import jax; print(jax.default_backend(), len(jax.devices()))"
+# honors MCE_FORCE_PLATFORM like every other entry point: env vars alone
+# are read too early (sitecustomize imports jax at interpreter start), so
+# the child re-asserts the platform in-process before touching the backend
+_PROBE_CODE = (
+    "import os, jax; p = os.environ.get('MCE_FORCE_PLATFORM'); "
+    "p and jax.config.update('jax_platforms', p); "
+    "print(jax.default_backend(), len(jax.devices()))")
 
 
 def probe_backend(timeout: float,
