@@ -347,6 +347,16 @@ def _default_mesh(mesh: Optional[Mesh]) -> Mesh:
     return mesh
 
 
+def _default_grid_mesh(mesh: Optional[Mesh]) -> Mesh:
+    """Default 2-D (dp x ring) mesh: all local devices on the ring axis
+    (local, not global: under jax.distributed each process runs its own
+    independent per-dataset programs)."""
+    if mesh is None:
+        devs = np.array(jax.local_devices())
+        mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    return mesh
+
+
 def sharded_knn_candidates(query64: np.ndarray, ref64: Optional[np.ndarray],
                            k_sel: int, *, mesh: Mesh,
                            dtype=jnp.float32) -> np.ndarray:
@@ -418,7 +428,12 @@ def sharded_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
             dknn, lnlike, w_np, sumw, ndim,
             log_jacobian=stats.log_jacobian,
             log_prior_volume=math.log(prior_volume), k_start=1, nsamples=n)
-        return mle[1:]
+        # n < kmax: only the first n-1 neighbour columns exist; the rest
+        # are NaN (same convention as _device_refine_finalize), keeping the
+        # documented kmax-1 return width
+        out = np.full(kmax - 1, np.nan)
+        out[: len(mle) - 1] = mle[1:]
+        return out
 
     s, lnl, w, valid = pad_for_mesh(samples, lnlike, w_np, pcount)
     fn = make_sharded_evidence(mesh, axis, kmax=kmax, ndim=ndim)
@@ -434,6 +449,10 @@ def sharded_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
         # importance reweighting enters only through SumW (quirk Q7)
         shift = np.log(sumw) - np.log(float(np.sum(w_np)))
         mle[1:] = mle[1:] + shift
+    if n < kmax:
+        # column k needs a k-th non-self neighbour (n-1 >= k): beyond that
+        # the padded +inf distances would otherwise surface as +inf lnZ
+        mle[n:] = np.nan
     return mle[1:]
 
 
@@ -480,7 +499,10 @@ def sharded_cross_evidence(samples1: np.ndarray, lnlike1: np.ndarray,
             dknn, lnlike1, w1_np, sumw, ndim,
             log_jacobian=stats.log_jacobian,
             log_prior_volume=math.log(prior_volume), k_start=0, nsamples=n1)
-        return mle[1:]
+        # n2 < kmax: only the first n2 reference-neighbour columns exist
+        out = np.full(kmax - 1, np.nan)
+        out[: len(mle) - 1] = mle[1:]
+        return out
 
     s1, lnl1, w1, valid1 = pad_for_mesh(samples1, lnlike1, w1_np, pcount)
     nb2 = ((bucket_size(n2) + pcount - 1) // pcount) * pcount
@@ -501,6 +523,10 @@ def sharded_cross_evidence(samples1: np.ndarray, lnlike1: np.ndarray,
     if sum_adjusted_weights is not None:
         shift = np.log(sumw) - np.log(float(np.sum(w1_np)))
         mle = mle + shift
+    if n2 < kmax:
+        # cross column c uses the (c+1)-th reference neighbour (k0=0):
+        # undefined once c+1 > n2 — NaN instead of padded +inf
+        mle[n2:] = np.nan
     return mle[1:]
 
 
@@ -561,8 +587,12 @@ def sharded_device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
     dev, host = _device_refine_prepare(samples, lnlike, weights, kmax,
                                        pad_candidates, engine,
                                        samples2=samples2)
+    # kmax_eff, not kmax: tiny reference partitions cap the candidate count
+    # (the single-device path passes the same, pipeline.py fused call) —
+    # a raw kmax would slice past the argsort width inside the program
     fn = make_sharded_device_refine(mesh, axis, k_sel=host["k_sel"],
-                                    kmax=kmax, engine=host["engine"],
+                                    kmax=host["kmax_eff"],
+                                    engine=host["engine"],
                                     self_mode=samples2 is None)
     shq = NamedSharding(mesh, P(axis, None))
     sh1 = NamedSharding(mesh, P(axis))
@@ -576,11 +606,45 @@ def sharded_device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
         jax.device_put(dev["n_true"], rep), jax.device_put(dev["ndim"], rep),
         jax.device_put(dev["inv_s2"], rep)), np.float64)
     # combine the per-device double-float partials exactly in host f64
-    vals = parts[:, :kmax].sum(axis=0) + parts[:, kmax:2 * kmax].sum(axis=0)
+    ke = host["kmax_eff"]
+    vals = parts[:, :ke].sum(axis=0) + parts[:, ke:2 * ke].sum(axis=0)
     thin = parts[:, -1].sum()
-    flat = np.concatenate([vals, np.zeros(kmax), [thin]])
+    n_ref = samples2.shape[0] if samples2 is not None else samples.shape[0]
+    if not np.all(np.isfinite(vals)):
+        # double-float overflow (z^(ndim/2) left f32 range): same fallback
+        # as the single-device path (pipeline.py) and the grid sibling —
+        # the sharded refine program has unlimited range on the host side
+        logger.warning("sharded device-refine: double-float overflow; "
+                       "falling back to the sharded refine path")
+        if samples2 is None:
+            return sharded_auto_evidence(
+                samples, lnlike, weights, kmax=kmax,
+                prior_volume=prior_volume,
+                sum_adjusted_weights=sum_adjusted_weights, mesh=mesh,
+                precision="refine", pad_candidates=pad_candidates)
+        return sharded_cross_evidence(
+            samples, lnlike, samples2, weights, kmax=kmax,
+            prior_volume=prior_volume,
+            sum_adjusted_weights=sum_adjusted_weights, mesh=mesh,
+            precision="refine", pad_candidates=pad_candidates)
+    if thin > 0 and host["k_sel"] < n_ref:
+        retry_pad = 4 * pad_candidates + 8
+        if (pad_candidates < 32
+                and min(kmax + retry_pad, n_ref) > host["k_sel"]):
+            # thin candidate margins: one retry with 4x padding (same
+            # policy as the single-device device path)
+            logger.info("sharded device-refine: thin margins on %d rows; "
+                        "re-running with %d extra candidates", int(thin),
+                        retry_pad)
+            return sharded_device_refine_evidence(
+                samples, lnlike, weights, samples2=samples2, kmax=kmax,
+                prior_volume=prior_volume,
+                sum_adjusted_weights=sum_adjusted_weights,
+                pad_candidates=retry_pad, mesh=mesh, engine=engine)
+    flat = np.concatenate([vals, np.zeros(ke), [thin]])
     return _device_refine_finalize(flat, host, kmax, prior_volume,
-                                   sum_adjusted_weights)
+                                   sum_adjusted_weights,
+                                   warn_thin=host["k_sel"] < n_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -713,10 +777,7 @@ def sharded_grid_auto_evidence(chains, *, kmax: int = 2,
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
     kmax = max(2, kmax)
-    if mesh is None:
-        devs = np.array(jax.local_devices())   # local: under jax.distributed
-        # each process runs its own independent per-dataset programs
-        mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    mesh = _default_grid_mesh(mesh)
     norm = _normalize_chains(chains)
     b_true, b_pad, n_pad, ndim = _grid_batch_layout(norm, mesh)
     if prior_volumes is None:
@@ -811,10 +872,7 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
     kmax = max(2, kmax)
-    if mesh is None:
-        devs = np.array(jax.local_devices())   # local: under jax.distributed
-        # each process runs its own independent per-dataset programs
-        mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    mesh = _default_grid_mesh(mesh)
     dp_n = mesh.shape["dp"]
     ring_n = mesh.shape["ring"]
     norm = _normalize_chains(chains)
@@ -834,7 +892,12 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
         refs = None
         n_refs = [s.shape[0] for s, _, _ in norm]
 
-    k_sel = min(kmax + pad_candidates, min(n_refs))
+    # cap by the LARGEST reference partition, not the smallest: the batched
+    # selection masks per-chain absent candidates (rows >= the chain's true
+    # count come back idx=-1/+inf and are excluded downstream), so a small
+    # chain in the batch must not starve the large chains of candidates —
+    # nor disable their thin-margin retry (round-4 review finding)
+    k_sel = min(kmax + pad_candidates, max(n_refs))
     q_white = []
     r_white = []
     stats_list = []
@@ -901,12 +964,13 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
         for b, i in enumerate(members):
             idx_per_chain[i] = idx[b, : q_white[i].shape[0]]
 
-    out = np.zeros((b_true, kmax - 1))
+    out = np.full((b_true, kmax - 1), np.nan)
     for i, ((s, l, w), sw) in enumerate(zip(norm, q_white)):
         n = s.shape[0]
         rw = r_white[i] if cross else sw
+        ke = min(kmax, n_refs[i])
         dknn = guarded_refine_knn_f64(
-            sw, rw, idx_per_chain[i], min(kmax, n_refs[i]),
+            sw, rw, idx_per_chain[i], ke,
             self_mode=not cross,
             reselect=lambda ks, _q=sw, _r=rw: sharded_knn_candidates(
                 _q, None if not cross else _r, ks, mesh=mesh, dtype=dtype))
@@ -917,7 +981,11 @@ def sharded_grid_evidence_refine(chains, *, kmax: int = 2,
             log_jacobian=stats_list[i].log_jacobian,
             log_prior_volume=math.log(prior_volumes[i]),
             k_start=0 if cross else 1, nsamples=n)
-        out[i] = mle[1:]
+        # a tiny reference partition (n_refs[i] < kmax) fills only its
+        # first ke-1 columns; the rest stay NaN — same convention as the
+        # device path (_device_refine_finalize docstring), instead of a
+        # batch-killing broadcast error
+        out[i, : len(mle) - 1] = mle[1:]
     return out
 
 
@@ -1034,10 +1102,7 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
     kmax = max(2, kmax)
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if mesh is None:
-        devs = np.array(jax.local_devices())   # local: under jax.distributed
-        # each process runs its own independent per-dataset programs
-        mesh = Mesh(devs.reshape(1, -1), ("dp", "ring"))
+    mesh = _default_grid_mesh(mesh)
     ring_n = mesh.shape["ring"]
     norm = _normalize_chains(chains)
     b_true = len(norm)
@@ -1063,7 +1128,12 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
         m_pad = ((m_pad + ring_n - 1) // ring_n) * ring_n
     else:
         m_pad = n_pad
-    k_sel = min(kmax + pad_candidates, min(n_refs))
+    # cap by the LARGEST reference partition, not the smallest: the batched
+    # selection masks per-chain absent candidates (rows >= the chain's true
+    # count come back idx=-1/+inf and are excluded downstream), so a small
+    # chain in the batch must not starve the large chains of candidates —
+    # nor disable their thin-margin retry (round-4 review finding)
+    k_sel = min(kmax + pad_candidates, max(n_refs))
     if prior_volumes is None:
         prior_volumes = np.ones(b_true)
 
@@ -1162,7 +1232,7 @@ def sharded_grid_device_refine_evidence(chains, *, kmax: int = 2,
             # set (k_sel is capped by the smallest reference partition)
             retry_pad = 4 * pad_candidates + 8
             if (pad_candidates < 32
-                    and min(kmax + retry_pad, min(n_refs)) > k_sel):
+                    and min(kmax + retry_pad, max(n_refs)) > k_sel):
                 logger.info("grid device-refine: thin margins on %d rows; "
                             "re-running with %d extra candidates",
                             int(thin_true), retry_pad)

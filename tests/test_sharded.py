@@ -236,3 +236,86 @@ def test_grid_device_refine_defer(rng):
                                               engine="xla", defer=True)
     assert callable(fin)
     np.testing.assert_array_equal(fin(), eager)
+
+
+# ---------------------------------------------------------------------------
+# round-4 review fixes: tiny references, short chains, overflow fallback
+# ---------------------------------------------------------------------------
+
+def test_sharded_device_refine_tiny_reference(rng):
+    """kmax > n_ref: the program must be built with kmax_eff (a raw kmax
+    sliced past the argsort width -> trace-time IndexError before the
+    round-4 fix); undefined columns come back NaN, defined ones match the
+    single-device device path."""
+    from mcevidence_tpu.ops.pipeline import device_refine_evidence
+    from mcevidence_tpu.parallel.ring import sharded_device_refine_evidence
+    th, lnl = make_gaussian_chain(rng, n=520, ndim=3)
+    ref = th[:3]                                   # n_ref = 3 < kmax = 4
+    got = sharded_device_refine_evidence(th, lnl, samples2=ref, kmax=4,
+                                         engine="xla")
+    want = device_refine_evidence(th, lnl, samples2=ref, kmax=4,
+                                  engine="xla")
+    assert got.shape == (3,)
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
+    assert np.isfinite(got[:2]).all() and np.isnan(got[2])
+
+
+def test_sharded_device_refine_overflow_falls_back(rng, monkeypatch,
+                                                   caplog):
+    """Non-finite double-float partials must fall back to the sharded
+    refine path (before the fix they flowed into finalize as inf lnZ)."""
+    import logging
+
+    from mcevidence_tpu.parallel import ring
+    th, lnl = make_gaussian_chain(rng, n=640, ndim=3)
+
+    real_make = ring.make_sharded_device_refine
+
+    def bad_make(*a, **k):
+        real = real_make(*a, **k)
+
+        def wrapped(*args):
+            parts = np.asarray(real(*args), np.float64)
+            parts[0, 0] = np.inf
+            return parts
+        return wrapped
+
+    monkeypatch.setattr(ring, "make_sharded_device_refine", bad_make)
+    with caplog.at_level(logging.WARNING,
+                         logger="mcevidence_tpu.parallel.ring"):
+        got = ring.sharded_device_refine_evidence(th, lnl, kmax=3,
+                                                  engine="xla")
+    want = evidence_fn(th, lnl, kmax=3, engine="xla")
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    assert any("double-float overflow" in r.message for r in caplog.records)
+
+
+def test_grid_refine_short_chain_nan_row(rng):
+    """One short chain (n_ref < kmax) in a refine batch must fill only its
+    defined columns (rest NaN) instead of killing the whole batch with a
+    broadcast error (round-4 review finding)."""
+    from mcevidence_tpu.parallel.ring import sharded_grid_evidence_refine
+    th1, lnl1 = make_gaussian_chain(rng, n=700, ndim=3)
+    th2, lnl2 = make_gaussian_chain(rng, n=3, ndim=3)   # 3 rows < kmax=4
+    out = sharded_grid_evidence_refine([(th1, lnl1), (th2, lnl2)], kmax=4)
+    assert out.shape == (2, 3)
+    assert np.isfinite(out[0]).all()
+    want1 = evidence_fn(th1, lnl1, kmax=4, engine="xla")
+    np.testing.assert_allclose(out[0], want1, atol=1e-9)
+    assert np.isfinite(out[1, :1]).all() and np.isnan(out[1, 2])
+
+
+def test_sharded_fast_small_n_returns_nan_not_inf(rng):
+    """Fast-path wrappers with n (or n_ref) < kmax: columns beyond the last
+    real neighbour are NaN, never a silent +inf lnZ."""
+    from mcevidence_tpu.parallel.ring import sharded_cross_evidence
+    th, lnl = make_gaussian_chain(rng, n=3, ndim=2)
+    out = sharded_auto_evidence(th, lnl, kmax=5, precision="fast")
+    assert out.shape == (4,)
+    assert not np.isinf(out).any()
+    assert np.isnan(out[2:]).all()          # k=3,4 need n-1 >= 3
+    big, lnlb = make_gaussian_chain(rng, n=500, ndim=2)
+    outx = sharded_cross_evidence(big, lnlb, th[:2], kmax=5,
+                                  precision="fast")
+    assert not np.isinf(outx).any()
+    assert np.isnan(outx[2:]).all()         # cross col c needs n2 >= c+1
