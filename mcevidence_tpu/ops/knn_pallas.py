@@ -27,12 +27,15 @@ Design notes (pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+logger = logging.getLogger(__name__)
 
 # Tile sizes: (TQ, TR) f32 distance tile = 4 MB VMEM (+4 MB merge buffer,
 # ~1.3 MB double-buffered inputs).  Measured sweep (docs/KERNEL_NOTES.md):
@@ -178,9 +181,9 @@ def _packed_select(d2, nr, run_d2, run_idx, i, j, *, k: int,
     # winners accumulate into ONE (tq, k) buffer: k live (tq, 1) slices
     # would each hold a full lane-padded tile of Mosaic stack (scoped-VMEM
     # OOM at the sufficiency-retry k on v5e)
-    w = jnp.full((tq, k), jnp.int32(2147483647))
-    wcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
     int_max = jnp.int32(2147483647)
+    w = jnp.full((tq, k), int_max)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
     for jj in range(k):
         m = jnp.min(pk, axis=1, keepdims=True)     # packed (distance, col)
         w = jnp.where(wcol == jj, m, w)   # masked column write (no DUS)
@@ -249,7 +252,11 @@ def knn_select_pallas_packed_batched(query, ref, k: int,
     k = min(k, nr_full)
 
     # per-member centring (translation-invariant; conditions the identity)
-    mu = (jnp.sum(ref, axis=1, keepdims=True)
+    # masked sum: rows >= nr[b] carry NO contract beyond 'never selected'
+    # (round-4 review: non-zero padding would shift mu and wreck the f32
+    # cast of every centred coordinate), so exclude them explicitly
+    _ok = (jnp.arange(ref.shape[1]) < nr[:, None])[..., None]
+    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=1, keepdims=True)
           / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
     tq = _query_tile(k)
     dpad = _round_up(max(d, 1), LANE)
@@ -339,8 +346,11 @@ def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         nr = ref.shape[0]
     k = min(k, ref.shape[0])
 
-    mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
-        jnp.asarray(nr, query.dtype), 1.0)
+    # masked sum: rows >= nr must not shift mu (round-4 review; only
+    # zero padding happened to make the unmasked sum correct)
+    _ok = (jnp.arange(ref.shape[0]) < nr)[:, None]
+    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=0, keepdims=True)
+          / jnp.maximum(jnp.asarray(nr, query.dtype), 1.0))
     tq = _query_tile(k)
     dpad_s = _round_up(max(d, 1), 8)             # f32 sublane quantum
     nq_pad = _round_up(nq, tq)
@@ -423,7 +433,11 @@ def knn_select_pallas_smalld_batched(query, ref, k: int,
     nr = jnp.asarray(nr, jnp.int32).reshape(bsz)
     k = min(k, nr_full)
 
-    mu = (jnp.sum(ref, axis=1, keepdims=True)
+    # masked sum: rows >= nr[b] carry NO contract beyond 'never selected'
+    # (round-4 review: non-zero padding would shift mu and wreck the f32
+    # cast of every centred coordinate), so exclude them explicitly
+    _ok = (jnp.arange(ref.shape[1]) < nr[:, None])[..., None]
+    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=1, keepdims=True)
           / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
     tq = _query_tile(k)
     dpad_s = _round_up(max(d, 1), 8)
@@ -559,16 +573,25 @@ def knn_select_pallas_binned(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     ``packed=True`` stores each bin as one int32 (d2 pattern + group id):
     2 insertion sweeps per level instead of 5 and half the scratch, at the
-    packed kernel's <= 2^-11 relative d2 quantization — opt in ONLY where
+    packed kernel's <= 2^-12 relative d2 quantization — opt in ONLY where
     a f64 refinement stage recomputes the distances (requires
     nr <= 2^LOW_BITS * NBINS; silently falls back beyond)."""
     nq, d = query.shape
     if nr is None:
         nr = ref.shape[0]
+    if k > NBINS * BINS_DEPTH:
+        # the lane-binned layout holds at most NBINS*BINS_DEPTH winners; a
+        # silent clamp would break 'same contract' callers stacking engines
+        logger.warning("binned kNN engine caps k at %d (requested %d); "
+                       "use the exact/packed engine for larger k",
+                       NBINS * BINS_DEPTH, k)
     k = min(k, ref.shape[0], NBINS * BINS_DEPTH)
 
-    mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
-        jnp.asarray(nr, query.dtype), 1.0)
+    # masked sum: rows >= nr must not shift mu (round-4 review; only
+    # zero padding happened to make the unmasked sum correct)
+    _ok = (jnp.arange(ref.shape[0]) < nr)[:, None]
+    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=0, keepdims=True)
+          / jnp.maximum(jnp.asarray(nr, query.dtype), 1.0))
     tq = _query_tile(k)
     dpad = _round_up(max(d, 1), LANE)
     nq_pad = _round_up(nq, tq)
@@ -715,8 +738,11 @@ def _knn_select_iter(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         nr = ref.shape[0]
     k = min(k, ref.shape[0])
 
-    mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
-        jnp.asarray(nr, query.dtype), 1.0)
+    # masked sum: rows >= nr must not shift mu (round-4 review; only
+    # zero padding happened to make the unmasked sum correct)
+    _ok = (jnp.arange(ref.shape[0]) < nr)[:, None]
+    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=0, keepdims=True)
+          / jnp.maximum(jnp.asarray(nr, query.dtype), 1.0))
     tq = _query_tile(k)
     dpad = _round_up(max(d, 1), LANE)
     nq_pad = _round_up(nq, tq)

@@ -258,3 +258,39 @@ def test_pallas_high_k_small_tile_interpret(rng, variant):
         true_d2 = np.sum((x64[r] - x64[idxc[r]]) ** 2, axis=1)
         assert np.all(true_d2 <= (sk_dc[r, -1] ** 2) * (1 + 2.0 ** -10)
                       + 1e-6)
+
+
+def test_pallas_nonzero_padding_beyond_nr(rng):
+    """REGRESSION (round-4 review): the centring mean must exclude rows
+    beyond nr.  With garbage (non-zero) padding rows, the unmasked sum
+    shifted mu by ~1e8, the f32 cast of (x - mu) lost all signal, and
+    every returned neighbour index was wrong."""
+    from mcevidence_tpu.ops.knn_pallas import (
+        knn_select_pallas, knn_select_pallas_packed,
+        knn_select_pallas_packed_batched)
+    r = rng.normal(size=(300, 4)).astype(np.float32)
+    q = r[:64]
+    garbage = np.full((100, 4), 1e8, np.float32)
+    r_pad = np.concatenate([r, garbage])
+    want_d2, want_idx = knn_select_pallas(
+        jnp.asarray(q), jnp.asarray(r), 4, self_mode=False, interpret=True)
+    for fn in (knn_select_pallas, knn_select_pallas_packed):
+        d2, idx = fn(jnp.asarray(q), jnp.asarray(r_pad), 4,
+                     self_mode=False, interpret=True, nr=300)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        # d2 to the kernels' own noise floors: a 1-ulp mu shift (different
+        # summation order over identical rows) surfaces ~|x-mu|^2*eps
+        # identity cancellation on self-pairs (atol) and moves packed
+        # values across their 2^-12-relative quantization bins (rtol).
+        # Downstream consumers refine these distances in f64; the index
+        # equality above is the contract.
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(want_d2),
+                                   rtol=4e-4, atol=2e-6)
+    batch_q = np.stack([q, q])
+    batch_r = np.stack([r_pad, r_pad])
+    d2b, idxb = knn_select_pallas_packed_batched(
+        jnp.asarray(batch_q), jnp.asarray(batch_r), 4, self_mode=False,
+        interpret=True, nr=np.asarray([300, 300], np.int32))
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(idxb)[b],
+                                      np.asarray(want_idx))
