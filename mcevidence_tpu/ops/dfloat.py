@@ -16,15 +16,28 @@ preserving; they rely only on IEEE f32 +,-,* being correctly rounded.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-# 2^12 + 1: Veltkamp split constant.  A PYTHON float on purpose: a
-# jnp.float32 here would commit a device array at import time — initializing
-# the backend (and hanging the import behind a dead relay) just for loading
-# the module.  As a weak-typed scalar it multiplies f32 arrays without
-# promotion, and 4097.0 is exactly representable in f32.
-_SPLIT = 4097.0
+# low-12-stored-mantissa-bits mask for the exact bit split (see _split)
+_LO12_MASK = -4096            # int32 ~0xFFF; python int: no device array
+                              # at import time (backend-init hygiene)
 
+
+# COMPILER CAVEAT (round-4 k=1 parity investigation): these identities
+# assume every term is a ROUNDED f32 value.  XLA:CPU rematerializes
+# producers inside consumer fusions and LLVM contracts mul+add pairs into
+# fmas there, so a product flowing into ``s = a + b`` can become
+# ``s = fma(x, y, b)`` in one fusion while a sibling fusion uses the
+# rounded product — breaking the error identity (~2^-24-relative
+# corruption, observed as device-mode k=1 lnZ degrading to ~1e-9).
+# In-graph defenses do NOT survive the pipeline (lax.optimization_barrier
+# is stripped before fusion; value-identity bit tricks are constant-
+# folded).  The working mitigation lives in ops/pipeline.py: on non-TPU
+# backends the EFT post stage is AOT-compiled at
+# xla_backend_optimization_level=0 (_refine_dotp_post_o0).  On TPU the
+# fused path is measured correct (BASELINE.md: 6.75e-14 over the real
+# Planck grid at k=1).
 
 def two_sum(a, b):
     """Error-free a + b: returns (s, err) with s + err == a + b exactly."""
@@ -43,15 +56,29 @@ def two_diff(a, b):
 
 
 def _split(a):
-    """Veltkamp split: a == hi + lo with hi, lo each ~12-bit mantissas."""
-    c = _SPLIT * a
-    hi = c - (c - a)
+    """Exact 12|12-bit split via mantissa masking: a == hi + lo where hi
+    keeps the top 12 significand bits and lo = a - hi the remaining 12 —
+    every partial product in :func:`two_prod` stays exactly representable
+    in f32 (Dekker's requirement: 12+12 <= the 24-bit significand).
+
+    Bit masking instead of the classical Veltkamp multiply-split
+    (c = 4097*a; hi = c - (c - a)) on purpose: XLA may RECOMPUTE c inside a
+    consumer fusion and contract the recomputation into an fma, silently
+    breaking the rounded-split identity — observed on the CPU backend as
+    sporadic ~2^-23-relative errors in two_prod's error term (round-4
+    k=1 parity investigation).  Integer masking admits no floating-point
+    rewriting, and is cheaper (one AND vs 2 mul + 2 sub)."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.int32(_LO12_MASK), a.dtype)
     return hi, a - hi
 
 
 def two_prod(a, b):
     """Error-free a * b: returns (p, err) with p + err == a * b exactly
-    (Dekker's algorithm; no FMA required)."""
+    (Dekker's algorithm; no FMA required).
+
+    See the COMPILER CAVEAT above two_sum for the XLA:CPU fusion hazard
+    and its mitigation (regression-tested in tests/test_dfloat.py)."""
     p = a * b
     ah, al = _split(a)
     bh, bl = _split(b)

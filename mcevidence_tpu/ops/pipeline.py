@@ -112,23 +112,76 @@ def fused_auto_evidence(samples, lnlike, weights, valid, n_true,
 # scalars cross the device->host link.  Built for relay-attached TPUs where
 # device->host transfers are orders of magnitude slower than host->device:
 # the host-refine path's index fetch is the bottleneck there.
-# Accuracy: ~1e-7 in ln Z (f32 exp/log ulp noise averaging over samples);
-# the host-refine path stays the 1e-14 reference.
+# Accuracy: ~1e-13 in ln Z — the device program uses NO transcendentals
+# (exp/log scalars are precomputed on the host in f64, see
+# _fused_refine_dotp_impl); the host-refine path stays the 1e-14 reference.
 # ---------------------------------------------------------------------------
 
-MAX_HALF_POW = 8        # supports ndim <= 17 at runtime
+MAX_HALF_POW = 8        # double-float z^(d/2) ladder depth (ndim <= 17);
+                        # the dpad layout classes cap the device paths at
+                        # DEVICE_NDIM_MAX — larger chains take host refine
+
+# widest coordinate-padding class of the device-resident programs
+# (ring.GRID_DPAD_CLASSES); chains with more parameters fall back to the
+# host-refine parity path instead of crashing on an internal constant
+DEVICE_NDIM_MAX = 16
 
 
 def fused_refine_dotp(qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref_true,
                       ndim, inv_s2, *, k_sel: int, kmax: int,
                       engine: str = "pallas", self_mode: bool = True):
     """Jitted wrapper around :func:`_fused_refine_dotp_impl` (row_offset=0:
-    query row i is reference row i in self mode)."""
-    return _fused_refine_dotp_jit(qhi, qlo, rhi, rlo, scalh, scall, valid,
-                                  n_ref_true, ndim, inv_s2,
-                                  jnp.int32(0), k_sel=k_sel, kmax=kmax,
-                                  engine=engine, self_mode=self_mode,
-                                  kernel_self_pin=self_mode)
+    query row i is reference row i in self mode).
+
+    On non-TPU backends the program is SPLIT: selection compiles normally,
+    but the double-float refinement/estimator compiles at backend
+    optimization level 0 — XLA:CPU's fusion rematerializes products into
+    consumer fusions where LLVM contracts them into fmas, silently
+    destroying the error-free-transformation identities (~2^-24-relative
+    corruption of the k=1 column; dfloat._pin documents the investigation
+    — neither optimization barriers nor bit-level pins survive the
+    pipeline).  The post stage is O(N*k) so O0 costs microseconds; TPU
+    keeps the single fused program, where on-chip parity is measured at
+    ~1e-13 (BASELINE.md real-grid numbers)."""
+    if jax.default_backend() == "tpu":
+        return _fused_refine_dotp_jit(qhi, qlo, rhi, rlo, scalh, scall,
+                                      valid, n_ref_true, ndim, inv_s2,
+                                      jnp.int32(0), k_sel=k_sel, kmax=kmax,
+                                      engine=engine, self_mode=self_mode,
+                                      kernel_self_pin=self_mode)
+    _, idx = _cpu_select_jit(qhi, rhi, k_sel, self_mode, n_ref_true)
+    return _refine_dotp_post_o0(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                                ndim, inv_s2, idx, jnp.int32(0),
+                                kmax=kmax, self_mode=self_mode)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _cpu_select_jit(qhi, rhi, k_sel, self_mode, n_ref_true):
+    from .knn import knn_select_xla
+    return knn_select_xla(qhi, rhi, k_sel, self_mode=self_mode,
+                          nr=n_ref_true)
+
+
+_O0_POST_CACHE: dict = {}
+
+
+def _refine_dotp_post_o0(qhi, qlo, rhi, rlo, scalh, scall, valid, ndim,
+                         inv_s2, idx, row_offset, *, kmax: int,
+                         self_mode: bool):
+    """AOT-compiled _refine_dotp_post at xla_backend_optimization_level=0:
+    the only reliable way (found) to keep XLA:CPU from miscompiling the
+    error-free double-float identities.  Cached per (shapes, statics)."""
+    args = (qhi, qlo, rhi, rlo, scalh, scall, valid, ndim, inv_s2, idx,
+            row_offset)
+    key = (tuple((a.shape, str(a.dtype)) for a in args), kmax, self_mode)
+    fn = _O0_POST_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(
+            _refine_dotp_post, kmax=kmax, self_mode=self_mode)
+        ).lower(*args).compile(
+            compiler_options={"xla_backend_optimization_level": "0"})
+        _O0_POST_CACHE[key] = fn
+    return fn(*args)
 
 
 @functools.partial(jax.jit,
@@ -144,8 +197,6 @@ def _fused_refine_dotp_jit(qhi, qlo, rhi, rlo, scalh, scall, valid,
                                    kernel_self_pin=kernel_self_pin)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k_sel", "kmax", "engine", "self_mode"))
 def fused_refine_dotp_batch(qhi, qlo, rhi, rlo, scalh, scall, valid,
                             n_ref_true, ndim, inv_s2, *, k_sel: int,
                             kmax: int, engine: str = "pallas",
@@ -155,7 +206,46 @@ def fused_refine_dotp_batch(qhi, qlo, rhi, rlo, scalh, scall, valid,
     more than the compute).  Selection runs the kernel-level-batched packed
     kernel (the per-member runtime count lives in an SMEM array — plain
     vmap cannot batch an SMEM scalar operand); the double-float refinement
-    and estimator vmap.  Returns (B, 2*kmax+1)."""
+    and estimator vmap.  Returns (B, 2*kmax+1).
+
+    Split on non-TPU backends like :func:`fused_refine_dotp` (optimized
+    selection + O0-compiled EFT post): the fused compile corrupts the
+    double-float identities on XLA:CPU."""
+    if jax.default_backend() == "tpu":
+        return _fused_refine_dotp_batch_jit(
+            qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref_true, ndim,
+            inv_s2, k_sel=k_sel, kmax=kmax, engine=engine,
+            self_mode=self_mode)
+    _, idx = _cpu_select_batch_jit(qhi, rhi, k_sel, self_mode, n_ref_true)
+    args = (qhi, qlo, rhi, rlo, scalh, scall, valid, ndim, inv_s2, idx)
+    key = ("batch", tuple((a.shape, str(a.dtype)) for a in args), kmax,
+           self_mode)
+    fn = _O0_POST_CACHE.get(key)
+    if fn is None:
+        def post(qh, ql, rh, rl, sh, sl, v, nd, s2, idx_b):
+            return _refine_dotp_post(qh, ql, rh, rl, sh, sl, v, nd, s2,
+                                     idx_b, jnp.int32(0), kmax=kmax,
+                                     self_mode=self_mode)
+        fn = jax.jit(jax.vmap(post)).lower(*args).compile(
+            compiler_options={"xla_backend_optimization_level": "0"})
+        _O0_POST_CACHE[key] = fn
+    return fn(*args)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _cpu_select_batch_jit(qhi, rhi, k_sel, self_mode, n_ref_true):
+    from .knn import knn_select_xla
+    return jax.vmap(
+        lambda q, r, n: knn_select_xla(q, r, k_sel, self_mode=self_mode,
+                                       nr=n))(qhi, rhi, n_ref_true)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_sel", "kmax", "engine", "self_mode"))
+def _fused_refine_dotp_batch_jit(qhi, qlo, rhi, rlo, scalh, scall, valid,
+                                 n_ref_true, ndim, inv_s2, *, k_sel: int,
+                                 kmax: int, engine: str = "pallas",
+                                 self_mode: bool = True):
     if engine == "pallas_smalld" and qhi.shape[2] <= 16:
         from .knn_pallas import knn_select_pallas_smalld_batched
         _, idx = knn_select_pallas_smalld_batched(
@@ -246,13 +336,22 @@ def _refine_dotp_post(qhi, qlo, rhi, rlo, scalh, scall, valid, ndim,
         d2l = jnp.where(selfm, 0.0, d2l)
     key = d2h + d2l
     order = jnp.argsort(key, axis=1)
-    # sufficiency guard statistic: rows whose kmax-th refined distance sits
-    # within the selection's ranking noise of the worst kept candidate
-    kth = jnp.take_along_axis(key, order[:, kmax - 1:kmax], axis=1)[:, 0]
-    last = jnp.take_along_axis(key, order[:, -1:], axis=1)[:, 0]
-    thin = ((kth > last * (1.0 - 2.0 ** -10)) & jnp.isfinite(last)
-            & (last > 0) & (valid > 0))
-    thin_count = jnp.sum(thin.astype(jnp.float32))
+    if idx.shape[1] > kmax:
+        # sufficiency guard statistic: rows whose kmax-th refined distance
+        # sits within the selection's ranking noise of the worst kept
+        # candidate.  These are SQUARED distances, so the margin factor is
+        # the square of the host guard's 2^-10 distance margin (knn.py) —
+        # (1-2^-10)^2 ~= 1-2^-9 — keeping both guards equally sensitive.
+        kth = jnp.take_along_axis(key, order[:, kmax - 1:kmax],
+                                  axis=1)[:, 0]
+        last = jnp.take_along_axis(key, order[:, -1:], axis=1)[:, 0]
+        thin = ((kth > last * (1.0 - 2.0 ** -9)) & jnp.isfinite(last)
+                & (last > 0) & (valid > 0))
+        thin_count = jnp.sum(thin.astype(jnp.float32))
+    else:
+        # k_sel == kmax: kth IS the boundary — the statistic would be
+        # vacuously true for every valid row and trigger pointless retries
+        thin_count = jnp.float32(0.0)
 
     order = order[:, :kmax]
     d2h = jnp.take_along_axis(d2h, order, axis=1)
@@ -352,8 +451,18 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     # the selection ranking precision for strongly offset chains (the f32
     # hi half of an uncentred coordinate loses |offset|*2^-24 per coord).
     def _stats_and_rot(x, xc):
-        cov = (xc.T @ xc) / (x.shape[0] - 1.0)
-        eigvals, eigvecs = np.linalg.eigh(cov)
+        cov = (xc.T @ xc) / max(x.shape[0] - 1.0, 1.0)
+        if not np.all(np.isfinite(cov)):
+            # NaN/inf coordinates or a 1-row chain: warn-and-skip like
+            # whiten_stats (whiten.py) — degenerate inputs never traceback
+            logger.warning("covariance is not finite: chain not whitened")
+            return 0.0, None
+        try:
+            eigvals, eigvecs = np.linalg.eigh(cov)
+        except np.linalg.LinAlgError as e:
+            logger.warning("covariance eigh failed (%s): chain not "
+                           "whitened", e)
+            return 0.0, None
         posdef = bool(np.all(eigvals > 0))
         if not posdef:
             logger.warning("covariance has non-positive eigenvalues %s: "
@@ -526,7 +635,12 @@ def host_refine_evidence(samples, lnlike, weights=None, *, samples2=None,
         dknn, lnlike, w, sumw, ndim, log_jacobian=stats.log_jacobian,
         log_prior_volume=math.log(prior_volume),
         k_start=0 if cross else 1, nsamples=n)
-    return mle[1:]
+    # tiny reference partitions fill only their defined columns; NaN-pad to
+    # the kmax-1 contract so the device-path fallbacks that route here
+    # never change their caller's row shape mid-flight
+    out = np.full(kmax - 1, np.nan)
+    out[: len(mle) - 1] = mle[1:]
+    return out
 
 
 def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
@@ -535,7 +649,8 @@ def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
                            kmax: int = 2, prior_volume: float = 1.0,
                            sum_adjusted_weights: Optional[float] = None,
                            pad_candidates: int = 4,
-                           engine: str = "auto") -> np.ndarray:
+                           engine: str = "auto",
+                           _retried: bool = False) -> np.ndarray:
     """Parity-grade evidence with scalar-only device->host traffic.
 
     Host f64 whitening -> double-float coordinate upload -> ONE device
@@ -545,6 +660,16 @@ def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
     ``samples2`` is given (NNs of ``samples`` searched in ``samples2``).
     """
     kmax = max(2, kmax)
+    if samples.shape[1] > DEVICE_NDIM_MAX:
+        # the device-resident dpad layout classes stop at DEVICE_NDIM_MAX
+        # parameters; degrade like every other unsupported device config
+        logger.info("device-refine: ndim %d > %d (device layout limit); "
+                    "falling back to the host refine path",
+                    samples.shape[1], DEVICE_NDIM_MAX)
+        return host_refine_evidence(
+            samples, lnlike, weights, samples2=samples2, kmax=kmax,
+            prior_volume=prior_volume,
+            sum_adjusted_weights=sum_adjusted_weights, engine=engine)
     dev, host = _device_refine_prepare(samples, lnlike, weights, kmax,
                                        pad_candidates, engine,
                                        samples2=samples2)
@@ -569,7 +694,7 @@ def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
     # candidate (k_sel == n_ref => the selection is trivially sufficient)
     if flat_np[-1] > 0 and host["k_sel"] < n_ref:
         retry_pad = 4 * pad_candidates + 8
-        if (pad_candidates < 32
+        if (not _retried
                 and min(kmax + retry_pad, n_ref) > host["k_sel"]):
             # thin candidate margins: one retry with 4x padding (same
             # policy as exact_knn's sufficiency guard)
@@ -580,7 +705,7 @@ def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
                 samples, lnlike, weights, samples2=samples2, kmax=kmax,
                 prior_volume=prior_volume,
                 sum_adjusted_weights=sum_adjusted_weights,
-                pad_candidates=retry_pad, engine=engine)
+                pad_candidates=retry_pad, engine=engine, _retried=True)
         return _device_refine_finalize(flat_np, host, kmax, prior_volume,
                                        sum_adjusted_weights, warn_thin=True)
     return _device_refine_finalize(flat_np, host, kmax, prior_volume,
@@ -612,7 +737,12 @@ def fast_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
     from ..utils.cache import record_shape
     record_shape("fast_auto", rows=nb, ndim=ndim, kmax=kmax, engine=engine)
     s = np.zeros((nb, ndim), np.float32)
-    s[:n] = samples
+    # centre in f64 BEFORE the f32 cast: an uncentred coordinate loses
+    # |mean|*2^-24 absolute per element (fatal to selection ranking for
+    # strongly offset chains), and the uncentred-moment covariance inside
+    # the jit cancels catastrophically at large |mean|/std.  Distances,
+    # covariance, and Jacobian are all translation-invariant.
+    s[:n] = samples - np.asarray(samples, np.float64).mean(axis=0)
     lnl = np.full(nb, -1e30, np.float32)
     lnl[:n] = lnlike
     w = np.ones(nb, np.float32)

@@ -435,6 +435,9 @@ def sharded_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
         out[: len(mle) - 1] = mle[1:]
         return out
 
+    # centre in f64 before the f32 cast (translation-invariant; preserves
+    # selection ranking and covariance conditioning for offset chains)
+    samples = samples - samples.mean(axis=0)
     s, lnl, w, valid = pad_for_mesh(samples, lnlike, w_np, pcount)
     fn = make_sharded_evidence(mesh, axis, kmax=kmax, ndim=ndim)
     sharding = NamedSharding(mesh, P(axis))
@@ -504,6 +507,10 @@ def sharded_cross_evidence(samples1: np.ndarray, lnlike1: np.ndarray,
         out[: len(mle) - 1] = mle[1:]
         return out
 
+    # common f64 shift for BOTH partitions (cross distances are relative)
+    mu_c = samples1.mean(axis=0)
+    samples1 = samples1 - mu_c
+    samples2 = samples2 - mu_c
     s1, lnl1, w1, valid1 = pad_for_mesh(samples1, lnlike1, w1_np, pcount)
     nb2 = ((bucket_size(n2) + pcount - 1) // pcount) * pcount
     s2 = _pad_rows(samples2, nb2)
@@ -579,11 +586,28 @@ def sharded_device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
     double-float upload, sharded fused selection+refinement+estimator,
     scalars-only fetch, f64 host bookkeeping.  Returns k = 1..kmax-1.
     Auto mode, or cross when ``samples2`` is given."""
-    from ..ops.pipeline import (_device_refine_finalize,
+    from ..ops.pipeline import (DEVICE_NDIM_MAX, _device_refine_finalize,
                                 _device_refine_prepare)
     kmax = max(2, kmax)
     mesh = _default_mesh(mesh)
     axis = mesh.axis_names[-1]
+    if samples.shape[1] > DEVICE_NDIM_MAX:
+        # wider than the device dpad layout classes: degrade to the sharded
+        # refine path like every other unsupported device-path config
+        logger.info("sharded device-refine: ndim %d > %d; falling back to "
+                    "the sharded refine path", samples.shape[1],
+                    DEVICE_NDIM_MAX)
+        if samples2 is None:
+            return sharded_auto_evidence(
+                samples, lnlike, weights, kmax=kmax,
+                prior_volume=prior_volume,
+                sum_adjusted_weights=sum_adjusted_weights, mesh=mesh,
+                precision="refine", pad_candidates=pad_candidates)
+        return sharded_cross_evidence(
+            samples, lnlike, samples2, weights, kmax=kmax,
+            prior_volume=prior_volume,
+            sum_adjusted_weights=sum_adjusted_weights, mesh=mesh,
+            precision="refine", pad_candidates=pad_candidates)
     dev, host = _device_refine_prepare(samples, lnlike, weights, kmax,
                                        pad_candidates, engine,
                                        samples2=samples2)

@@ -299,6 +299,22 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
         logger.info("batched cross-evidence runs on the refine path")
         precision = "refine"
 
+    # chains wider than the device programs' coordinate-padding classes
+    # (rare: --allparams on a many-nuisance model) take the host refine
+    # path per cell instead of crashing the batched dispatch
+    from .ops.pipeline import DEVICE_NDIM_MAX
+    wide = [c for c in cells if c[2] > DEVICE_NDIM_MAX]
+    if wide:
+        from .evidence import evidence_fn
+        logger.info("%d cell(s) with ndim > %d take the host refine path",
+                    len(wide), DEVICE_NDIM_MAX)
+        cells = [c for c in cells if c[2] <= DEVICE_NDIM_MAX]
+        for (imm, icc, _nd, s1, lnl1, w1, s2, pv, sumw_adj) in wide:
+            mce[imm, icc, :] = evidence_fn(
+                s1, lnl1, weights=w1, samples2=s2, kmax=kmax,
+                prior_volume=pv, sum_adjusted_weights=sumw_adj,
+                precision="refine")
+
     if precision == "device":
         # device-resident per-cell pipeline: every cell's fused program
         # (packed selection + double-float refine + estimator) is DISPATCHED

@@ -97,3 +97,55 @@ def test_import_does_not_initialize_backend():
                        text=True, env=env, timeout=120)
     assert p.returncode == 0, p.stderr
     assert p.stdout.strip().splitlines()[-1] == "clean"
+
+
+def test_device_refine_k1_parity_under_jit():
+    """REGRESSION (round-4): XLA:CPU rematerializes products into consumer
+    fusions where LLVM contracts them into fmas, destroying the error-free
+    double-float identities — device-precision k=1 lnZ silently degraded
+    to ~1e-9 vs host refine (contract: ~1e-13).  The CPU path now compiles
+    the EFT post stage at backend optimization level 0; this pins k=1
+    parity across dimensionalities."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from conftest import make_gaussian_chain
+
+    from mcevidence_tpu.ops.pipeline import (device_refine_evidence,
+                                             host_refine_evidence)
+    for d in (3, 8):
+        th, lnl = make_gaussian_chain(np.random.default_rng(3), n=2000,
+                                      ndim=d)
+        dv = device_refine_evidence(th, lnl, kmax=3, engine="xla")
+        hv = host_refine_evidence(th, lnl, kmax=3, engine="xla")
+        assert abs(dv[0] - hv[0]) < 5e-12, (d, dv, hv)
+        assert abs(dv[1] - hv[1]) < 5e-12, (d, dv, hv)
+
+
+def test_df_mul_broadcast_under_jit_is_exact():
+    """The minimal reproducer of the fusion/contraction corruption: df_mul
+    with a broadcast factor, jitted, must stay at double-float precision.
+    (Runs the O0-compiled path indirectly only on CPU; kept as a canary —
+    if this fails, see dfloat._split and pipeline._refine_dotp_post_o0.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from mcevidence_tpu.ops.dfloat import df_from_f64_np, df_mul
+    rng = np.random.default_rng(0)
+    p64 = np.abs(rng.normal(30, 20, size=(3000, 3)))
+    s64 = np.exp(rng.normal(-1, 0.5, size=3000))
+    ph, pl = df_from_f64_np(p64)
+    sh, sl = df_from_f64_np(s64)
+    truth = ((ph.astype(np.float64) + pl.astype(np.float64))
+             * (sh.astype(np.float64) + sl.astype(np.float64))[:, None])
+
+    def g(ph, pl, a, b):
+        return df_mul(ph, pl, a[:, None], b[:, None])
+
+    compiled = jax.jit(g).lower(
+        jnp.asarray(ph), jnp.asarray(pl), jnp.asarray(sh), jnp.asarray(sl)
+    ).compile(compiler_options={"xla_backend_optimization_level": "0"})
+    h, l = compiled(jnp.asarray(ph), jnp.asarray(pl), jnp.asarray(sh),
+                    jnp.asarray(sl))
+    v = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    rel = np.abs(v - truth) / np.abs(truth)
+    assert rel.max() < 1e-13, rel.max()

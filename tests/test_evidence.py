@@ -497,3 +497,34 @@ def test_pooled_staging_self_check(monkeypatch):
     c = pipeline._pooled("selfcheck2", (8,), np.float32)
     d = pipeline._pooled("selfcheck2", (8,), np.float32)
     assert c is not d
+
+
+def test_device_ndim_over_layout_limit_falls_back(rng, caplog):
+    """ndim > DEVICE_NDIM_MAX (17+ parameters): precision='device' must
+    degrade to host refine with a log line, not crash on an internal
+    layout constant (round-4 review finding)."""
+    import logging
+
+    theta = rng.normal(size=(400, 17))
+    lnl = -0.5 * np.sum(theta * theta, axis=1)
+    with caplog.at_level(logging.INFO, logger="mcevidence_tpu.ops.pipeline"):
+        got = evidence_fn(theta, lnl, kmax=2, precision="device",
+                          engine="xla")
+    want = evidence_fn(theta, lnl, kmax=2, precision="refine", engine="xla")
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    assert any("device layout limit" in r.message for r in caplog.records)
+
+
+def test_device_degenerate_inputs_never_traceback(rng):
+    """The device path honors the degenerate-input contract the host path
+    already has (whiten_stats warn-and-skip): NaN rows and 1-row chains
+    degrade, never LinAlgError (round-4 review finding)."""
+    theta = rng.normal(size=(300, 3))
+    lnl = -0.5 * np.sum(theta * theta, axis=1)
+    bad = theta.copy()
+    bad[5] = np.nan
+    out = evidence_fn(bad, lnl, kmax=2, precision="device", engine="xla")
+    assert out.shape == (1,)          # degraded, not crashed
+    out1 = evidence_fn(theta[:1], lnl[:1], kmax=2, precision="device",
+                       engine="xla")
+    assert out1.shape == (1,)

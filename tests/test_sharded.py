@@ -319,3 +319,19 @@ def test_sharded_fast_small_n_returns_nan_not_inf(rng):
                                   precision="fast")
     assert not np.isinf(outx).any()
     assert np.isnan(outx[2:]).all()         # cross col c needs n2 >= c+1
+
+
+def test_sharded_device_refine_wide_ndim_falls_back(rng, caplog):
+    """ndim > DEVICE_NDIM_MAX must route to the sharded refine path."""
+    import logging
+
+    th = rng.normal(size=(400, 17))
+    lnl = -0.5 * np.sum(th * th, axis=1)
+    from mcevidence_tpu.parallel.ring import sharded_device_refine_evidence
+    with caplog.at_level(logging.INFO,
+                         logger="mcevidence_tpu.parallel.ring"):
+        got = sharded_device_refine_evidence(th, lnl, kmax=2, engine="xla")
+    want = sharded_auto_evidence(th, lnl, kmax=2, precision="refine")
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    assert any("falling back to the sharded refine path" in r.message
+               for r in caplog.records)
