@@ -37,7 +37,10 @@ _LO12_MASK = -4096            # int32 ~0xFFF; python int: no device array
 # backends the EFT post stage is AOT-compiled at
 # xla_backend_optimization_level=0 (_refine_dotp_post_o0).  On TPU the
 # fused path is measured correct (BASELINE.md: 6.75e-14 over the real
-# Planck grid at k=1).
+# Planck grid at k=1).  Residual scope: the multi-device shard_map
+# programs (parallel/ring.py) cannot O0 a sub-section, so on the CPU
+# TEST backend they retain the hazard within their asserted tolerances
+# (~1e-9 worst-case k=1); production multi-chip runs are TPU.
 
 def two_sum(a, b):
     """Error-free a + b: returns (s, err) with s + err == a + b exactly."""
