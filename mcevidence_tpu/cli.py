@@ -110,6 +110,15 @@ def build_parser() -> ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import os
+    plat = os.environ.get("MCE_FORCE_PLATFORM")
+    if plat:
+        # late re-assertion of the platform (same as planck.main/serve.main):
+        # the env var alone is read too early — sitecustomize imports jax at
+        # interpreter start and force-selects the TPU plugin.  Lets CLI runs
+        # ride out relay outages on the CPU backend.
+        import jax
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     if args.json:
         # one-shot machine-readable mode: route through the service's

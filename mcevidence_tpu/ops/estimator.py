@@ -55,11 +55,14 @@ def log_evidence_from_knn(dknn: jnp.ndarray,
                           log_jacobian,
                           log_prior_volume,
                           k_start: int,
-                          nsamples: Optional[int] = None) -> jnp.ndarray:
+                          nsamples: Optional[int] = None,
+                          valid: Optional[jnp.ndarray] = None,
+                          squared: bool = False) -> jnp.ndarray:
     """Fused evidence reduction over all k columns at once.
 
     Args:
-      dknn:    (S, K) sorted kNN distances in the whitened space.
+      dknn:    (S, K) sorted kNN distances in the whitened space
+               (squared distances when ``squared=True``).
       lnlike:  (S,) log-likelihood (+lnL) per sample.
       weights: (S,) per-sample MCMC weights (unadjusted; see quirk Q7).
       sum_adjusted_weights: scalar SumW over the full s1 partition.
@@ -68,6 +71,9 @@ def log_evidence_from_knn(dknn: jnp.ndarray,
       log_prior_volume: ln of the prior-space volume.
       k_start: 1 for auto mode (column 0 is the self match), 0 for cross mode.
       nsamples: S in the reference's amax denominator (defaults to dknn rows).
+      valid:   optional (S,) 0/1 mask — padded rows contribute nothing
+               (used by the fused bucket-padded device pipeline).
+      squared: ``dknn`` holds D^2 (selection output) instead of D.
 
     Returns:
       (K,) array: MLE_k for every column; columns < k_start are -inf-free
@@ -75,17 +81,22 @@ def log_evidence_from_knn(dknn: jnp.ndarray,
     """
     S = dknn.shape[0] if nsamples is None else nsamples
     K = dknn.shape[1]
-    lnl_max = jnp.max(lnlike)
+    if valid is None:
+        lnl_max = jnp.max(lnlike)
+    else:
+        lnl_max = jnp.max(jnp.where(valid > 0, lnlike, -jnp.inf))
     fs = lnlike - lnl_max                                     # (S,)
     log_c = log_ball_volume_const(ndim)
 
     # ln(D^d) with D=0 -> -inf -> contributes exp(-inf)=0, matching the
     # reference where volume=0 for zero distances.
-    with np.errstate(divide="ignore"):
-        log_d = jnp.where(dknn > 0, jnp.log(jnp.where(dknn > 0, dknn, 1.0)),
-                          -jnp.inf)
-    log_vol = log_c + ndim * log_d                            # (S, K)
+    log_d = jnp.where(dknn > 0, jnp.log(jnp.where(dknn > 0, dknn, 1.0)),
+                      -jnp.inf)
+    d_pow = 0.5 * ndim if squared else ndim
+    log_vol = log_c + d_pow * log_d                           # (S, K)
     log_terms = log_vol + (fs - jnp.log(weights))[:, None]    # (S, K)
+    if valid is not None:
+        log_terms = jnp.where(valid[:, None] > 0, log_terms, -jnp.inf)
     log_dotp = logsumexp(log_terms, axis=0)                   # (K,)
 
     k_idx = jnp.arange(K)

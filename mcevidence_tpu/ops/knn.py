@@ -109,7 +109,11 @@ def knn_select_xla(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     # Shift both sets by a common offset: distances are translation-invariant
     # and centred coordinates avoid f32 cancellation in the matmul identity.
-    mu = jnp.sum(ref, axis=0, keepdims=True) / jnp.maximum(
+    # Masked sum: ref rows >= nr carry NO contract beyond "never selected"
+    # (same fix as the Pallas wrappers, commit 17192c6) — non-zero padding
+    # must not shift mu.
+    _ok = (jnp.arange(ref.shape[0]) < nr)[:, None]
+    mu = jnp.sum(jnp.where(_ok, ref, 0), axis=0, keepdims=True) / jnp.maximum(
         nr.astype(query.dtype), 1.0)
     q = query - mu
     r = ref - mu

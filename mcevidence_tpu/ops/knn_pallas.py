@@ -87,6 +87,12 @@ def _extract_topk(cat, cat_idx, k: int):
                          jnp.max(jnp.where(mask, cat_idx, neg_big), axis=1,
                                  keepdims=True), idxs)
         cat = jnp.where(mask, jnp.inf, cat)
+    # absent slots (fewer than k real candidates) must decode to -1: once a
+    # winner column is invalidated to inf, a later argmin can land on it
+    # again and re-emit its STALE cat_idx — without this mask every kernel
+    # returned duplicate real indices for the inf tail (round-4 review),
+    # which downstream refine stages would double-count into dotp.
+    idxs = jnp.where(jnp.isinf(vals), -1, idxs)
     return vals, idxs
 
 
@@ -333,15 +339,26 @@ def _knn_kernel_packed_smalld(nr_ref, q_ref, rt_ref, d2_out, idx_out, *,
     idx_out[:] = idx_new
 
 
-@functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "self_mode", "interpret", "d_real"))
 def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                              self_mode: bool = False, interpret: bool = False,
-                             nr=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                             nr=None, d_real: "int | None" = None
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-coordinate VPU selection for d <= SMALLD_MAX; packed extraction
     (same <= 2^-12 distance quantization as ``knn_select_pallas_packed``),
-    exact f32 squared differences."""
+    exact f32 squared differences.
+
+    ``d_real``: true coordinate count when the input width is already
+    padded (columns >= d_real MUST be zero) — the kernel sweeps exactly
+    d_real coordinates instead of paying for all-zero padding columns
+    (round-4 review).  Static: callers with runtime-varying ndim within a
+    padded width class leave it None (sweep the full width)."""
     nq, d = query.shape
     assert d <= SMALLD_MAX, f"smalld kernel requires d <= {SMALLD_MAX}"
+    if d_real is None:
+        d_real = d
+    assert 0 < d_real <= d, (d_real, d)
     if nr is None:
         nr = ref.shape[0]
     k = min(k, ref.shape[0])
@@ -363,7 +380,7 @@ def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     grid = (nq_pad // tq, nr_pad // TR)
     kernel = functools.partial(_knn_kernel_packed_smalld, k=k,
-                               self_mode=self_mode, d_real=d)
+                               self_mode=self_mode, d_real=d_real)
     d2, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -418,15 +435,20 @@ def _knn_kernel_packed_smalld_batched(nr_ref, q_ref, rt_ref, d2_out, idx_out,
     idx_out[0] = idx_new
 
 
-@functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "self_mode", "interpret", "d_real"))
 def knn_select_pallas_smalld_batched(query, ref, k: int,
                                      self_mode: bool = False,
                                      interpret: bool = False,
-                                     nr=None):
+                                     nr=None, d_real: "int | None" = None):
     """Batched per-coordinate selection: (B, Nq, d) vs (B, Nr, d), d <=
-    SMALLD_MAX; same contract as ``knn_select_pallas_packed_batched``."""
+    SMALLD_MAX; same contract as ``knn_select_pallas_packed_batched``.
+    ``d_real``: see ``knn_select_pallas_smalld``."""
     bsz, nq, d = query.shape
     assert d <= SMALLD_MAX, f"smalld kernel requires d <= {SMALLD_MAX}"
+    if d_real is None:
+        d_real = d
+    assert 0 < d_real <= d, (d_real, d)
     nr_full = ref.shape[1]
     if nr is None:
         nr = jnp.full((bsz,), nr_full, jnp.int32)
@@ -451,7 +473,7 @@ def knn_select_pallas_smalld_batched(query, ref, k: int,
 
     grid = (bsz, nq_pad // tq, nr_pad // TR)
     kernel = functools.partial(_knn_kernel_packed_smalld_batched, k=k,
-                               self_mode=self_mode, d_real=d)
+                               self_mode=self_mode, d_real=d_real)
     d2, idx = pl.pallas_call(
         kernel,
         grid=grid,

@@ -28,32 +28,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .estimator import log_ball_volume_const
 from .knn import bucket_size
 
 logger = logging.getLogger(__name__)
-
-
-def _masked_whiten(samples, valid):
-    """Whitening from masked moments: padded rows excluded from the
-    covariance; rotation applied to all rows (pads are trimmed later)."""
-    w = valid[:, None]
-    n = jnp.sum(valid)
-    sx = jnp.sum(samples * w, axis=0)
-    sxx = jnp.dot((samples * w).T, samples,
-                  precision=jax.lax.Precision.HIGHEST)
-    mean = sx / n
-    cov = (sxx - n * jnp.outer(mean, mean)) / (n - 1.0)
-    eigvals, eigvecs = jnp.linalg.eigh(cov)
-    posdef = jnp.all(eigvals > 0)
-    safe = jnp.where(eigvals > 0, eigvals, 1.0)
-    log_j = jnp.where(posdef, 0.5 * jnp.sum(jnp.log(safe)), 0.0)
-    white = jnp.where(
-        posdef,
-        jnp.dot(samples, eigvecs,
-                precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(safe),
-        samples)
-    return white, log_j
 
 
 @functools.partial(jax.jit, static_argnames=("kmax", "ndim", "engine"))
@@ -72,7 +49,8 @@ def fused_auto_evidence(samples, lnlike, weights, valid, n_true,
 
     Returns (kmax,) MLE row (column 0 unused — quirk Q2 layout).
     """
-    white, log_j = _masked_whiten(samples, valid)
+    from .whiten import whiten_masked_jnp
+    white, log_j, _ = whiten_masked_jnp(samples, valid)
     if engine.startswith("pallas"):
         from .knn_pallas import (knn_select_pallas, knn_select_pallas_binned,
                                  knn_select_pallas_packed)
@@ -89,21 +67,16 @@ def fused_auto_evidence(samples, lnlike, weights, valid, n_true,
         d2, _ = knn_select_xla(white, white, kmax, self_mode=True,
                                nr=n_true)
 
-    lnl_max = jnp.max(jnp.where(valid > 0, lnlike, -jnp.inf))
-    fs = lnlike - lnl_max
-    log_c = log_ball_volume_const(ndim)
-    log_d2 = jnp.where(d2 > 0, jnp.log(jnp.where(d2 > 0, d2, 1.0)), -jnp.inf)
-    log_terms = (log_c + 0.5 * ndim * log_d2
-                 + (fs - jnp.log(weights))[:, None])
-    log_terms = jnp.where(valid[:, None] > 0, log_terms, -jnp.inf)
-    m = jnp.max(log_terms, axis=0)
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    log_dotp = m_safe + jnp.log(jnp.sum(jnp.exp(log_terms - m_safe), axis=0))
-    sum_w = jnp.sum(weights * valid)
+    from .estimator import log_evidence_from_knn
+    mle = log_evidence_from_knn(
+        d2, lnlike, weights, jnp.sum(weights * valid), ndim,
+        log_jacobian=log_j, log_prior_volume=log_prior_volume,
+        k_start=1, nsamples=n_true, valid=valid, squared=True)
+    # columns k >= n_true have no k-th neighbour (selection returns +inf
+    # distance, which would propagate log(inf)=+inf into the result): mark
+    # them undefined, matching the host parity path's NaN padding
     k_idx = jnp.arange(kmax)
-    log_amax = log_dotp - jnp.log(n_true * k_idx + 1.0)
-    mle = jnp.log(sum_w) + log_amax + log_j + lnl_max - log_prior_volume
-    return jnp.where(k_idx < 1, 0.0, mle)
+    return jnp.where(k_idx < n_true, mle, jnp.nan)
 
 
 # ---------------------------------------------------------------------------
@@ -129,7 +102,8 @@ DEVICE_NDIM_MAX = 16
 
 def fused_refine_dotp(qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref_true,
                       ndim, inv_s2, *, k_sel: int, kmax: int,
-                      engine: str = "pallas", self_mode: bool = True):
+                      engine: str = "pallas", self_mode: bool = True,
+                      d_real: "int | None" = None):
     """Jitted wrapper around :func:`_fused_refine_dotp_impl` (row_offset=0:
     query row i is reference row i in self mode).
 
@@ -148,7 +122,8 @@ def fused_refine_dotp(qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref_true,
                                       valid, n_ref_true, ndim, inv_s2,
                                       jnp.int32(0), k_sel=k_sel, kmax=kmax,
                                       engine=engine, self_mode=self_mode,
-                                      kernel_self_pin=self_mode)
+                                      kernel_self_pin=self_mode,
+                                      d_real=d_real)
     _, idx = _cpu_select_jit(qhi, rhi, k_sel, self_mode, n_ref_true)
     return _refine_dotp_post_o0(qhi, qlo, rhi, rlo, scalh, scall, valid,
                                 ndim, inv_s2, idx, jnp.int32(0),
@@ -186,15 +161,17 @@ def _refine_dotp_post_o0(qhi, qlo, rhi, rlo, scalh, scall, valid, ndim,
 
 @functools.partial(jax.jit,
                    static_argnames=("k_sel", "kmax", "engine", "self_mode",
-                                    "kernel_self_pin"))
+                                    "kernel_self_pin", "d_real"))
 def _fused_refine_dotp_jit(qhi, qlo, rhi, rlo, scalh, scall, valid,
                            n_ref_true, ndim, inv_s2, row_offset, *,
-                           k_sel, kmax, engine, self_mode, kernel_self_pin):
+                           k_sel, kmax, engine, self_mode, kernel_self_pin,
+                           d_real=None):
     return _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
                                    n_ref_true, ndim, inv_s2, row_offset,
                                    k_sel=k_sel, kmax=kmax, engine=engine,
                                    self_mode=self_mode,
-                                   kernel_self_pin=kernel_self_pin)
+                                   kernel_self_pin=kernel_self_pin,
+                                   d_real=d_real)
 
 
 def fused_refine_dotp_batch(qhi, qlo, rhi, rlo, scalh, scall, valid,
@@ -273,7 +250,8 @@ def _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
                             n_ref_true, ndim, inv_s2, row_offset, *,
                             k_sel: int, kmax: int, engine: str = "pallas",
                             self_mode: bool = True,
-                            kernel_self_pin: bool = True):
+                            kernel_self_pin: bool = True,
+                            d_real: "int | None" = None):
     """Device core: returns flat [dotp_hi (kmax), dotp_lo (kmax), thin]
     with dotp_k = sum_j (d2_jk * inv_s2)^(ndim/2) * scal_j  and a
     thin-margin count for the candidate-sufficiency guard.
@@ -300,11 +278,13 @@ def _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
     # self candidate wins slot 0 naturally at distance ~0 — and relies on
     # the offset-aware zeroing below.
     if engine == "pallas_smalld" and qhi.shape[1] <= 16:
-        # per-coordinate VPU selection (no 128-lane MXU padding; d <= 16)
+        # per-coordinate VPU selection (no 128-lane MXU padding; d <= 16);
+        # d_real skips the dpad-class zero columns' sweeps — static, so the
+        # smalld engine compiles per true ndim (opt-in perf trade-off)
         from .knn_pallas import knn_select_pallas_smalld
         _, idx = knn_select_pallas_smalld(qhi, rhi, k_sel,
                                           self_mode=kernel_self_pin,
-                                          nr=n_ref_true)
+                                          nr=n_ref_true, d_real=d_real)
     elif engine.startswith("pallas"):
         from .knn_pallas import knn_select_pallas_packed
         _, idx = knn_select_pallas_packed(qhi, rhi, k_sel,
@@ -451,25 +431,14 @@ def _device_refine_prepare(samples, lnlike, weights, kmax, pad_candidates,
     # the selection ranking precision for strongly offset chains (the f32
     # hi half of an uncentred coordinate loses |offset|*2^-24 per coord).
     def _stats_and_rot(x, xc):
+        # warn-and-skip policy lives in whiten_stats (ONE home, host side);
+        # the centred GEMM here skips np.cov's internal copies
+        from .whiten import whiten_stats
         cov = (xc.T @ xc) / max(x.shape[0] - 1.0, 1.0)
-        if not np.all(np.isfinite(cov)):
-            # NaN/inf coordinates or a 1-row chain: warn-and-skip like
-            # whiten_stats (whiten.py) — degenerate inputs never traceback
-            logger.warning("covariance is not finite: chain not whitened")
+        st = whiten_stats(x, cov=cov)
+        if not st.posdef:
             return 0.0, None
-        try:
-            eigvals, eigvecs = np.linalg.eigh(cov)
-        except np.linalg.LinAlgError as e:
-            logger.warning("covariance eigh failed (%s): chain not "
-                           "whitened", e)
-            return 0.0, None
-        posdef = bool(np.all(eigvals > 0))
-        if not posdef:
-            logger.warning("covariance has non-positive eigenvalues %s: "
-                           "chain not whitened", eigvals)
-            return 0.0, None
-        log_j = 0.5 * float(np.sum(np.log(eigvals)))
-        return log_j, eigvecs / np.sqrt(eigvals)
+        return st.log_jacobian, st.eigvecs / np.sqrt(st.eigvals)
 
     if cross:
         s2 = np.asarray(samples2, np.float64)
@@ -678,7 +647,11 @@ def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
         dev["scalh"], dev["scall"],
         dev["valid"], dev["n_true"], dev["ndim"], dev["inv_s2"],
         k_sel=host["k_sel"], kmax=host["kmax_eff"], engine=host["engine"],
-        self_mode=samples2 is None)
+        self_mode=samples2 is None,
+        # smalld: sweep only the true coordinates (static — the opt-in
+        # engine compiles per ndim instead of per dpad class)
+        d_real=(host["ndim"] if host["engine"] == "pallas_smalld"
+                else None))
     flat_np = np.asarray(flat)
     n_ref = samples2.shape[0] if samples2 is not None else samples.shape[0]
     if not np.all(np.isfinite(flat_np[:2 * host["kmax_eff"]])):

@@ -60,13 +60,18 @@ def covariance(samples: np.ndarray) -> np.ndarray:
         return np.cov(np.asarray(samples, dtype=np.float64).T)
 
 
-def whiten_stats(samples: np.ndarray) -> WhitenStats:
+def whiten_stats(samples: np.ndarray,
+                 cov: Optional[np.ndarray] = None) -> WhitenStats:
     """Eigen-decompose the sample covariance; detect the degenerate case.
 
     Negative eigenvalue => warn and mark non-posdef: callers then skip the
     rotation and use Jacobian=1 (reference MCEvidence.py:867-878,920-931).
+
+    ``cov``: precomputed covariance — callers that already hold centred
+    samples pass their own GEMM result and skip np.cov's internal copies
+    (the device-refine host prep).
     """
-    c = covariance(samples)
+    c = covariance(samples) if cov is None else np.asarray(cov, np.float64)
     c = np.atleast_2d(c)
     if not np.all(np.isfinite(c)):
         # < 2 rows (np.cov divides by n-1 = 0) or NaN samples: eigh would
@@ -77,7 +82,13 @@ def whiten_stats(samples: np.ndarray) -> WhitenStats:
         d = c.shape[0]
         return WhitenStats(cov=c, eigvals=np.zeros(d), eigvecs=np.eye(d),
                            log_jacobian=0.0, posdef=False)
-    eigvals, eigvecs = np.linalg.eigh(c)
+    try:
+        eigvals, eigvecs = np.linalg.eigh(c)
+    except np.linalg.LinAlgError as e:     # belt-and-braces: finite input
+        logger.warning("covariance eigh failed (%s): chain not whitened", e)
+        d = c.shape[0]
+        return WhitenStats(cov=c, eigvals=np.zeros(d), eigvecs=np.eye(d),
+                           log_jacobian=0.0, posdef=False)
     # <= 0: the reference only tests < 0 and then crashes on math.log(0) for
     # an exactly-singular covariance (a constant parameter column); treating
     # zero as degenerate matches the device paths and keeps the run alive.
@@ -107,6 +118,22 @@ def apply_whiten(samples: np.ndarray, stats: WhitenStats) -> np.ndarray:
 # jnp variants (device path)
 # --------------------------------------------------------------------------
 
+def _whiten_from_cov_jnp(samples: jnp.ndarray, cov: jnp.ndarray):
+    """Shared jit-traceable tail: eigh + posdef select + rotate/rescale.
+
+    ONE home for the warn-and-skip policy on device (the host twin lives in
+    ``whiten_stats``): non-posdef covariances fall back to the identity
+    transform with log_jacobian = 0."""
+    eigvals, eigvecs = jnp.linalg.eigh(cov)
+    posdef = jnp.all(eigvals > 0)
+    safe_vals = jnp.where(eigvals > 0, eigvals, 1.0)
+    log_j = jnp.where(posdef, 0.5 * jnp.sum(jnp.log(safe_vals)), 0.0)
+    white = jnp.dot(samples, eigvecs,
+                    precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(safe_vals)
+    white = jnp.where(posdef, white, samples)
+    return white, log_j, posdef
+
+
 def whiten_jnp(samples: jnp.ndarray):
     """Fused device whitening: returns (whitened, log_jacobian, posdef).
 
@@ -119,14 +146,25 @@ def whiten_jnp(samples: jnp.ndarray):
     xc = s - mu
     n = s.shape[0]
     cov = jnp.dot(xc.T, xc, precision=jax.lax.Precision.HIGHEST) / (n - 1)
-    eigvals, eigvecs = jnp.linalg.eigh(cov)
-    posdef = jnp.all(eigvals > 0)
-    safe_vals = jnp.where(eigvals > 0, eigvals, 1.0)
-    log_j = jnp.where(posdef, 0.5 * jnp.sum(jnp.log(safe_vals)), 0.0)
-    white = jnp.dot(s, eigvecs,
-                    precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(safe_vals)
-    white = jnp.where(posdef, white, s)
-    return white, log_j, posdef
+    return _whiten_from_cov_jnp(s, cov)
+
+
+def whiten_masked_jnp(samples: jnp.ndarray, valid: jnp.ndarray):
+    """Device whitening from masked moments: rows with ``valid == 0``
+    (bucket padding) are excluded from the covariance; the rotation is
+    applied to all rows (pads are trimmed/masked downstream).  Returns
+    (whitened, log_jacobian, posdef) like :func:`whiten_jnp`.
+
+    Callers pre-centre the true rows on the host (fast_auto_evidence), so
+    the uncentred-moment form ``sxx - n mu mu^T`` does not cancel."""
+    w = valid[:, None]
+    n = jnp.sum(valid)
+    sw = samples * w
+    sx = jnp.sum(sw, axis=0)
+    sxx = jnp.dot(sw.T, samples, precision=jax.lax.Precision.HIGHEST)
+    mean = sx / n
+    cov = (sxx - n * jnp.outer(mean, mean)) / (n - 1.0)
+    return _whiten_from_cov_jnp(samples, cov)
 
 
 def whiten_moments(samples: jnp.ndarray, axis_name: Optional[str] = None):

@@ -528,3 +528,23 @@ def test_device_degenerate_inputs_never_traceback(rng):
     out1 = evidence_fn(theta[:1], lnl[:1], kmax=2, precision="device",
                        engine="xla")
     assert out1.shape == (1,)
+
+
+def test_fast_mode_kmax_beyond_n_marks_nan(rng):
+    """REGRESSION (round-4 review): with n < kmax the selection fills the
+    absent-neighbour columns with +inf, which used to propagate
+    log(inf)=+inf into the returned evidence.  Those columns must come
+    back NaN (undefined), matching the host parity path's padding, and
+    the defined columns must still agree with the host path."""
+    from mcevidence_tpu.ops.pipeline import (fast_auto_evidence,
+                                             host_refine_evidence)
+    n, kmax = 3, 5
+    s = rng.normal(size=(n, 2))
+    lnl = -0.5 * np.sum(s * s, axis=1)
+    fast = np.asarray(fast_auto_evidence(s, lnl, kmax=kmax))
+    assert fast.shape == (kmax - 1,)
+    assert np.all(np.isfinite(fast[: n - 1]))
+    assert np.all(np.isnan(fast[n - 1:]))      # k >= n: no k-th neighbour
+    host = host_refine_evidence(s, lnl, kmax=kmax)
+    np.testing.assert_allclose(fast[: n - 1], host[: n - 1], atol=5e-4)
+    assert np.all(np.isnan(host[n - 1:]))

@@ -129,3 +129,21 @@ def test_exact_knn_guard_quiet_on_normal_data(rng, caplog):
     with caplog.at_level(logging.INFO, logger="mcevidence_tpu.ops.knn"):
         exact_knn(x, None, 4, refine=True, engine="xla", bucket=False)
     assert not any("re-selecting" in r.message for r in caplog.records)
+
+
+def test_xla_nonzero_padding_beyond_nr(rng):
+    """REGRESSION (round-4 review): knn_select_xla shares the Pallas
+    wrappers' nr contract (rows beyond nr are only 'never selected'), so
+    its centring mean must exclude them too — garbage padding used to
+    shift mu by the padding magnitude and corrupt every f32-centred
+    coordinate."""
+    import jax.numpy as jnp
+    r = rng.normal(size=(300, 4)).astype(np.float32)
+    q = r[:64]
+    garbage = np.full((100, 4), 1e8, np.float32)
+    r_pad = np.concatenate([r, garbage])
+    want_d2, want_idx = knn_select_xla(jnp.asarray(q), jnp.asarray(r), 4)
+    d2, idx = knn_select_xla(jnp.asarray(q), jnp.asarray(r_pad), 4, nr=300)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(want_d2),
+                               rtol=4e-4, atol=2e-6)

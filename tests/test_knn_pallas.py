@@ -294,3 +294,68 @@ def test_pallas_nonzero_padding_beyond_nr(rng):
     for b in range(2):
         np.testing.assert_array_equal(np.asarray(idxb)[b],
                                       np.asarray(want_idx))
+
+
+def test_absent_slots_return_minus_one(rng):
+    """REGRESSION (round-4 review): with fewer than k real reference rows
+    (nr < k), the extraction used to re-emit STALE indices for the +inf
+    slots — duplicate real neighbours that downstream refine stages would
+    double-count into dotp.  Absent slots must decode to (-1, +inf)."""
+    from mcevidence_tpu.ops.knn import knn_select_xla
+    from mcevidence_tpu.ops.knn_pallas import (
+        knn_select_pallas, knn_select_pallas_binned, knn_select_pallas_packed,
+        knn_select_pallas_packed_batched, knn_select_pallas_smalld)
+    nr, k = 3, 5
+    q = rng.normal(size=(8, 4)).astype(np.float32)
+    r_pad = np.zeros((4096, 4), np.float32)     # 2 TR tiles
+    r_pad[:nr] = rng.normal(size=(nr, 4))
+    want_d2, want_idx = knn_select_xla(jnp.asarray(q), jnp.asarray(r_pad),
+                                       k, self_mode=False, nr=nr)
+    want_idx = np.asarray(want_idx)
+    assert np.all(want_idx[:, nr:] == -1)       # the xla oracle's contract
+    for fn in (knn_select_pallas, knn_select_pallas_packed,
+               knn_select_pallas_binned, knn_select_pallas_smalld):
+        d2, idx = fn(jnp.asarray(q), jnp.asarray(r_pad), k,
+                     self_mode=False, interpret=True, nr=nr)
+        d2, idx = np.asarray(d2), np.asarray(idx)
+        assert np.all(idx[:, nr:] == -1), fn.__name__
+        assert np.all(np.isinf(d2[:, nr:])), fn.__name__
+        np.testing.assert_array_equal(np.sort(idx[:, :nr], axis=1),
+                                      np.sort(want_idx[:, :nr], axis=1),
+                                      err_msg=fn.__name__)
+    # batched with UNEVEN per-member counts: the ring path's k_sel uses the
+    # batch max, so the smaller member must pad with -1, not duplicates
+    batch_q = np.stack([q, q])
+    batch_r = np.stack([r_pad, r_pad])
+    big = rng.normal(size=(64, 4)).astype(np.float32)
+    batch_r[1, :64] = big
+    d2b, idxb = knn_select_pallas_packed_batched(
+        jnp.asarray(batch_q), jnp.asarray(batch_r), k, self_mode=False,
+        interpret=True, nr=np.asarray([nr, 64], np.int32))
+    idxb = np.asarray(idxb)
+    assert np.all(idxb[0, :, nr:] == -1)
+    assert np.all(idxb[1] >= 0)                 # 64 >= k: all slots real
+
+
+def test_smalld_d_real_skips_zero_padding_columns(rng):
+    """d_real sweeps only the true coordinates of a width-padded input;
+    results must match the unpadded call exactly (padding columns are
+    zero, so skipping them is exact)."""
+    from mcevidence_tpu.ops.knn_pallas import (
+        knn_select_pallas_smalld, knn_select_pallas_smalld_batched)
+    n, d, dpad, k = 200, 5, 16, 4
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    xp = np.zeros((n, dpad), np.float32)
+    xp[:, :d] = x
+    want_d2, want_idx = knn_select_pallas_smalld(
+        jnp.asarray(x), jnp.asarray(x), k, self_mode=True, interpret=True)
+    d2, idx = knn_select_pallas_smalld(
+        jnp.asarray(xp), jnp.asarray(xp), k, self_mode=True, interpret=True,
+        d_real=d)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(want_d2),
+                               rtol=0, atol=0)
+    d2b, idxb = knn_select_pallas_smalld_batched(
+        jnp.asarray(xp[None]), jnp.asarray(xp[None]), k, self_mode=True,
+        interpret=True, d_real=d)
+    np.testing.assert_array_equal(np.asarray(idxb)[0], np.asarray(want_idx))
