@@ -84,14 +84,19 @@ def sampled_params(root: str) -> Dict[str, Optional[Tuple[float, float]]]:
         if isinstance(prior, (list, tuple)) and len(prior) == 2:
             bounds = (float(prior[0]), float(prior[1]))
         elif isinstance(prior, dict):
+            # only dist: uniform (the default) carries a flat volume —
+            # min/max on a loguniform/norm/... prior must NOT silently
+            # become a uniform range (round-4 review: the documented
+            # non-uniform-prior rejection was bypassed)
             dist = prior.get("dist", "uniform")
-            if "min" in prior or "max" in prior:
-                bounds = (float(prior.get("min", 0.0)),
-                          float(prior.get("max", 1.0)))
-            elif dist == "uniform":
-                loc = float(prior.get("loc", 0.0))
-                scale = float(prior.get("scale", 1.0))
-                bounds = (loc, loc + scale)
+            if dist == "uniform":
+                if "min" in prior or "max" in prior:
+                    bounds = (float(prior.get("min", 0.0)),
+                              float(prior.get("max", 1.0)))
+                else:
+                    loc = float(prior.get("loc", 0.0))
+                    scale = float(prior.get("scale", 1.0))
+                    bounds = (loc, loc + scale)
         out[str(name)] = bounds
     if not out:
         raise ValueError(f"Cobaya config {path} declares no sampled "

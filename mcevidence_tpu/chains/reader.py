@@ -112,7 +112,11 @@ def resolve_chain_files(fname: Union[str, Sequence[str]],
     elif idchain > 0:
         flist = [f"{fname}_{idchain}.txt"]
     else:
-        flist = sorted(_glob.glob(fname + idpattern))
+        # glob.escape the root: run directories may contain glob
+        # metacharacters ([]), which would misfire as character classes —
+        # only idpattern's own wildcards are meant to expand (the Cobaya
+        # resolver has the same fix, cobaya.py)
+        flist = sorted(_glob.glob(_glob.escape(fname) + idpattern))
     if not flist:
         raise FileNotFoundError(f"no chain files match {fname!r} "
                                 f"(idchain={idchain}, idpattern={idpattern!r})")

@@ -35,6 +35,18 @@ from .utils.logging import configure, verbosity_to_level
 
 logger = logging.getLogger(__name__)
 
+PRECISIONS = ("refine", "fast", "device")
+COVTYPES = ("all", "single")
+
+
+def _check_mode(value, allowed, name):
+    """Typos must fail loudly: an unknown precision/covtype used to fall
+    through every mode check and silently run a different pipeline (or die
+    with UnboundLocalError) — round-4 review."""
+    if value not in allowed:
+        raise ValueError(f"unknown {name} {value!r}; expected one of "
+                         f"{allowed}")
+
 
 def evidence_fn(samples: np.ndarray,
                 lnlike: np.ndarray,
@@ -60,6 +72,8 @@ def evidence_fn(samples: np.ndarray,
     1080-1086).
     """
     kmax = max(2, kmax)
+    _check_mode(precision, PRECISIONS, "precision")
+    _check_mode(covtype, COVTYPES, "covtype")
     samples = np.atleast_2d(np.asarray(samples, np.float64))
     n, ndim = samples.shape
     lnlike = np.asarray(lnlike, np.float64).reshape(n)
@@ -69,6 +83,10 @@ def evidence_fn(samples: np.ndarray,
         else float(sum_adjusted_weights)
 
     cross = samples2 is not None
+    if cross:
+        # convert BEFORE any mode branch: the device path hands samples2
+        # straight to the pipeline, which expects an ndarray
+        samples2 = np.atleast_2d(np.asarray(samples2, np.float64))
     if precision == "device":
         # device-resident parity path (~1e-13): f32 selection + double-
         # float refinement/estimator on device, scalars-only fetch.
@@ -84,8 +102,6 @@ def evidence_fn(samples: np.ndarray,
             "whitening (per-partition stats are host-side); falling back "
             "to precision='refine' — timings will be refine-path timings")
         precision = "refine"
-    if cross:
-        samples2 = np.atleast_2d(np.asarray(samples2, np.float64))
 
     if prewhiten:
         if covtype == "all":
@@ -104,7 +120,7 @@ def evidence_fn(samples: np.ndarray,
     else:
         s1w, s2w, log_j = samples, samples2, 0.0
 
-    refine = precision == "refine"
+    refine = precision != "fast"
     dknn = exact_knn(s1w, s2w if cross else None, kmax,
                      refine=refine, engine=engine)
     k_start = 0 if cross else 1
@@ -112,7 +128,12 @@ def evidence_fn(samples: np.ndarray,
         dknn, lnlike, w, sumw, ndim,
         log_jacobian=log_j, log_prior_volume=math.log(prior_volume),
         k_start=k_start, nsamples=n)
-    return mle[1:]
+    # exact_knn clips k to the reference-partition size; NaN-pad so the
+    # k = 1..kmax-1 return contract holds for every precision mode (the
+    # device path already pads via _device_refine_finalize)
+    out = np.full(kmax - 1, np.nan)
+    out[: len(mle) - 1] = mle[1:]
+    return out
 
 
 class MCEvidence:
@@ -159,6 +180,8 @@ class MCEvidence:
         self.debug = debug or verbose > 1
         logger.setLevel(verbosity_to_level(2 if self.debug else verbose))
 
+        _check_mode(precision, PRECISIONS, "precision")
+        _check_mode(covtype, COVTYPES, "covtype")
         self.split = split
         self.covtype = covtype
         self.nbatch = nbatch
@@ -203,6 +226,14 @@ class MCEvidence:
         self.info["Nsamples_read"] = self.pair.get_shape("s1")[0]
         self.info["Nparams_read"] = nparam
         self.nsample = [self.pair.get_shape(s)[0] for s in self.snames]
+        if ndim is not None and ndim > nparam:
+            # the distance computation can only use the nparam columns that
+            # exist; letting ndim exceed it would put d=ndim in the ball
+            # volume but d=nparam in the distances -> silently wrong ln Z
+            logger.warning(
+                "ndim=%d exceeds the chain's %d parameters; clamping to %d",
+                ndim, nparam, nparam)
+            ndim = nparam
         self.ndim = nparam if ndim is None else ndim
         self.info["NparamsCosmo"] = self.ndim
         self.info["Nsamples"] = ", ".join(str(x) for x in self.nsample)
@@ -275,6 +306,7 @@ class MCEvidence:
         log_pv = math.log(self.priorvolume if pvolume is None else pvolume)
         if covtype is None:
             covtype = self.covtype
+        _check_mode(covtype, COVTYPES, "covtype")
 
         # profiling: the reference accepts profile= and ignores it
         # (MCEvidence.py:950-952); here it logs per-stage timings and, when
@@ -297,7 +329,7 @@ class MCEvidence:
                        log_pv, pos_lnp, prewhiten):
 
         kmax, ndim = self.kmax, self.ndim
-        mle = np.zeros((self.nbatch, kmax))
+        mle = np.zeros((self.batch_plan.nbatch, kmax))
         t_whiten = t_knn = t_est = 0.0
 
         # Device-resident parity path (~1e-13, scalars-only fetch) for the
@@ -359,7 +391,8 @@ class MCEvidence:
                 return out, self.info
             return out
 
-        if covtype == "all":
+        if covtype == "all" and prewhiten:
+            # (prewhiten=False never reads stats — skip the O(N d^2) + eigh)
             t0 = time.perf_counter()
             stats = self._stats_all()
             t_whiten += time.perf_counter() - t0
@@ -410,10 +443,15 @@ class MCEvidence:
             t_knn += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            mle[ib, :] = log_evidence_from_knn_np(
+            # exact_knn clips k to the reference-partition size (tiny split
+            # halves / small batches): fill the defined columns, NaN the rest
+            # — same convention as the device path's finalize
+            row = log_evidence_from_knn_np(
                 dknn, lnl, weight, sum_w, ndim,
                 log_jacobian=log_j, log_prior_volume=log_pv,
                 k_start=k_start, nsamples=S_eff)
+            mle[ib, : len(row)] = row
+            mle[ib, len(row):] = np.nan
             t_est += time.perf_counter() - t0
 
         self.timings.update(whiten_s=t_whiten, knn_s=t_knn, estimator_s=t_est)

@@ -16,6 +16,7 @@ advanced, so every batch starts at row 0) or uniform-random row subsets when
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional, Sequence, Union
 
 import numpy as np
@@ -47,6 +48,16 @@ def make_batch_plan(nsamples: Sequence[int], nbatch: int = 1,
         bscale = "constant"   # reference MCEvidence.py:680
 
     if brange is None:
+        # one batch covering the whole chain, regardless of nbatch: the
+        # trailing rows would carry S=0, which _get_batch reads as "full
+        # partition" — nbatch-1 redundant full O(N^2) passes whose results
+        # are discarded (round-4 review)
+        if nbatch > 1:
+            logging.getLogger(__name__).warning(
+                "nbatch=%d ignored: batching requires brange "
+                "(reference semantics — brange=None means one batch)",
+                nbatch)
+        nbatch = 1
         powers = np.zeros((nbatch, npart))
         nchain = np.zeros((nbatch, npart), dtype=int)
         for ix, nn in enumerate(nsamples):

@@ -173,3 +173,26 @@ def test_missing_chain_files_raises(tmp_path, rng):
         os.remove(f"{root}.{i}.txt")
     with pytest.raises(FileNotFoundError):
         reader.load_chains(root)
+
+
+def test_nonuniform_prior_with_minmax_rejected(tmp_path):
+    """REGRESSION (round-4 review): a loguniform/norm prior carrying
+    min/max keys used to be silently treated as a bounded uniform,
+    normalizing ln Z by a wrong flat volume.  Only dist: uniform (the
+    default) may contribute a flat range; anything else must raise the
+    documented non-uniform-prior error."""
+    import textwrap
+    from mcevidence_tpu.chains.cobaya import cobaya_params_info, sampled_params
+    (tmp_path / "run.updated.yaml").write_text(textwrap.dedent("""
+        params:
+          x:
+            prior: {dist: loguniform, min: 1.0e-4, max: 0.1}
+          y:
+            prior: {min: 0.0, max: 2.0}
+    """))
+    root = str(tmp_path / "run")
+    spec = sampled_params(root)
+    assert spec["x"] is None            # non-uniform: no flat volume
+    assert spec["y"] == (0.0, 2.0)      # dist defaults to uniform
+    with pytest.raises(ValueError, match="non-uniform"):
+        cobaya_params_info(root)

@@ -477,7 +477,11 @@ def test_adversarial_inputs_graceful(rng):
     assert np.isfinite(evidence_fn(th[:2], lnl[:2], kmax=2,
                                    engine="xla")[0])
     out = evidence_fn(th[:1], lnl[:1], kmax=2, engine="xla")
-    assert out.shape == (0,)   # 1 row: no neighbours exist — empty, no crash
+    # 1 row: no neighbours exist — the k=1 column is undefined (NaN) but the
+    # k = 1..kmax-1 return contract holds (round-4 review: shape used to
+    # vary by precision mode)
+    assert out.shape == (1,)
+    assert np.all(np.isnan(out))
 
 
 def test_pooled_staging_self_check(monkeypatch):
@@ -548,3 +552,93 @@ def test_fast_mode_kmax_beyond_n_marks_nan(rng):
     host = host_refine_evidence(s, lnl, kmax=kmax)
     np.testing.assert_allclose(fast[: n - 1], host[: n - 1], atol=5e-4)
     assert np.all(np.isnan(host[n - 1:]))
+
+
+# ---- round-4 chains/evidence review regressions ---------------------------
+
+def test_tiny_split_partition_nan_pads_instead_of_crash(rng):
+    """REGRESSION: split mode with a reference partition smaller than kmax
+    used to die with a broadcast ValueError (exact_knn clips the column
+    count); undefined k columns must come back NaN instead."""
+    from mcevidence_tpu.evidence import MCEvidence
+    s = rng.normal(size=(8, 2))
+    lnl = -0.5 * np.sum(s * s, axis=1)
+    out = MCEvidence({"samples": s, "loglikes": lnl}, split=True, kmax=5,
+                     seed=0, verbose=0).evidence()
+    assert out.shape == (4,)
+    assert np.any(np.isfinite(out))        # small-k columns defined
+    assert np.any(np.isnan(out))           # k >= |s2| undefined, not a crash
+
+
+def test_evidence_fn_short_chain_shape_consistent_across_precisions(rng):
+    """evidence_fn must honor the k = 1..kmax-1 return contract (NaN-pad)
+    in every precision mode, not just 'device'."""
+    from mcevidence_tpu.evidence import evidence_fn
+    s = rng.normal(size=(3, 2))
+    lnl = -0.5 * np.sum(s * s, axis=1)
+    for precision in ("refine", "device"):
+        out = evidence_fn(s, lnl, kmax=5, precision=precision)
+        assert out.shape == (4,), precision
+        assert np.all(np.isnan(out[2:])), precision
+
+
+def test_unknown_precision_and_covtype_raise(rng):
+    from mcevidence_tpu.evidence import MCEvidence, evidence_fn
+    s = rng.normal(size=(50, 2))
+    lnl = -0.5 * np.sum(s * s, axis=1)
+    chain = {"samples": s, "loglikes": lnl}
+    with pytest.raises(ValueError, match="precision"):
+        MCEvidence(chain, precision="exact", verbose=0)
+    with pytest.raises(ValueError, match="covtype"):
+        MCEvidence(chain, covtype="typo", verbose=0)
+    with pytest.raises(ValueError, match="covtype"):
+        MCEvidence(chain, verbose=0).evidence(covtype="typo")
+    with pytest.raises(ValueError, match="precision"):
+        evidence_fn(s, lnl, precision="float64")
+
+
+def test_ndim_overreach_clamped_with_warning(rng, caplog):
+    """ndim > nparam used to silently mix d=ndim ball volumes with
+    d=nparam distances -> wrong ln Z."""
+    import logging
+    from mcevidence_tpu.evidence import MCEvidence
+    s = rng.normal(size=(400, 3))
+    lnl = -0.5 * np.sum(s * s, axis=1)
+    chain = {"samples": s, "loglikes": lnl}
+    with caplog.at_level(logging.WARNING, logger="mcevidence_tpu.evidence"):
+        mc = MCEvidence(chain, ndim=7, verbose=0)
+    assert mc.ndim == 3
+    assert any("clamping" in r.message for r in caplog.records)
+    np.testing.assert_allclose(
+        mc.evidence(), MCEvidence(chain, verbose=0).evidence(), atol=1e-12)
+
+
+def test_evidence_fn_device_accepts_list_samples2(rng):
+    """The device branch used to crash on non-ndarray samples2 because the
+    conversion happened after the mode dispatch."""
+    from mcevidence_tpu.evidence import evidence_fn
+    s = rng.normal(size=(60, 2))
+    lnl = -0.5 * np.sum(s * s, axis=1)
+    s2 = rng.normal(size=(60, 2)).tolist()
+    dev = evidence_fn(s, lnl, samples2=s2, kmax=2, precision="device")
+    ref = evidence_fn(s, lnl, samples2=np.asarray(s2), kmax=2,
+                      precision="refine")
+    np.testing.assert_allclose(dev, ref, atol=1e-8)
+
+
+def test_nbatch_without_brange_runs_one_batch(rng, caplog):
+    """nbatch>1 with brange=None used to recompute the full O(N^2) pass
+    nbatch-1 times and discard the results."""
+    import logging
+    from mcevidence_tpu.evidence import MCEvidence
+    s = rng.normal(size=(200, 2))
+    lnl = -0.5 * np.sum(s * s, axis=1)
+    with caplog.at_level(logging.WARNING, logger="mcevidence_tpu.utils.batch"):
+        mc = MCEvidence({"samples": s, "loglikes": lnl}, nbatch=3, verbose=0)
+    assert mc.batch_plan.nbatch == 1
+    assert any("nbatch=3 ignored" in r.message for r in caplog.records)
+    out = mc.evidence()
+    assert out.shape == (4,)
+    np.testing.assert_allclose(
+        out, MCEvidence({"samples": s, "loglikes": lnl}, verbose=0).evidence(),
+        atol=1e-12)

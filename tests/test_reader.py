@@ -1,6 +1,7 @@
 """Chain ingestion tests: file resolution, parsing (native + fallback),
 dict/array sources (reference loader semantics, MCEvidence.py:567-606)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -393,3 +394,19 @@ def test_parse_cache_concurrent_writers(tmp_path):
         assert not leftovers, leftovers
     finally:
         reader.set_parse_cache(None)
+
+
+def test_root_in_glob_metachar_dir(tmp_path, rng):
+    """REGRESSION (round-4 review): a chain root inside a directory with
+    glob metacharacters ([ ]) used to misfire as a character class and
+    miss the files; the root must be glob-escaped (only idpattern's own
+    wildcards expand)."""
+    d = tmp_path / "runs[2026]"
+    d.mkdir()
+    chain = np.column_stack([np.ones(20), np.ones(20),
+                             rng.normal(size=(20, 2))])
+    np.savetxt(d / "toy_1.txt", chain)
+    np.savetxt(d / "toy_2.txt", chain)
+    from mcevidence_tpu.chains.reader import resolve_chain_files
+    flist = resolve_chain_files(str(d / "toy"))
+    assert [os.path.basename(f) for f in flist] == ["toy_1.txt", "toy_2.txt"]
