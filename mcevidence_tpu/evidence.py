@@ -503,7 +503,8 @@ def evidence_with_error(source, *, kmax: int = 2, nchains: int = 0,
 
 def evidence_bootstrap(source, *, kmax: int = 2, n_boot: int = 100,
                        seed: int = 0, idpattern: str = "_?.txt",
-                       engine: str = "auto", **kwargs):
+                       engine: str = "auto", precision: str = "refine",
+                       **kwargs):
     """ln Z with a Bayesian-bootstrap error bar from ONE chain.
 
     Holds the sample positions (and hence the kNN volumes) fixed and
@@ -537,7 +538,7 @@ def evidence_bootstrap(source, *, kmax: int = 2, n_boot: int = 100,
     # the bootstrap seed unless the caller provides its own
     kwargs.setdefault("seed", seed)
     mc = MCEvidence(source, kmax=kmax, verbose=0, engine=engine,
-                    idpattern=idpattern, **kwargs)
+                    idpattern=idpattern, precision=precision, **kwargs)
     kmax = mc.kmax
     s, lnl, w = mc._get_batch("s1", 0, False)
     if np.any(w <= 0):
@@ -551,7 +552,10 @@ def evidence_bootstrap(source, *, kmax: int = 2, n_boot: int = 100,
         s2w = None
         stats = whiten_stats(s)
     s1w = apply_whiten(s, stats)
-    dknn = exact_knn(s1w, s2w, kmax, refine=True, engine=engine)
+    # the shared kNN pass honors the requested precision (fast = raw f32
+    # selection distances); all replicates reuse it either way
+    dknn = exact_knn(s1w, s2w, kmax, refine=precision != "fast",
+                     engine=engine)
     # exact_knn clips k to the reference-partition size; keep the replicate
     # matrix consistent with the columns actually computed so short chains
     # (or small split halves) return fewer k values instead of raising.

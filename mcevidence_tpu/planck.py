@@ -118,6 +118,11 @@ def h0_index_for_chain(root: str) -> Optional[int]:
         names = read_paramnames(root)
     except OSError:
         return None
+    except Exception as exc:
+        # corrupt .paramnames (bad encoding, binary junk): degrade like a
+        # missing file — the H0 prior is skipped, the cell still computes
+        logger.warning("unreadable .paramnames for %s: %s", root, exc)
+        return None
     for i, n in enumerate(names):
         if n == "H0":
             return i
@@ -192,6 +197,42 @@ def _try_params_info(fname, info):
         return None
 
 
+def _model_prologue(mm, fname, info, use_h0_prior, futures, chain_exts,
+                    vol_norm):
+    """Shared per-model prologue of the batched and per-cell dataset loops:
+    availability check, metadata with NaN degradation, base-volume
+    normalization, stale-prefetch cancel, H0-column lookup.
+
+    Returns (prior_volume, ndim, h0i, vol_norm), or None when this model is
+    skipped (its info rows are already appended)."""
+    if not _glob.glob(fname + "*.txt"):
+        logger.warning("*** not available: %s", fname)
+        for key, val in (("N_read", ""), ("N_used", ""),
+                         ("PriorVol", 0), ("ndim", 0)):
+            info[key].append(val)
+        return None
+    par = _try_params_info(fname, info)
+    if par is None:
+        if mm == "base":
+            logger.warning(
+                "base model metadata failed: PriorVol for the other "
+                "models is NOT normalized by the base volume "
+                "(reference convention, planck_mcevidence.py:329-331) "
+                "— absolute lnE values shift by ln(V_base)")
+        for ext in chain_exts:     # don't parse/hold chains we'll skip
+            fut = futures.pop(fname + ext, None)
+            if fut is not None:
+                fut.cancel()
+        return None
+    if mm == "base":
+        vol_norm = par.volume
+    prior_volume = par.volume / vol_norm
+    info["PriorVol"].append(prior_volume)
+    info["ndim"].append(par.ndim)
+    h0i = h0_index_for_chain(fname) if use_h0_prior else None
+    return prior_volume, par.ndim, h0i, vol_norm
+
+
 def _try_ingest(fchain, burnfrac, thinfrac, cross, seed):
     """Worker-thread ingest: returns the ChainPair or the exception."""
     from .chains.reader import ingest
@@ -205,7 +246,8 @@ def _try_ingest(fchain, burnfrac, thinfrac, cross, seed):
 def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                            burnfrac, thinfrac, use_h0_prior, mce, info,
                            precision: str = "refine", cross: bool = False,
-                           engine: str = "auto", seed=None):
+                           engine: str = "auto", seed=None,
+                           parse_workers: int = 2):
     """Fill the evidence matrix by batching cells into 2-D-mesh SPMD calls.
 
     All of a dataset's (model, chain) cells with the same cosmological
@@ -221,7 +263,7 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
 
     # prefetch file parses on worker threads (the native parser releases the
     # GIL), overlapping the host-side text parsing with everything else
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=max(1, parse_workers))
     parse_futures = {
         fname + ext: pool.submit(
             lambda f: _try_ingest(f, burnfrac, thinfrac, cross, seed),
@@ -234,31 +276,11 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
     t_all = time.perf_counter()
     cells = []   # (imm, icc, ndim, s1, lnl, w, s2, prior_volume, sumw_adj)
     for imm, (mm, fname) in enumerate(zip(names, path_list)):
-        if not _glob.glob(fname + "*.txt"):
-            logger.warning("*** not available: %s", fname)
-            for key, val in (("N_read", ""), ("N_used", ""),
-                             ("PriorVol", 0), ("ndim", 0)):
-                info[key].append(val)
+        pro = _model_prologue(mm, fname, info, use_h0_prior, parse_futures,
+                              chain_exts, vol_norm)
+        if pro is None:
             continue
-        par = _try_params_info(fname, info)
-        if par is None:
-            if mm == "base":
-                logger.warning(
-                    "base model metadata failed: PriorVol for the other "
-                    "models is NOT normalized by the base volume "
-                    "(reference convention, planck_mcevidence.py:329-331) "
-                    "— absolute lnE values shift by ln(V_base)")
-            for ext in chain_exts:     # don't parse/hold chains we'll skip
-                fut = parse_futures.pop(fname + ext, None)
-                if fut is not None:
-                    fut.cancel()
-            continue
-        if mm == "base":
-            vol_norm = par.volume
-        prior_volume = par.volume / vol_norm
-        info["PriorVol"].append(prior_volume)
-        info["ndim"].append(par.ndim)
-        h0i = h0_index_for_chain(fname) if use_h0_prior else None
+        prior_volume, ndim_m, h0i, vol_norm = pro
         nc_read, nc_use = "", ""
         for icc, ext in enumerate(chain_exts):
             try:
@@ -268,14 +290,14 @@ def _dataset_cells_batched(path_list, names, chain_exts, *, kmax,
                 if isinstance(pair, Exception):
                     raise pair
                 p = pair.s1
-                s2 = pair.s2.samples[:, :par.ndim] if cross else None
+                s2 = pair.s2.samples[:, :ndim_m] if cross else None
                 sumw_adj = None
                 if h0i is not None:
                     # quirk Q7: importance reweighting enters only SumW
                     neg = make_h0_gauss_lnp(h0i)(p.samples)
                     sumw_adj = float(np.sum(p.weights * np.exp(-neg)))
-                cells.append((imm, icc, par.ndim,
-                              p.samples[:, :par.ndim], p.lnp(), p.weights,
+                cells.append((imm, icc, ndim_m,
+                              p.samples[:, :ndim_m], p.lnp(), p.weights,
                               s2, prior_volume, sumw_adj))
                 # same strings the per-cell mode takes from the info dict
                 # (post-burn/thin s1 count; N_used lists every partition)
@@ -491,7 +513,8 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
                                burnfrac=burnfrac, thinfrac=thinfrac,
                                use_h0_prior=use_h0_prior, mce=mce, info=info,
                                precision=precision, cross=cross,
-                               engine=engine, seed=seed)
+                               engine=engine, seed=seed,
+                               parse_workers=parse_workers)
         if np.all(np.isnan(mce)):
             return None
         return _build_dataset_frame(mce, names, cols, nchain, info)
@@ -511,37 +534,12 @@ def dataset_evidence(rootdir: str, dataset: str, *, kmax: int = 2,
 
     vol_norm = 1.0
     for imm, (mm, fname) in enumerate(zip(names, path_list)):
-        if not _glob.glob(fname + "*.txt"):
-            logger.warning("*** not available: %s", fname)
-            info["N_read"].append("")
-            info["N_used"].append("")
-            info["PriorVol"].append(0)
-            info["ndim"].append(0)
+        pro = _model_prologue(mm, fname, info, use_h0_prior, futures,
+                              chain_exts, vol_norm)
+        if pro is None:
             continue
-        par = _try_params_info(fname, info)
-        if par is None:
-            if mm == "base":
-                logger.warning(
-                    "base model metadata failed: PriorVol for the other "
-                    "models is NOT normalized by the base volume "
-                    "(reference convention, planck_mcevidence.py:329-331) "
-                    "— absolute lnE values shift by ln(V_base)")
-            for ext in chain_exts:     # don't parse/hold chains we'll skip
-                fut = futures.pop(fname + ext, None)
-                if fut is not None:
-                    fut.cancel()
-            continue
-        if mm == "base":
-            vol_norm = par.volume
-        prior_volume = par.volume / vol_norm
-        ndim = par.ndim
-        info["PriorVol"].append(prior_volume)
-        info["ndim"].append(ndim)
-        isfunc = None
-        if use_h0_prior:
-            h0i = h0_index_for_chain(fname)
-            if h0i is not None:
-                isfunc = make_h0_gauss_lnp(h0i)
+        prior_volume, ndim, h0i, vol_norm = pro
+        isfunc = make_h0_gauss_lnp(h0i) if h0i is not None else None
         nc_read, nc_use = "", ""
         for icc, ext in enumerate(chain_exts):
             fchain = fname + ext
@@ -616,6 +614,13 @@ def run_grid(rootdir: str, outdir: str, *, basename: str = "mce",
     data_list = list(datasets if datasets is not None else DATASETS)
     if ndata > 0:
         data_list = data_list[:ndata]
+    if num_shards < 1 or not (0 <= shard_id < num_shards):
+        # out-of-range used to die with a bare IndexError; a NEGATIVE id
+        # silently wrapped, double-computing one shard and leaving another
+        # uncomputed (the last-shard aggregation gate then waits forever)
+        raise ValueError(
+            f"invalid shard config: need 0 <= shard-id ({shard_id}) < "
+            f"num-shards ({num_shards}) and num-shards >= 1")
     my_data = work_split(num_shards, data_list)[shard_id]
 
     mode_dir = "AllChains" if nchain == 0 else "SingleChains"
@@ -672,7 +677,8 @@ def aggregate(outdir: str, *, basename: str = "mce", nchain: int = 0,
         for dataset in datasets:
             fin = os.path.join(out, f"{basename}_{dataset}.txt")
             if os.path.exists(fin):
-                outfile.write(open(fin).read())
+                with open(fin) as fh:
+                    outfile.write(fh.read())
     logger.info("wrote %s", fmain)
 
     if all_df is None:
@@ -688,16 +694,16 @@ def aggregate(outdir: str, *, basename: str = "mce", nchain: int = 0,
         logger.warning("nothing to aggregate under %s", out)
         return
 
-    pickle.dump(all_df,
-                open(os.path.join(out_csv, "delta_lnE_all_dict.pkl"), "wb"))
+    with open(os.path.join(out_csv, "delta_lnE_all_dict.pkl"), "wb") as fh:
+        pickle.dump(all_df, fh)
     big = pd.DataFrame(index=list(model_list))
     for dd, series in all_df.items():
         big[dd] = series
     # column order follows the canonical dataset list
     ordered = [d for d in datasets if d in big.columns]
     big = big[ordered]
-    pickle.dump(big,
-                open(os.path.join(out_csv, "delta_lnE_all_df.pkl"), "wb"))
+    with open(os.path.join(out_csv, "delta_lnE_all_df.pkl"), "wb") as fh:
+        pickle.dump(big, fh)
 
     fout = os.path.join(out, "delta_lnE_all.txt")
     with open(fout, "w") as fh:
@@ -856,7 +862,11 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
-    assert args.kmax >= 2, "kmax must be >= 2"
+    if args.kmax < 2:
+        # a bare assert is stripped under python -O, after which kmax=1
+        # builds a zero-width evidence matrix and the whole run silently
+        # computes nothing
+        raise SystemExit("error: -k/--kmax must be >= 2")
     if args.procs > 1:
         return _launch_procs(argv, args.procs)
     if args.distributed:

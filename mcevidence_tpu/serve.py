@@ -126,17 +126,27 @@ def handle_request(req: dict) -> dict:
     if req.get("error", False):
         try:
             from .evidence import evidence_with_error
+            # split forwarded: the error bar must quantify the SAME
+            # estimator (cross vs auto) as the lnz it accompanies
             mean, err, _ = evidence_with_error(
                 chains, kmax=kmax, ndim=ndim, priorvolume=prior_volume,
                 burnlen=float(req.get("burn", 0)),
                 thinlen=float(req.get("thin", 0)), seed=req.get("seed"),
+                split=bool(req.get("cross", False)),
                 engine=req.get("engine", "auto"),
                 precision=req.get("precision", "refine"))
             resp["per_chain_mean"] = _floats(mean)
             resp["per_chain_err"] = _floats(err)
         except Exception as e:
             resp["error_bars_error"] = f"{type(e).__name__}: {e}"
-    nboot = int(req.get("bootstrap", 0))
+    try:
+        # null / non-numeric values must degrade like a failed leg, not
+        # escape handle_request's raises-nothing contract and kill the
+        # resident service after the evidence was already computed
+        nboot = int(req.get("bootstrap") or 0)
+    except (TypeError, ValueError) as e:
+        resp["bootstrap_error"] = f"bad 'bootstrap' value: {e}"
+        nboot = 0
     if nboot > 0:
         try:
             from .evidence import evidence_bootstrap
@@ -147,7 +157,8 @@ def handle_request(req: dict) -> dict:
                 burnlen=float(req.get("burn", 0)),
                 thinlen=float(req.get("thin", 0)),
                 split=bool(req.get("cross", False)),
-                engine=req.get("engine", "auto"))
+                engine=req.get("engine", "auto"),
+                precision=req.get("precision", "refine"))
             resp["bootstrap_lnz"] = _floats(blnz)
             resp["bootstrap_err"] = _floats(berr)
         except Exception as e:
@@ -199,10 +210,20 @@ def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
             if fut is None:
                 return
             try:
+                try:
+                    resp = fut.result()
+                except Exception:
+                    # handle_request promises to raise nothing, so this is
+                    # a bug — log the traceback and keep the service alive
+                    # with an error response (per-request isolation)
+                    logger.exception("request handler raised")
+                    resp = {"id": None, "ok": False,
+                            "error": "internal error (see service log)"}
                 if not writer_dead.is_set():
-                    print(json.dumps(fut.result()), file=stream_out,
-                          flush=True)
-            except Exception:       # e.g. client closed its read end
+                    print(json.dumps(resp), file=stream_out, flush=True)
+            except Exception as e:   # e.g. client closed its read end
+                logger.info("writer: output failed (%s: %s); shutting down",
+                            type(e).__name__, e)
                 writer_dead.set()
             finally:
                 slots.release()

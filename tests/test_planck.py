@@ -405,3 +405,35 @@ def test_grid_batched_device_cross(minigrid, tmp_path):
                                       cross=True, seed=11)
     np.testing.assert_allclose(out_dev["AllChains"], out_ref["AllChains"],
                                atol=1e-8)
+
+
+def test_run_grid_rejects_bad_shard_config(minigrid, tmp_path):
+    """REGRESSION (round-4 review): out-of-range --shard-id used to die
+    with a bare IndexError; a negative one silently wrapped, duplicating
+    one shard and leaving another uncomputed."""
+    rootdir, _ = minigrid
+    for num, sid in [(4, 4), (4, -1), (0, 0)]:
+        with pytest.raises(ValueError, match="shard"):
+            planck.run_grid(rootdir=rootdir, outdir=str(tmp_path),
+                            num_shards=num, shard_id=sid)
+
+
+def test_corrupt_paramnames_degrades(minigrid, tmp_path, caplog):
+    """REGRESSION (round-4 review): a non-UTF-8 .paramnames used to raise
+    UnicodeDecodeError through the model loop and kill the whole dataset;
+    it must degrade to 'no H0 prior' with a warning."""
+    import logging
+    rootdir, ds = minigrid
+    root = os.path.join(rootdir, "base", ds, f"base_{ds}")
+    with open(root + ".paramnames", "wb") as fh:
+        fh.write(b"\xff\xfe\x00junk\x80\x81")
+    with caplog.at_level(logging.WARNING, logger="mcevidence_tpu.planck"):
+        assert planck.h0_index_for_chain(root) is None
+    assert any("unreadable .paramnames" in r.message for r in caplog.records)
+
+
+def test_cli_kmax_validation(minigrid, tmp_path):
+    rootdir, _ = minigrid
+    with pytest.raises(SystemExit):
+        planck.main(["-k", "1", "--rootdir", rootdir,
+                     "-o", str(tmp_path)])

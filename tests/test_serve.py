@@ -222,3 +222,53 @@ def test_serve_main_subprocess(toy_root, tmp_path):
     assert r.returncode == 0, r.stderr
     resp = json.loads(r.stdout.strip().splitlines()[-1])
     assert resp["ok"] and resp["id"] == 1
+
+
+def test_serve_null_bootstrap_degrades_not_crashes(tmp_path, rng):
+    """REGRESSION (round-4 review): int(None) on a null bootstrap field
+    escaped handle_request's raises-nothing contract and killed the warm
+    service after the evidence was already computed."""
+    theta, lnl = make_gaussian_chain(rng, n=300, ndim=2, sigma=0.05)
+    np.savetxt(tmp_path / "one_1.txt",
+               np.column_stack([np.ones(300), -lnl, theta]))
+    root = str(tmp_path / "one")
+    resp, = _roundtrip([json.dumps(
+        {"root": root, "kmax": 2, "priorvolume": 1.0, "engine": "xla",
+         "bootstrap": None})])
+    assert resp["ok"] and np.isfinite(resp["lnz"]).all()
+    resp, = _roundtrip([json.dumps(
+        {"root": root, "kmax": 2, "priorvolume": 1.0, "engine": "xla",
+         "bootstrap": "many"})])
+    assert resp["ok"] and "bootstrap_error" in resp
+
+
+def test_serve_error_leg_matches_request_estimator(tmp_path, rng,
+                                                   monkeypatch):
+    """REGRESSION (round-4 review): the per-chain error-bar leg dropped the
+    request's cross flag (and the bootstrap leg its precision), pairing an
+    error bar from a different estimator with the reported lnz."""
+    captured = {}
+
+    def fake_ewe(chains, **kw):
+        captured["ewe"] = kw
+        return np.array([0.0]), np.array([0.0]), None
+
+    def fake_boot(chains, **kw):
+        captured["boot"] = kw
+        return np.array([0.0]), np.array([0.0]), None
+
+    import mcevidence_tpu.evidence as ev
+    monkeypatch.setattr(ev, "evidence_with_error", fake_ewe)
+    monkeypatch.setattr(ev, "evidence_bootstrap", fake_boot)
+    theta, lnl = make_gaussian_chain(rng, n=300, ndim=2, sigma=0.05)
+    for i, sl in enumerate((slice(0, 150), slice(150, None)), 1):
+        np.savetxt(tmp_path / f"two_{i}.txt",
+                   np.column_stack([np.ones(150), -lnl[sl], theta[sl]]))
+    resp = serve.handle_request(
+        {"root": str(tmp_path / "two"), "kmax": 2, "priorvolume": 1.0,
+         "engine": "xla", "cross": True, "seed": 0, "error": True,
+         "bootstrap": 3, "precision": "fast"})
+    assert resp["ok"], resp
+    assert captured["ewe"]["split"] is True
+    assert captured["boot"]["split"] is True
+    assert captured["boot"]["precision"] == "fast"
