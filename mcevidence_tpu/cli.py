@@ -111,14 +111,8 @@ def build_parser() -> ArgumentParser:
 
 def main(argv=None) -> int:
     import os
-    plat = os.environ.get("MCE_FORCE_PLATFORM")
-    if plat:
-        # late re-assertion of the platform (same as planck.main/serve.main):
-        # the env var alone is read too early — sitecustomize imports jax at
-        # interpreter start and force-selects the TPU plugin.  Lets CLI runs
-        # ride out relay outages on the CPU backend.
-        import jax
-        jax.config.update("jax_platforms", plat)
+    from .utils.backend_probe import apply_forced_platform
+    apply_forced_platform()
     args = build_parser().parse_args(argv)
     if args.json:
         # one-shot machine-readable mode: route through the service's
@@ -205,11 +199,14 @@ def main(argv=None) -> int:
     if args.error:
         from .evidence import evidence_with_error
         try:
+            # split forwarded: the error bar must quantify the SAME
+            # estimator (cross vs auto) as the lnz it accompanies, exactly
+            # as the serve protocol does
             mean, err, _ = evidence_with_error(
                 chains, kmax=args.kmax, ndim=ndim,
                 priorvolume=prior_volume, burnlen=args.burnlen,
                 thinlen=args.thinlen, seed=args.seed, engine=args.engine,
-                precision=args.precision)
+                split=args.cross, precision=args.precision)
             for k in range(1, mce.kmax):
                 print(f"   per-chain ln(B)[k={k}] = {mean[k - 1]} "
                       f"+/- {err[k - 1]}")
@@ -226,7 +223,8 @@ def main(argv=None) -> int:
                 chains, kmax=args.kmax, n_boot=args.bootstrap,
                 seed=args.seed or 0, ndim=ndim, priorvolume=prior_volume,
                 burnlen=args.burnlen, thinlen=args.thinlen,
-                split=args.cross, engine=args.engine)
+                split=args.cross, engine=args.engine,
+                precision=args.precision)
             # iterate over blnz's own length: the bootstrap clips k to its
             # (possibly split) partition size, which can be shorter than
             # the facade's kmax on tiny chains

@@ -99,6 +99,8 @@ class MCSamples:
 
     # -- burn-in on a partition (reference MCEvidence.py:350-391) ---------
     def removeBurn(self, remove, chain=None, name=None):
+        # Parity: with neither `chain` nor `name`, the reference returns
+        # `remove` unchanged (MCEvidence.py:357-359) — NOT a default-s1 burn.
         if chain is not None:
             nstart = burn_length(remove, chain.shape[0])
             return chain[nstart:, :]
@@ -112,6 +114,9 @@ class MCSamples:
 
     # -- thinning on a partition (reference MCEvidence.py:289-348) --------
     def thin(self, nthin=1, name: str = "s1", chain=None):
+        # Parity: nthin==1 returns None even in raw-chain mode
+        # (MCEvidence.py:296-297, quirk Q9); the fixed behaviour lives in
+        # chains.preprocess.thin_chain, which returns the chain unchanged.
         if nthin == 1:
             return None
         if chain is not None:

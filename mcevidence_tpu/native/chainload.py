@@ -85,11 +85,21 @@ def load_table(path: str):
                              ctypes.byref(nrows), ctypes.byref(ncols))
     if rc < 0:
         return None
-    out = np.empty((nrows.value, ncols.value), dtype=np.float64)
+    probe_shape = (nrows.value, ncols.value)
+    out = np.empty(probe_shape, dtype=np.float64)
     rc = lib.chainload_parse(
         path.encode(),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         out.size, ctypes.byref(nrows), ctypes.byref(ncols))
     if rc < 0:
         return None
-    return out[:nrows.value, :ncols.value]
+    # The file can change between the probe and fill passes; a different
+    # column count would make the row-major fill misaligned with `out`'s
+    # stride, so reject anything but an exact shape match (the caller then
+    # falls back to np.loadtxt on the current file contents).
+    if (nrows.value, ncols.value) != probe_shape:
+        logger.debug("native chainload: file %s changed between passes "
+                     "(%s -> %s); falling back", path, probe_shape,
+                     (nrows.value, ncols.value))
+        return None
+    return out

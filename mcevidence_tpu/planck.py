@@ -854,13 +854,8 @@ def _launch_procs(argv, procs: int) -> int:
 
 
 def main(argv=None) -> int:
-    plat = os.environ.get("MCE_FORCE_PLATFORM")
-    if plat:
-        # late re-assertion of the platform (see _launch_procs): the env
-        # var alone is read too early — sitecustomize imports jax at
-        # interpreter start and force-selects the TPU plugin
-        import jax
-        jax.config.update("jax_platforms", plat)
+    from .utils.backend_probe import apply_forced_platform
+    apply_forced_platform()
     args = build_parser().parse_args(argv)
     if args.kmax < 2:
         # a bare assert is stripped under python -O, after which kmax=1

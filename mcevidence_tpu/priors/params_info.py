@@ -98,7 +98,14 @@ def _parse_log_param_file(path: str, cosmo: bool) -> ParamsInfo:
     info = ParamsInfo([], [], [], [], 0)
     with open(path, "r") as fp:
         for line in fp:
-            if "#" in line or "data.parameters" not in line:
+            # Strip trailing comments FIRST: a commented-out parameter line
+            # becomes empty and is skipped, while a valid line with an
+            # inline `# note` is still parsed.  (The reference skipped any
+            # line containing '#' anywhere, MCEvidence.py:1239, silently
+            # dropping valid rows and biasing the volume by -ln(range) —
+            # deviation recorded in PARITY.md.)
+            line = line.split("#", 1)[0]
+            if "data.parameters" not in line:
                 continue
             name, arr = parse_log_param_line(line)
             if len(arr) < 6:
@@ -129,19 +136,32 @@ def params_info(fname: str, cosmo: bool = False) -> ParamsInfo:
         path = (f"{fname}.ranges"
                 if f"{fname}.ranges" in ranges_matches else ranges_matches[0])
         logger.info("params info from CosmoMC file %s", path)
-        return _parse_ranges_file(path, cosmo)
-    lp = f"{fname}/log.param"
-    if _glob.glob(lp):
-        logger.info("params info from MontePython file %s", lp)
-        return _parse_log_param_file(lp, cosmo)
-    from ..chains.cobaya import cobaya_params_info, updated_yaml_path
-    cy = updated_yaml_path(fname)
-    if cy is not None:
-        logger.info("params info from Cobaya file %s", cy)
-        return cobaya_params_info(fname, cosmo)
-    raise FileNotFoundError(
-        "Could not read parameter volume from CosmoMC .ranges, MontePython "
-        f"log.param, or Cobaya updated.yaml files for root {fname!r}")
+        info = _parse_ranges_file(path, cosmo)
+    else:
+        lp = f"{fname}/log.param"
+        if _glob.glob(lp):
+            logger.info("params info from MontePython file %s", lp)
+            info = _parse_log_param_file(lp, cosmo)
+        else:
+            from ..chains.cobaya import cobaya_params_info, updated_yaml_path
+            cy = updated_yaml_path(fname)
+            if cy is None:
+                raise FileNotFoundError(
+                    "Could not read parameter volume from CosmoMC .ranges, "
+                    "MontePython log.param, or Cobaya updated.yaml files "
+                    f"for root {fname!r}")
+            logger.info("params info from Cobaya file %s", cy)
+            info = cobaya_params_info(fname, cosmo)
+    # An empty match would otherwise flow downstream as volume=prod([])=1
+    # and ndim=0, running the estimator on zero-column samples.  (The
+    # reference proceeded silently here and crashed obscurely later.)
+    if info.ndim == 0:
+        hint = (" with the cosmological-parameter filter active; pass "
+                "--allparams / cosmo=False, or extend the registry via "
+                "--paramsfile" if cosmo else "")
+        raise ValueError(
+            f"no usable (varying) parameters found for root {fname!r}{hint}")
+    return info
 
 
 def get_prior_volume(root_name: str, cosmo: bool = True,

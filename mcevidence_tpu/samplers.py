@@ -46,14 +46,15 @@ def _make_vgrad(lnprob: Callable):
         cpu = None
     warned = [False]
 
-    def f(x: np.ndarray) -> Tuple[float, np.ndarray]:
-        import time
-        t0 = time.perf_counter()
+    def _eval(x):
         if cpu is not None:
             with jax.default_device(cpu):
-                v, g = vg(jnp.asarray(x))
-        else:
-            v, g = vg(x)
+                return vg(jnp.asarray(x))
+        return vg(jnp.asarray(x))
+
+    def f(x: np.ndarray) -> Tuple[float, np.ndarray]:
+        import time
+        v, g = _eval(x)
         out = float(v), np.asarray(g, np.float64)   # blocks: honest timing
         if not warned[0]:
             warned[0] = True
@@ -62,10 +63,7 @@ def _make_vgrad(lnprob: Callable):
             # step is a device round trip — sample a SECOND eval to skip
             # compile time before warning
             t1 = time.perf_counter()
-            f2 = vg(jnp.asarray(np.asarray(x))) if cpu is None else None
-            if cpu is not None:
-                with jax.default_device(cpu):
-                    f2 = vg(jnp.asarray(x))
+            f2 = _eval(x)
             jax.block_until_ready(f2)
             if time.perf_counter() - t1 > 0.05:
                 logger.warning(

@@ -282,13 +282,8 @@ def main(argv: Optional[list] = None) -> int:
                    help="overlap up to N requests (responses stay in "
                         "request order); 1 = strictly serial")
     p.add_argument("-vb", "--verbose", dest="verbose", default=0, type=int)
-    plat = os.environ.get("MCE_FORCE_PLATFORM")
-    if plat:
-        # late re-assertion of the platform (same as planck.main): the env
-        # var alone is read too early — sitecustomize imports jax at
-        # interpreter start and force-selects the TPU plugin
-        import jax
-        jax.config.update("jax_platforms", plat)
+    from .utils.backend_probe import apply_forced_platform
+    apply_forced_platform()
     args = p.parse_args(argv)
     from .utils.logging import configure
     configure(args.verbose)

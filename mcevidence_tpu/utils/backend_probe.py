@@ -9,14 +9,31 @@ sitecustomize, so it initializes the same default backend the parent would.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
 from typing import Optional, Tuple
 
-# honors MCE_FORCE_PLATFORM like every other entry point: env vars alone
-# are read too early (sitecustomize imports jax at interpreter start), so
-# the child re-asserts the platform in-process before touching the backend
+
+def apply_forced_platform() -> Optional[str]:
+    """Re-assert MCE_FORCE_PLATFORM in-process; returns the platform or None.
+
+    The env var alone is read too early: sitecustomize imports jax at
+    interpreter start and force-selects the TPU plugin, so every entry
+    point (CLI, serve, planck, probe child) must re-apply the override via
+    jax.config AFTER import but BEFORE the backend initializes.  Lets runs
+    ride out relay outages on the CPU backend.
+    """
+    plat = os.environ.get("MCE_FORCE_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    return plat or None
+
+
+# the probe child inlines apply_forced_platform(): it must stay runnable
+# from any cwd, without the package on the child's import path
 _PROBE_CODE = (
     "import os, jax; p = os.environ.get('MCE_FORCE_PLATFORM'); "
     "p and jax.config.update('jax_platforms', p); "

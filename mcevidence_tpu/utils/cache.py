@@ -14,12 +14,15 @@ import os
 
 logger = logging.getLogger(__name__)
 
+# False -> undecided; "provisional" -> enabled pre-init from plugin
+# registration (must be re-checked once the backend is actually up);
+# True -> final.
 _enabled = False
 
 
 def enable_compilation_cache(path: str = "") -> None:
     global _enabled
-    if _enabled:
+    if _enabled is True:
         return
     import jax
 
@@ -30,11 +33,27 @@ def enable_compilation_cache(path: str = "") -> None:
     # backend: init can block indefinitely behind a dead relay (BASELINE.md
     # ops note), and this function runs in entry points that must stay
     # outage-proof — when the backend is not up yet, infer from the pinned
-    # platform config and the registered (not instantiated) plugins.
+    # platform config and the registered (not instantiated) plugins, and
+    # finalize the decision on the next call after init (every MCEvidence
+    # construction re-enters here, so a fallback is caught before the
+    # estimator's own compiles).
+    backends_up = False
     try:
         from jax._src import xla_bridge
-        if getattr(xla_bridge, "_backends", None):
-            accel = jax.default_backend() == "tpu"   # exact: already up
+        backends_up = bool(getattr(xla_bridge, "_backends", None))
+        if backends_up:
+            # exact, and the same rule as the pre-init branch: any real
+            # accelerator qualifies, cpu/interpreter do not
+            accel = jax.default_backend() not in ("cpu", "interpreter")
+            if not accel and _enabled == "provisional":
+                # pre-init trusted the registered accelerator plugin but
+                # init fell back to CPU (dead relay): withdraw the cache
+                # dir so CPU AOT executables never land in it
+                jax.config.update("jax_compilation_cache_dir", None)
+                logger.debug("withdrew persistent cache: backend fell "
+                             "back to %s", jax.default_backend())
+                _enabled = True
+                return
         else:
             platforms = (jax.config.jax_platforms or "").split(",")
             factories = set(getattr(xla_bridge, "_backend_factories", {}))
@@ -53,8 +72,9 @@ def enable_compilation_cache(path: str = "") -> None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        _enabled = True
-        logger.debug("persistent compilation cache at %s", path)
+        _enabled = True if backends_up else "provisional"
+        logger.debug("persistent compilation cache at %s%s", path,
+                     "" if backends_up else " (provisional until init)")
     except Exception as e:   # never let cache setup break an estimate
         logger.warning("could not enable compilation cache: %s", e)
 

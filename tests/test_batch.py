@@ -87,3 +87,26 @@ def test_compile_shape_audit_records_buckets():
     run(3000)       # new bucket
     n2 = len(shape_report())
     assert n1 == 1 and n2 == 2, shape_report()
+
+
+def test_compilation_cache_withdrawn_on_cpu_fallback(monkeypatch, tmp_path):
+    """A provisional pre-init cache decision (TPU plugin registered, backend
+    not yet up) must be withdrawn once init lands on the CPU backend, so CPU
+    AOT executables never go into the accelerator cache dir."""
+    import jax
+
+    from mcevidence_tpu.utils import cache
+
+    # the test env's backend is CPU and already initialized; simulate the
+    # pre-init decision having provisionally enabled the cache
+    monkeypatch.setattr(cache, "_enabled", "provisional")
+    monkeypatch.setenv("MCE_COMPILE_CACHE", str(tmp_path / "cc"))
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "cc"))
+        cache.enable_compilation_cache()
+        assert cache._enabled is True
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+        cache._enabled = False

@@ -214,3 +214,48 @@ def test_cli_bootstrap_flag(tmp_path, rng, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "bootstrap ln(B)[k=1]" in out and "+/-" in out
+
+
+def test_compat_quirk_noop_paths(files):
+    # reference parity, pinned so reviews don't re-flag them as bugs:
+    # removeBurn with neither chain nor name returns `remove` unchanged
+    # (MCEvidence.py:357-359); thin(nthin=1) returns None even in raw-chain
+    # mode (MCEvidence.py:296-297, quirk Q9)
+    gd = MCSamples(files)
+    assert gd.removeBurn(0.3) == 0.3
+    assert gd.thin(1, chain=np.ones((5, 4))) is None
+
+
+def test_cli_error_legs_forward_split_and_precision(tmp_path, rng, capsys,
+                                                    monkeypatch):
+    # --cross --error/--bootstrap must quantify the SAME estimator and
+    # precision as the headline lnz (serve.py already forwards both; the
+    # human CLI must not drift from the JSON protocol)
+    ndim, n = 2, 600
+    for c in (1, 2):
+        theta = rng.normal(0.0, 0.05, size=(n, ndim))
+        neglnl = 0.5 * np.sum((theta / 0.05) ** 2, axis=1)
+        np.savetxt(tmp_path / f"toy_{c}.txt",
+                   np.column_stack([np.ones(n), neglnl, theta]))
+    (tmp_path / "toy.ranges").write_text("omegabh2 -1 1\nomegach2 -1 1\n")
+    import mcevidence_tpu.evidence as ev
+    calls = {}
+
+    def fake_error(chains, **kw):
+        calls["error"] = kw
+        return np.array([0.0]), np.array([0.0]), None
+
+    def fake_boot(chains, **kw):
+        calls["boot"] = kw
+        return np.array([0.0]), np.array([0.0]), None
+
+    monkeypatch.setattr(ev, "evidence_with_error", fake_error)
+    monkeypatch.setattr(ev, "evidence_bootstrap", fake_boot)
+    from mcevidence_tpu.cli import main
+    rc = main([str(tmp_path / "toy"), "-k", "2", "-vb", "0", "--cross",
+               "--error", "--bootstrap", "4", "--engine", "xla"])
+    assert rc == 0
+    assert calls["error"]["split"] is True
+    assert calls["error"]["precision"] == "refine"
+    assert calls["boot"]["split"] is True
+    assert calls["boot"]["precision"] == "refine"

@@ -111,3 +111,34 @@ def test_cli_paramsfile_extends_registry(tmp_path, rng):
                "--paramsfile", str(pf)])
     assert rc == 0
     # with the paramsfile, both params count: ndim resolved to 2
+
+
+def test_log_param_inline_comment_kept(tmp_path):
+    # a valid parameter line with a trailing comment must be parsed, while
+    # a commented-out line must be skipped (the reference dropped BOTH,
+    # MCEvidence.py:1239, silently shrinking the prior volume)
+    d = tmp_path / "mp"
+    d.mkdir()
+    (d / "log.param").write_text(
+        "data.parameters['omega_b'] = [2.2, 1.8, 2.6, 0.01, 0.01, 'cosmo']"
+        "  # baseline prior\n"
+        "# data.parameters['junk'] = [1, 0, 2, 0.1, 1, 'cosmo']\n"
+        "data.parameters['H0'] = [67, 60, 80, 1, 1, 'cosmo']\n")
+    info = params_info(str(d), cosmo=True)
+    assert info.names == ["omega_b", "H0"]
+    assert np.isclose(info.volume, (2.6 - 1.8) * 20)
+
+
+def test_zero_parameter_match_raises(tmp_path):
+    # cosmo filter matching nothing must be a clear error, not a silent
+    # volume=1 / ndim=0 that runs the estimator on zero-column samples
+    (tmp_path / "t.ranges").write_text("notacosmoname 0 1\n")
+    with pytest.raises(ValueError, match="no usable.*allparams"):
+        params_info(str(tmp_path / "t"), cosmo=True)
+    # every parameter fixed: same error even without the filter
+    (tmp_path / "u.ranges").write_text("a 1 1\nb 2 2\n")
+    with pytest.raises(ValueError, match="no usable"):
+        params_info(str(tmp_path / "u"), cosmo=False)
+    # get_prior_volume degrades per its normal fallback contract
+    v, nd = get_prior_volume(str(tmp_path / "t"), priorvolume=3.0)
+    assert v == 3.0 and nd is None
