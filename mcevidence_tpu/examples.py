@@ -284,8 +284,12 @@ class banana_eg:
             (l1, h1), (l2, h2) = self.bounds
             g1 = np.linspace(l1, h1, 4001)
             g2 = np.linspace(l2, h2, 4001)
-            ln = self.lnlike(np.stack(np.meshgrid(g1, g2, indexing="ij"),
-                                      axis=-1))
+            # broadcast the two coordinate axes directly: stacking a full
+            # (4001, 4001, 2) meshgrid costs ~0.5 GB of transient float64
+            # for what one (4001, 4001) grid expresses
+            t1 = g1[:, None]
+            ln = (-0.5 * (t1 / self.a) ** 2
+                  - 0.5 * ((g2[None, :] - self.b * t1 ** 2) / self.c) ** 2)
             # np.trapezoid is NumPy >= 2.0; fall back to the 1.x name
             trap = getattr(np, "trapezoid", None) or np.trapz
             integral = trap(trap(np.exp(ln), g2, axis=1), g1)

@@ -565,8 +565,6 @@ def _device_refine_finalize(flat, host, kmax, prior_volume,
     mle = np.full(kmax, np.nan)
     mle[:ke] = (math.log(sumw) + log_amax + host["log_j"] + host["lnl_max"]
                 - math.log(prior_volume))
-    if not host.get("cross"):
-        mle[0] = 0.0
     if warn_thin and float(thin_count) > 0:
         logger.warning(
             "device-refine: %d rows had thin candidate margins (near-tied "
@@ -731,5 +729,5 @@ def fast_auto_evidence(samples: np.ndarray, lnlike: np.ndarray,
     if sum_adjusted_weights is not None:
         mle = mle + (np.log(sum_adjusted_weights)
                      - np.log(float(np.sum(weights))))
-        mle[0] = 0.0
+    # column 0 (the auto-mode self-match) is dropped per quirk Q2
     return mle[1:]

@@ -38,14 +38,18 @@ def reset_cosmo_params() -> None:
 def load_params_file(path: str) -> list[str]:
     """Read extra cosmological parameter names from a text file.
 
-    One name per line; blank lines and lines containing ``#`` are skipped
-    (reference MCEvidence.py:1424-1428 skips any line containing '#').
+    One name per line.  Trailing ``#`` comments are stripped and the
+    remainder kept; blank and fully-commented lines are skipped.  (The
+    reference skipped any line containing '#' anywhere, MCEvidence.py:
+    1424-1428, silently discarding a valid name with an inline comment —
+    the same defect fixed in the MontePython log.param parser; see
+    docs/PARITY.md.)
     """
     names: list[str] = []
     with open(path, "r") as fp:
         for raw in fp:
-            line = raw.strip()
-            if line and "#" not in line:
+            line = raw.split("#", 1)[0].strip()
+            if line:
                 names.append(line)
     extend_cosmo_params(names)
     return names
@@ -54,9 +58,13 @@ def load_params_file(path: str) -> list[str]:
 def iscosmo_param(p: str, cosmo_params=None) -> bool:
     """True if parameter name ``p`` is cosmological (reference MCEvidence.py:1195-1202).
 
-    ``cosmo_params``: optional extra names to also accept (registered
-    persistently, matching the reference's extend-on-query behaviour).
+    ``cosmo_params``: optional extra names to also accept FOR THIS QUERY
+    ONLY.  The reference permanently extended its global list here
+    (MCEvidence.py:1199-1200), which in a long-lived process leaks one
+    request's extensions into every later one, silently inflating prior
+    volumes; persistent registration is the explicit hooks' job
+    (``extend_cosmo_params`` / ``load_params_file``).
     """
-    if cosmo_params is not None:
-        extend_cosmo_params(cosmo_params)
+    if cosmo_params is not None and p in {str(n) for n in cosmo_params}:
+        return True
     return p in COSMO_PARAMS or p in _extra_cosmo_params

@@ -77,16 +77,34 @@ def make_batch_plan(nsamples: Sequence[int], nbatch: int = 1,
         for ix in range(npart):
             powers[:, ix] = np.linspace(powmin, powmax, nbatch)
             bsize[:, ix] = np.power(10.0, powers[:, ix]).astype(int)
-        nchain = bsize.copy()
     elif bscale == "linear":
         for ix in range(npart):
             bsize[:, ix] = np.linspace(powmin, powmax, nbatch).astype(int)
             powers[:, ix] = np.log10(np.maximum(bsize[:, ix], 1))
-        nchain = bsize.copy()
     else:  # constant
-        bsize[:, :] = np.asarray(brange, dtype=int)
+        arr = np.asarray(brange, dtype=int)
+        if arr.ndim > 0 and arr.size not in (1, npart):
+            raise ValueError(
+                f"bscale='constant' (the default when brange is a sequence) "
+                f"expects a scalar batch size or one per partition "
+                f"({npart}); got {arr.size} values.  For a (min, max) batch "
+                f"range pass bscale='logpower' or 'linear'.")
+        bsize[:, :] = arr
         powers[:, :] = np.arange(nbatch, dtype=float)[:, None]
         nchain = np.zeros((nbatch, npart), dtype=int)
         for ix in range(npart):
             nchain[:, ix] = np.cumsum(bsize[:, ix])
+        return BatchPlan(nbatch=nbatch, powers=powers, bsize=bsize,
+                         nchain=nchain)
+    # ranged branches: a plan entry of 0 would read downstream as "use the
+    # full partition" (_get_batch's nsamples<=0 sentinel), silently labelling
+    # a full-chain ln Z as the smallest point of the convergence curve —
+    # clamp to 1 so a degenerate request fails loudly in the estimator
+    # instead (the displayed powers already assumed the clamp)
+    if np.any(bsize < 1):
+        logging.getLogger(__name__).warning(
+            "batch plan clamped %d zero-size batches to 1 sample "
+            "(brange=%s, bscale=%r)", int(np.sum(bsize < 1)), brange, bscale)
+        bsize = np.maximum(bsize, 1)
+    nchain = bsize.copy()
     return BatchPlan(nbatch=nbatch, powers=powers, bsize=bsize, nchain=nchain)

@@ -110,3 +110,30 @@ def test_compilation_cache_withdrawn_on_cpu_fallback(monkeypatch, tmp_path):
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
         cache._enabled = False
+
+
+def test_ranged_plans_never_emit_zero_size():
+    """A 0 in a ranged plan would read downstream as 'full partition'
+    (_get_batch's nsamples<=0 sentinel), mislabelling a full-chain lnZ as
+    the smallest convergence-curve point — clamp to 1 instead."""
+    from mcevidence_tpu.utils.batch import make_batch_plan
+    plan = make_batch_plan([10000], nbatch=3, brange=(0, 1000),
+                           bscale="linear")
+    assert plan.bsize.min() >= 1
+    assert plan.nchain.min() >= 1
+    plan = make_batch_plan([10000], nbatch=3, brange=(-1, 3),
+                           bscale="logpower")
+    assert plan.bsize.min() >= 1
+
+
+def test_constant_branch_shape_error():
+    """A (min, max) brange with the default bscale must raise a usable
+    message pointing at bscale, not a numpy broadcast traceback."""
+    import pytest
+
+    from mcevidence_tpu.utils.batch import make_batch_plan
+    with pytest.raises(ValueError, match="logpower"):
+        make_batch_plan([10000], nbatch=3, brange=(50, 5000))
+    # scalar and per-partition constants still work
+    plan = make_batch_plan([100, 200], nbatch=2, brange=(30, 40))
+    assert plan.bsize.tolist() == [[30, 40], [30, 40]]

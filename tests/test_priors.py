@@ -142,3 +142,17 @@ def test_zero_parameter_match_raises(tmp_path):
     # get_prior_volume degrades per its normal fallback contract
     v, nd = get_prior_volume(str(tmp_path / "t"), priorvolume=3.0)
     assert v == 3.0 and nd is None
+
+
+def test_registry_inline_comment_and_query_isolation(tmp_path):
+    # --paramsfile names keep their value when a trailing comment follows
+    # (the reference dropped the whole line); per-query cosmo_params no
+    # longer leak into the process-global registry (serve workers)
+    pf = tmp_path / "extra.txt"
+    pf.write_text("mnu2  # neutrino mass variant\n# fully commented\nxpar\n")
+    names = registry.load_params_file(str(pf))
+    assert names == ["mnu2", "xpar"]
+    assert registry.iscosmo_param("mnu2")
+    registry.reset_cosmo_params()
+    assert registry.iscosmo_param("adhoc", cosmo_params=["adhoc"])
+    assert not registry.iscosmo_param("adhoc")   # not persisted
