@@ -410,3 +410,49 @@ def test_root_in_glob_metachar_dir(tmp_path, rng):
     from mcevidence_tpu.chains.reader import resolve_chain_files
     flist = resolve_chain_files(str(d / "toy"))
     assert [os.path.basename(f) for f in flist] == ["toy_1.txt", "toy_2.txt"]
+
+
+def test_glob_order_deterministic_q14(tmp_path, rng):
+    """Quirk Q14: the reference concatenated chain files in raw readdir
+    order, so integer thinning retained different rows machine-to-machine.
+    Here the glob is sorted: ingestion must be identical however the files
+    were created/ordered on disk."""
+    import numpy as np
+
+    from mcevidence_tpu.chains import reader
+    rows = {c: np.column_stack([np.full(40, 2.0), rng.random(40),
+                                rng.normal(size=(40, 2))])
+            for c in (1, 2, 3)}
+    # create in scrambled order to perturb readdir
+    for c in (2, 3, 1):
+        np.savetxt(tmp_path / f"t_{c}.txt", rows[c])
+    pair = reader.ingest(str(tmp_path / "t"), thinlen=3)
+    expect = np.concatenate([rows[1], rows[2], rows[3]])[:, 2:]
+    # thinning is deterministic for integer weights; row ORDER before
+    # thinning is pinned to the sorted file order
+    pair_again = reader.ingest(str(tmp_path / "t"), thinlen=3)
+    np.testing.assert_array_equal(pair.s1.samples, pair_again.s1.samples)
+    assert pair.s1.samples.shape[1] == 2
+    # the first retained row comes from chain 1 (sorted first), not from
+    # whichever file readdir happened to yield
+    assert np.any(np.all(expect[:1] == pair.s1.samples[:1], axis=1))
+
+
+def test_inmemory_burn_thin_applied_q15(rng):
+    """Quirk Q15: the reference silently IGNORED burnlen/thinlen for
+    dict/array (in-memory) chains — only file inputs were burned/thinned.
+    This build applies them uniformly to every source type."""
+    import numpy as np
+
+    from mcevidence_tpu.chains import reader
+    n = 200
+    chain = {"samples": rng.normal(size=(n, 3)),
+             "loglikes": rng.normal(size=n)}
+    pair = reader.ingest(chain, burnlen=0.25)
+    assert pair.s1.nsamples == 150          # 25% burned
+    pair = reader.ingest(chain, burnlen=0.25, thinlen=2.0)
+    # unit weights, factor 2: the getdist walk keeps ~half the burned rows,
+    # exactly as many as the thinning primitive itself says
+    from mcevidence_tpu.chains.preprocess import get_thin_index
+    _, ix = get_thin_index(2.0, np.ones(150))
+    assert pair.s1.nsamples == len(ix) < 150
