@@ -38,7 +38,36 @@ def _failure_line(error: str, phase: str = "") -> str:
            "unit": "pairs/s", "vs_baseline": 0.0, "error": error}
     if phase:
         rec["phase"] = phase
+    # a transient-outage failure is not a framework regression: point the
+    # reader at the standing healthy-window measurements (BASELINE.md)
+    last = _last_healthy_bench()
+    if last is not None:
+        rec["last_healthy"] = last
     return json.dumps(rec)
+
+
+def _last_healthy_bench():
+    """Most recent BENCH_r*.json with value > 0, as a small summary dict.
+    Never raises: a failure line must always be emittable."""
+    import glob
+    import os
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+    except NameError:
+        here = "."
+    best = None
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as fp:
+                rec = json.load(fp)
+            rec = rec.get("parsed", rec)   # driver wraps the bench line
+            if float(rec.get("value", 0)) > 0:
+                best = {"round_file": os.path.basename(path),
+                        "value": rec["value"],
+                        "vs_baseline": rec.get("vs_baseline")}
+        except Exception:
+            continue
+    return best
 
 
 class _Watchdog:
