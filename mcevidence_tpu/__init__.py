@@ -23,6 +23,15 @@ from .samplers import nuts_sample, stretch_sample
 # reference-compatible module-level alias (reference MCEvidence.py:84-86)
 cosmo_params_list = list(COSMO_PARAMS)
 
+
+def __getattr__(name):
+    # lazy: eager `from .compare import ...` would trip runpy's
+    # double-import warning for `python -m mcevidence_tpu.compare`
+    if name == "compare_models":
+        from .compare import compare_models
+        return compare_models
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 __all__ = [
     "MCEvidence",
     "MCSamples",
@@ -30,6 +39,7 @@ __all__ = [
     "evidence_fn",
     "evidence_with_error",
     "evidence_bootstrap",
+    "compare_models",
     "nuts_sample",
     "stretch_sample",
     "load_nested_chains",

@@ -1,0 +1,240 @@
+"""Generic multi-model evidence comparison.
+
+The reference only offers model comparison through its Planck-specific MPI
+batch driver (planck_mcevidence.py:306-404: per-model prior volumes
+normalized by the base model, lnE matrix, delta_lnE vs the best model,
+NaN degradation for broken cells).  This module exposes the same recipe as
+a library call / small CLI over ARBITRARY chain roots, so a user comparing
+their own two models doesn't have to re-derive the bookkeeping.
+
+Conventions (all from the reference driver):
+* prior volumes normalized by the base model's volume
+  (planck_mcevidence.py:329-331) — Bayes factors between nested models
+  then depend only on the extra parameters' prior ranges;
+* ``delta_lnE = lnE - max(lnE)`` per k (planck_mcevidence.py:373-375);
+* a model whose metadata or chains fail becomes a NaN row, the comparison
+  completes (planck_mcevidence.py:355-361);
+* with ``error=True``, per-chain scatter err = std/sqrt(nchains)
+  (planck_mcevidence.py:369-372) via ``evidence_with_error``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _as_named_roots(roots) -> Dict[str, str]:
+    if isinstance(roots, dict):
+        return {str(k): str(v) for k, v in roots.items()}
+    named: Dict[str, str] = {}
+    for r in roots:
+        name = os.path.basename(str(r).rstrip("/")) or str(r)
+        # keep names unique when two roots share a basename
+        base, ix = name, 1
+        while name in named:
+            ix += 1
+            name = f"{base}#{ix}"
+        named[name] = str(r)
+    return named
+
+
+def compare_models(roots: Union[Dict[str, str], Sequence[str]], *,
+                   kmax: int = 2,
+                   base: Optional[str] = None,
+                   normalize: bool = True,
+                   allparams: bool = False,
+                   error: bool = False,
+                   priorvolumes: Optional[Dict[str, float]] = None,
+                   **mce_kwargs) -> List[dict]:
+    """Evidence comparison table over several chain roots.
+
+    ``roots``: mapping name -> chain root, or a sequence of roots (names
+    from basenames).  ``base``: model whose prior volume normalizes the
+    others (default: the first); ignored when ``normalize=False`` or when
+    explicit ``priorvolumes`` are given.  ``allparams``: count every
+    varying parameter toward the volume instead of only registry-known
+    cosmological ones.  ``error=True`` additionally runs the per-chain
+    scatter recipe (needs >= 2 chain files per root).  Extra kwargs go to
+    ``MCEvidence`` (burnlen, thinlen, engine, precision, seed, split, ...).
+
+    Returns a list of row dicts (one per model, input order) with keys
+    ``model, root, lnE (array over k=1..kmax-1), delta_lnE, PriorVol,
+    ndim, N_read, N_used`` and, when ``error=True``, ``mean_lnE, err_lnE``.
+    Failed models carry NaN lnE and the error string under ``error``.
+    Feed to ``pandas.DataFrame`` directly for a pretty table.
+    """
+    from .evidence import MCEvidence, evidence_with_error
+    from .priors.params_info import params_info
+
+    named = _as_named_roots(roots)
+    if not named:
+        raise ValueError("compare_models needs at least one chain root")
+    base = base if base is not None else next(iter(named))
+    if base not in named:
+        raise ValueError(f"base model {base!r} not among {list(named)}")
+
+    # pass 1: metadata (volume, ndim) with per-model NaN degradation
+    meta: Dict[str, tuple] = {}
+    for name, root in named.items():
+        if priorvolumes is not None and name in priorvolumes:
+            meta[name] = (float(priorvolumes[name]), None, None)
+            continue
+        try:
+            info = params_info(root, cosmo=not allparams)
+            meta[name] = (info.volume, info.ndim, None)
+        except Exception as exc:
+            logger.warning("metadata failed for %s (%s): %s — NaN row",
+                           name, root, exc)
+            meta[name] = (np.nan, None, f"{type(exc).__name__}: {exc}")
+
+    vol_norm = 1.0
+    if normalize and priorvolumes is None:
+        vol_norm = meta[base][0]
+        if not np.isfinite(vol_norm) or vol_norm <= 0:
+            logger.warning(
+                "base model %r metadata failed: prior volumes NOT "
+                "normalized (reference convention planck_mcevidence.py:"
+                "329-331) — absolute lnE shifts by ln(V_base)", base)
+            vol_norm = 1.0
+
+    rows: List[dict] = []
+    nk = max(2, kmax) - 1
+    for name, root in named.items():
+        vol, ndim, err_msg = meta[name]
+        row = {"model": name, "root": root,
+               "PriorVol": (vol / vol_norm if np.isfinite(vol) else np.nan),
+               "ndim": ndim, "lnE": np.full(nk, np.nan),
+               "N_read": None, "N_used": None}
+        if err_msg is not None:
+            row["error"] = err_msg
+            rows.append(row)
+            continue
+        try:
+            mce = MCEvidence(root, kmax=kmax, priorvolume=row["PriorVol"],
+                             ndim=ndim, verbose=0, **mce_kwargs)
+            lnE, info = mce.evidence(info=True)
+            row["lnE"] = np.atleast_1d(np.asarray(lnE, np.float64)).ravel()[:nk]
+            row["N_read"] = info.get("Nsamples_read")
+            row["N_used"] = info.get("Nsamples")
+        except Exception as exc:   # broken chains: NaN row, table completes
+            logger.warning("evidence failed for %s (%s): %s — NaN row",
+                           name, root, exc)
+            row["error"] = f"{type(exc).__name__}: {exc}"
+            rows.append(row)
+            continue
+        if error:
+            try:
+                mean, err, _ = evidence_with_error(
+                    root, kmax=kmax, priorvolume=row["PriorVol"],
+                    ndim=ndim, **mce_kwargs)
+                row["mean_lnE"] = np.asarray(mean, np.float64)
+                row["err_lnE"] = np.asarray(err, np.float64)
+            except Exception as exc:  # < 2 chains etc: leg degrades alone
+                row["error_bars_error"] = f"{type(exc).__name__}: {exc}"
+        rows.append(row)
+
+    # delta vs the best model, per k (NaN rows excluded from the max)
+    lnE_mat = np.stack([r["lnE"] for r in rows])
+    with np.errstate(invalid="ignore"):
+        best = np.nanmax(lnE_mat, axis=0) if np.any(
+            np.isfinite(lnE_mat)) else np.full(nk, np.nan)
+    for r in rows:
+        r["delta_lnE"] = r["lnE"] - best
+    return rows
+
+
+def format_table(rows: List[dict]) -> str:
+    """Human table (k=1 column, the reference's headline k)."""
+    heads = ["model", "lnE_k1", "delta_lnE_k1", "PriorVol", "ndim",
+             "N_read", "N_used"]
+    have_err = any("err_lnE" in r for r in rows)
+    if have_err:
+        heads[2:2] = ["err_lnE_k1"]
+    widths = [max(len(h), 12) for h in heads]
+    out = ["  ".join(h.ljust(w) for h, w in zip(heads, widths))]
+    out.append("  ".join("-" * w for w in widths))
+    for r in rows:
+        cells = [r["model"], f"{r['lnE'][0]:.2f}"]
+        if have_err:
+            e = r.get("err_lnE")
+            cells.append(f"{e[0]:.3f}" if e is not None else "")
+        cells += [f"{r['delta_lnE'][0]:.2f}",
+                  (f"{r['PriorVol']:.4g}"
+                   if r["PriorVol"] is not None else ""),
+                  str(r["ndim"] if r["ndim"] is not None else ""),
+                  str(r["N_read"] or ""), str(r["N_used"] or "")]
+        out.append("  ".join(str(c).ljust(w) for c, w in zip(cells, widths)))
+    return "\n".join(out)
+
+
+def build_parser():
+    import argparse
+    p = argparse.ArgumentParser(
+        prog="mcevidence-compare",
+        description="Compare the Bayesian evidence of several chain roots "
+                    "(prior volumes normalized by the base model; "
+                    "delta_lnE vs the best).")
+    p.add_argument("roots", nargs="+", help="chain roots (CosmoMC/"
+                   "MontePython/Cobaya); NAME=ROOT pairs name the rows")
+    p.add_argument("-k", "--kmax", type=int, default=2)
+    p.add_argument("--base", default=None,
+                   help="model normalizing the prior volumes "
+                        "(default: the first)")
+    p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--allparams", action="store_true")
+    p.add_argument("--error", action="store_true",
+                   help="add per-chain scatter error bars")
+    p.add_argument("--burn", dest="burnlen", type=float, default=0.0)
+    p.add_argument("--thin", dest="thinlen", type=float, default=0.0)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--precision", default="refine",
+                   choices=["device", "refine", "fast"])
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--json", action="store_true",
+                   help="one JSON line instead of the table")
+    p.add_argument("-vb", "--verbose", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    from .utils.backend_probe import apply_forced_platform
+    apply_forced_platform()
+    args = build_parser().parse_args(argv)
+    from .utils.logging import configure
+    configure(args.verbose)
+    roots: Dict[str, str] = {}
+    for r in args.roots:
+        if "=" in r and not os.path.exists(r.split("=", 1)[0]):
+            name, root = r.split("=", 1)
+            roots[name] = root
+        else:
+            roots.update(_as_named_roots([r]))
+    rows = compare_models(
+        roots, kmax=args.kmax, base=args.base,
+        normalize=not args.no_normalize, allparams=args.allparams,
+        error=args.error, burnlen=args.burnlen, thinlen=args.thinlen,
+        engine=args.engine, precision=args.precision, seed=args.seed)
+    if args.json:
+        import json as _json
+        out = []
+        for r in rows:
+            rec = dict(r)
+            for key in ("lnE", "delta_lnE", "mean_lnE", "err_lnE"):
+                if key in rec and isinstance(rec[key], np.ndarray):
+                    rec[key] = [float(x) for x in rec[key]]
+            out.append(rec)
+        print(_json.dumps(out))
+    else:
+        print(format_table(rows))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
