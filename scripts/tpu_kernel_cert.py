@@ -1,0 +1,146 @@
+"""On-chip certification of every Pallas kNN kernel variant.
+
+The unit suite runs the kernels in interpret mode on the virtual CPU mesh
+(tests/conftest.py); bench.py exercises only the packed + device-mode paths
+on real hardware.  This script closes the gap: it compiles and runs EVERY
+wrapper variant on the current default backend (TPU when the relay is up)
+and checks each against the blocked-XLA exact reference
+(ops/knn.py:knn_select_xla) via f64 distance recomputation from the
+returned indices — the same parity-grade criterion bench.py uses.
+
+Checks per variant: self-mode and cross-mode, runtime ``nr`` masking with
+garbage padding rows, and (batched variants) per-member heterogeneous nr.
+
+Usage: python scripts/tpu_kernel_cert.py [N] [d] [k]
+Exit code 0 iff every variant passes; one PASS/FAIL line per check.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mcevidence_tpu.ops.knn import knn_select_xla  # noqa: E402
+from mcevidence_tpu.ops import knn_pallas as kp  # noqa: E402
+
+# packed-lane variants quantize d2 by <= 2^-12 relative; the certification
+# recomputes distances in f64 from the returned indices, so the tolerance
+# only has to absorb ties resolved differently under quantization
+REL_TOL = 2.0 ** -11
+
+
+def _recompute_d2(query, ref, idx):
+    """f64 squared distances for the returned neighbour indices; absent
+    slots (-1) map to +inf, matching the kernels' contract."""
+    q = np.asarray(query, np.float64)
+    r = np.asarray(ref, np.float64)
+    safe = np.maximum(idx, 0)
+    diff = q[:, None, :] - r[safe]
+    d2 = np.sum(diff * diff, axis=-1)
+    return np.where(idx < 0, np.inf, d2)
+
+
+def _check(name, got_idx, query, ref, ref_d2, failures):
+    """Compare f64-recomputed distances at the returned indices against the
+    exact reference's kth-neighbour distances (ties make raw index
+    comparison meaningless; distance parity is the real contract)."""
+    got = np.sort(_recompute_d2(query, ref, np.asarray(got_idx)), axis=1)
+    want = np.sort(np.asarray(ref_d2, np.float64), axis=1)
+    finite = np.isfinite(want)
+    assert (np.isfinite(got) == finite).all(), f"{name}: absent-slot mismatch"
+    num = np.abs(got[finite] - want[finite])
+    den = np.maximum(want[finite], 1e-30)
+    worst = float(np.max(num / den)) if num.size else 0.0
+    ok = worst <= REL_TOL
+    print(f"{'PASS' if ok else 'FAIL'} {name:42s} max_rel_d2_err={worst:.3e}")
+    if not ok:
+        failures.append(name)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    backend = jax.default_backend()
+    print(f"backend={backend} devices={jax.devices()} n={n} d={d} k={k}")
+
+    rng = np.random.default_rng(7)
+    failures = []
+
+    # --- single-cell variants: self mode with garbage padding beyond nr ---
+    nr = n - 137                       # runtime count < padded height
+    full = rng.normal(size=(n, d))
+    full[nr:] = 1e6 * rng.normal(size=(n - nr, d))   # poison padding
+    x = jnp.asarray(full)
+    ref_d2, _ = jax.device_get(
+        knn_select_xla(x[:nr], x[:nr], k, self_mode=True))
+
+    single = {
+        "exact/self": lambda: kp.knn_select_pallas(
+            x, x, k, self_mode=True, nr=nr),
+        "packed/self": lambda: kp.knn_select_pallas_packed(
+            x, x, k, self_mode=True, nr=nr),
+        "binned/self": lambda: kp.knn_select_pallas_binned(
+            x, x, k, self_mode=True, nr=nr),
+        "binned_packed/self": lambda: kp.knn_select_pallas_binned(
+            x, x, k, self_mode=True, nr=nr, packed=True),
+    }
+    if d <= kp.SMALLD_MAX:
+        single["smalld/self"] = lambda: kp.knn_select_pallas_smalld(
+            x, x, k, self_mode=True, nr=nr)
+    for name, fn in single.items():
+        _, idx = jax.device_get(fn())
+        _check(name, idx[:nr], full[:nr], full[:nr], ref_d2, failures)
+
+    # --- cross mode (chain1 queries vs chain2 refs, no self pair) ---
+    nq = n // 2
+    qry = rng.normal(size=(nq, d))
+    qj = jnp.asarray(qry)
+    ref_d2x, _ = jax.device_get(knn_select_xla(qj, x[:nr], k))
+    cross = {
+        "exact/cross": lambda: kp.knn_select_pallas(qj, x, k, nr=nr),
+        "packed/cross": lambda: kp.knn_select_pallas_packed(qj, x, k, nr=nr),
+        "binned_packed/cross": lambda: kp.knn_select_pallas_binned(
+            qj, x, k, nr=nr, packed=True),
+    }
+    if d <= kp.SMALLD_MAX:
+        cross["smalld/cross"] = lambda: kp.knn_select_pallas_smalld(
+            qj, x, k, nr=nr)
+    for name, fn in cross.items():
+        _, idx = jax.device_get(fn())
+        _check(name, idx, qry, full[:nr], ref_d2x, failures)
+
+    # --- batched variants: heterogeneous per-member nr ---
+    bsz = 3
+    nrs = np.array([n - 137, n // 2, n], np.int32)
+    batch = rng.normal(size=(bsz, n, d))
+    for b, m in enumerate(nrs):
+        batch[b, m:] = 1e6 * rng.normal(size=(n - m, d))
+    xb = jnp.asarray(batch)
+    batched = {"packed_batched/self": lambda: kp.knn_select_pallas_packed_batched(
+        xb, xb, k, self_mode=True, nr=jnp.asarray(nrs))}
+    if d <= kp.SMALLD_MAX:
+        batched["smalld_batched/self"] = \
+            lambda: kp.knn_select_pallas_smalld_batched(
+                xb, xb, k, self_mode=True, nr=jnp.asarray(nrs))
+    for name, fn in batched.items():
+        _, idx = jax.device_get(fn())
+        for b, m in enumerate(nrs):
+            rd2, _ = jax.device_get(knn_select_xla(
+                xb[b, :m], xb[b, :m], k, self_mode=True))
+            _check(f"{name}[b={b},nr={m}]", idx[b, :m],
+                   batch[b, :m], batch[b, :m], rd2, failures)
+
+    if failures:
+        print(f"FAILED: {len(failures)} checks: {failures}")
+        return 1
+    print(f"ALL PASS on backend={backend}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
