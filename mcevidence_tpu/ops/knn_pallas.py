@@ -61,6 +61,57 @@ def _query_tile(k: int) -> int:
     return 256 if k >= 14 else TQ
 
 
+def _mu_masked(ref, nr, dtype):
+    """Centring mean over the VALID reference rows only.
+
+    Rows >= nr carry NO contract beyond 'never selected' (round-4 review:
+    non-zero padding would shift mu and wreck the f32 cast of every centred
+    coordinate), so they are excluded explicitly.  Handles both the
+    single-cell case (ref (N, d), scalar nr -> mu (1, d)) and the batched
+    case (ref (B, N, d), nr (B,) -> mu (B, 1, d))."""
+    n = ref.shape[-2]
+    nr_a = jnp.asarray(nr)
+    ok = (jnp.arange(n) < nr_a[..., None])[..., None]
+    return (jnp.sum(jnp.where(ok, ref, 0), axis=-2, keepdims=True)
+            / jnp.maximum(nr_a.astype(dtype)[..., None, None], 1.0))
+
+
+def _mm_distance(q, r, q_sq=None):
+    """(tq, tr) squared-distance tile via the MXU identity
+    ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b.  Full-f32 matmul: Mosaic lowers
+    only DEFAULT/HIGHEST, DEFAULT (bf16) would truncate inputs (~1%
+    distance error) and measured *slower* than HIGHEST here
+    (docs/KERNEL_NOTES.md).  ``q_sq``: precomputed (tq, 1) query norms for
+    callers that sweep many ref groups per query tile (binned kernel)."""
+    if q_sq is None:
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+    r_sq = jnp.sum(r * r, axis=1)[None, :]
+    return q_sq + r_sq - 2.0 * jnp.dot(q, r.T,
+                                       preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _prep_single_mxu(query, ref, nr, k):
+    """Shared wrapper prep for the single-cell MXU kernels (iterative and
+    binned): masked centring, lane padding of both point sets, runtime-nr
+    SMEM scalar.  Returns (q, r, nr_arr, k, tq, dpad, nq_pad, nr_pad)."""
+    nq, d = query.shape
+    if nr is None:
+        nr = ref.shape[0]
+    k = min(k, ref.shape[0])
+    mu = _mu_masked(ref, nr, query.dtype)
+    tq = _query_tile(k)
+    dpad = _round_up(max(d, 1), LANE)
+    nq_pad = _round_up(nq, tq)
+    nr_pad = _round_up(ref.shape[0], TR)
+    q = jnp.zeros((nq_pad, dpad), jnp.float32)
+    q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
+    r = jnp.zeros((nr_pad, dpad), jnp.float32)
+    r = r.at[:ref.shape[0], :d].set((ref - mu).astype(jnp.float32))
+    nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
+    return q, r, nr_arr, k, tq, dpad, nq_pad, nr_pad
+
+
 
 def _extract_topk(cat, cat_idx, k: int):
     """Exact iterative top-k extraction over a (TQ, m) candidate tile:
@@ -110,13 +161,7 @@ def _knn_kernel(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     q = q_ref[:]
     r = r_ref[:]
     tq, tr = q.shape[0], r.shape[0]   # tile sizes from the block shapes
-    q_sq = jnp.sum(q * q, axis=1, keepdims=True)            # (tq, 1)
-    r_sq = jnp.sum(r * r, axis=1)[None, :]                  # (1, tr)
-    # the MXU pass: (tq, DPAD) @ (DPAD, tr), full f32 (default matmul
-    # precision would truncate inputs to bf16 => ~1% distance error)
-    d2 = q_sq + r_sq - 2.0 * jnp.dot(q, r.T,
-                                     preferred_element_type=jnp.float32,
-                                     precision=jax.lax.Precision.HIGHEST)
+    d2 = _mm_distance(q, r)
 
     gcol = j * tr + jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 1)
     d2 = jnp.where(gcol < nr, d2, jnp.inf)                  # mask ref padding
@@ -153,13 +198,7 @@ def _packed_tile(nr, q, r, run_d2, run_idx, i, j, *, k: int,
                  self_mode: bool):
     """Shared body of the packed kernels: one (TQ, TR) ref tile's selection
     merged into the running top-k.  Returns the new (d2, idx) blocks."""
-    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
-    r_sq = jnp.sum(r * r, axis=1)[None, :]
-    # full-f32 MXU pass: Mosaic lowers only DEFAULT/HIGHEST, and DEFAULT
-    # (bf16) measured *slower* than HIGHEST here (docs/KERNEL_NOTES.md)
-    d2 = q_sq + r_sq - 2.0 * jnp.dot(q, r.T,
-                                     preferred_element_type=jnp.float32,
-                                     precision=jax.lax.Precision.HIGHEST)
+    d2 = _mm_distance(q, r)
     # clamp genuine distances to >= 0 BEFORE packing: f32 cancellation can
     # produce tiny negatives, and negative floats sort reversed under the
     # integer compare — only the exact self pin (-1.0) may stay negative.
@@ -258,12 +297,7 @@ def knn_select_pallas_packed_batched(query, ref, k: int,
     k = min(k, nr_full)
 
     # per-member centring (translation-invariant; conditions the identity)
-    # masked sum: rows >= nr[b] carry NO contract beyond 'never selected'
-    # (round-4 review: non-zero padding would shift mu and wreck the f32
-    # cast of every centred coordinate), so exclude them explicitly
-    _ok = (jnp.arange(ref.shape[1]) < nr[:, None])[..., None]
-    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=1, keepdims=True)
-          / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
+    mu = _mu_masked(ref, nr, query.dtype)
     tq = _query_tile(k)
     dpad = _round_up(max(d, 1), LANE)
     nq_pad = _round_up(nq, tq)
@@ -363,11 +397,7 @@ def knn_select_pallas_smalld(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         nr = ref.shape[0]
     k = min(k, ref.shape[0])
 
-    # masked sum: rows >= nr must not shift mu (round-4 review; only
-    # zero padding happened to make the unmasked sum correct)
-    _ok = (jnp.arange(ref.shape[0]) < nr)[:, None]
-    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=0, keepdims=True)
-          / jnp.maximum(jnp.asarray(nr, query.dtype), 1.0))
+    mu = _mu_masked(ref, nr, query.dtype)
     tq = _query_tile(k)
     dpad_s = _round_up(max(d, 1), 8)             # f32 sublane quantum
     nq_pad = _round_up(nq, tq)
@@ -455,12 +485,7 @@ def knn_select_pallas_smalld_batched(query, ref, k: int,
     nr = jnp.asarray(nr, jnp.int32).reshape(bsz)
     k = min(k, nr_full)
 
-    # masked sum: rows >= nr[b] carry NO contract beyond 'never selected'
-    # (round-4 review: non-zero padding would shift mu and wreck the f32
-    # cast of every centred coordinate), so exclude them explicitly
-    _ok = (jnp.arange(ref.shape[1]) < nr[:, None])[..., None]
-    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=1, keepdims=True)
-          / jnp.maximum(nr.astype(query.dtype), 1.0)[:, None, None])
+    mu = _mu_masked(ref, nr, query.dtype)
     tq = _query_tile(k)
     dpad_s = _round_up(max(d, 1), 8)
     nq_pad = _round_up(nq, tq)
@@ -550,10 +575,7 @@ def _knn_kernel_binned(nr_ref, q_ref, r_ref, d2_out, idx_out, *bins,
         levels_d2 = list(levels[:BINS_DEPTH])
         levels_idx = list(levels[BINS_DEPTH:])
         rg = r_ref[pl.ds(rblk * NBINS, NBINS), :]
-        r_sq = jnp.sum(rg * rg, axis=1)[None, :]
-        c = q_sq + r_sq - 2.0 * jnp.dot(q, rg.T,
-                                        preferred_element_type=jnp.float32,
-                                        precision=jax.lax.Precision.HIGHEST)
+        c = _mm_distance(q, rg, q_sq=q_sq)
         ci = j * TR + rblk * NBINS + iota_cols
         c = jnp.where(ci < nr, c, jnp.inf)
         if self_mode:
@@ -598,31 +620,16 @@ def knn_select_pallas_binned(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     packed kernel's <= 2^-12 relative d2 quantization — opt in ONLY where
     a f64 refinement stage recomputes the distances (requires
     nr <= 2^LOW_BITS * NBINS; silently falls back beyond)."""
-    nq, d = query.shape
-    if nr is None:
-        nr = ref.shape[0]
+    nq = query.shape[0]
     if k > NBINS * BINS_DEPTH:
         # the lane-binned layout holds at most NBINS*BINS_DEPTH winners; a
         # silent clamp would break 'same contract' callers stacking engines
         logger.warning("binned kNN engine caps k at %d (requested %d); "
                        "use the exact/packed engine for larger k",
                        NBINS * BINS_DEPTH, k)
-    k = min(k, ref.shape[0], NBINS * BINS_DEPTH)
-
-    # masked sum: rows >= nr must not shift mu (round-4 review; only
-    # zero padding happened to make the unmasked sum correct)
-    _ok = (jnp.arange(ref.shape[0]) < nr)[:, None]
-    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=0, keepdims=True)
-          / jnp.maximum(jnp.asarray(nr, query.dtype), 1.0))
-    tq = _query_tile(k)
-    dpad = _round_up(max(d, 1), LANE)
-    nq_pad = _round_up(nq, tq)
-    nr_pad = _round_up(ref.shape[0], TR)
-    q = jnp.zeros((nq_pad, dpad), jnp.float32)
-    q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
-    r = jnp.zeros((nr_pad, dpad), jnp.float32)
-    r = r.at[:ref.shape[0], :d].set((ref - mu).astype(jnp.float32))
-    nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
+    k = min(k, NBINS * BINS_DEPTH)
+    q, r, nr_arr, k, tq, dpad, nq_pad, nr_pad = _prep_single_mxu(
+        query, ref, nr, k)
 
     grid = (nq_pad // tq, nr_pad // TR)
     # packed bins (value + group id in one int32: 2 sweeps/level instead of
@@ -701,10 +708,7 @@ def _knn_kernel_binned_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *bins,
     def group_body(rblk, levels):
         levels = list(levels)
         rg = r_ref[pl.ds(rblk * NBINS, NBINS), :]
-        r_sq = jnp.sum(rg * rg, axis=1)[None, :]
-        c = q_sq + r_sq - 2.0 * jnp.dot(q, rg.T,
-                                        preferred_element_type=jnp.float32,
-                                        precision=jax.lax.Precision.HIGHEST)
+        c = _mm_distance(q, rg, q_sq=q_sq)
         ci = j * TR + rblk * NBINS + iota_cols
         # clamp BEFORE packing (negative patterns sort reversed as ints);
         # only the exact self pin (-1.0) may stay negative — it is the
@@ -755,25 +759,9 @@ def _knn_select_iter(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                      nr=None, variant: str = "exact"
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shared wrapper for the iterative-extraction kernels (exact/packed)."""
-    nq, d = query.shape
-    if nr is None:
-        nr = ref.shape[0]
-    k = min(k, ref.shape[0])
-
-    # masked sum: rows >= nr must not shift mu (round-4 review; only
-    # zero padding happened to make the unmasked sum correct)
-    _ok = (jnp.arange(ref.shape[0]) < nr)[:, None]
-    mu = (jnp.sum(jnp.where(_ok, ref, 0), axis=0, keepdims=True)
-          / jnp.maximum(jnp.asarray(nr, query.dtype), 1.0))
-    tq = _query_tile(k)
-    dpad = _round_up(max(d, 1), LANE)
-    nq_pad = _round_up(nq, tq)
-    nr_pad = _round_up(ref.shape[0], TR)
-    q = jnp.zeros((nq_pad, dpad), jnp.float32)
-    q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
-    r = jnp.zeros((nr_pad, dpad), jnp.float32)
-    r = r.at[:ref.shape[0], :d].set((ref - mu).astype(jnp.float32))
-    nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
+    nq = query.shape[0]
+    q, r, nr_arr, k, tq, dpad, nq_pad, nr_pad = _prep_single_mxu(
+        query, ref, nr, k)
 
     grid = (nq_pad // tq, nr_pad // TR)
     kernel = functools.partial(_ITER_KERNELS[variant], k=k,

@@ -62,6 +62,9 @@ def _check(name, got_idx, query, ref, ref_d2, failures):
 
 
 def main():
+    from mcevidence_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()   # relay compiles cost ~30-40 s each
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
