@@ -15,9 +15,12 @@ Usage: python scripts/tpu_kernel_cert.py [N] [d] [k]
 Exit code 0 iff every variant passes; one PASS/FAIL line per check.
 """
 
+import os
 import sys
 
 import numpy as np
+
+IKW = {}
 
 sys.path.insert(0, ".")
 
@@ -62,6 +65,11 @@ def _check(name, got_idx, query, ref, ref_d2, failures):
 
 
 def main():
+    plat = os.environ.get("MCE_FORCE_PLATFORM")
+    if plat:
+        # same late re-assertion as bench.py/planck.main: env vars are
+        # read before sitecustomize force-selects the TPU plugin
+        jax.config.update("jax_platforms", plat)
     from mcevidence_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()   # relay compiles cost ~30-40 s each
 
@@ -69,7 +77,14 @@ def main():
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     backend = jax.default_backend()
-    print(f"backend={backend} devices={jax.devices()} n={n} d={d} k={k}")
+    # off-TPU (CPU smoke run): Mosaic can't lower, fall back to interpret
+    # mode so the script stays runnable anywhere — the on-chip result is
+    # the one that counts
+    interpret = backend != "tpu"
+    global IKW
+    IKW = dict(interpret=interpret)
+    print(f"backend={backend} devices={jax.devices()} n={n} d={d} k={k}"
+          + (" interpret=True" if interpret else ""))
 
     rng = np.random.default_rng(7)
     failures = []
@@ -84,17 +99,17 @@ def main():
 
     single = {
         "exact/self": lambda: kp.knn_select_pallas(
-            x, x, k, self_mode=True, nr=nr),
+            x, x, k, self_mode=True, nr=nr, **IKW),
         "packed/self": lambda: kp.knn_select_pallas_packed(
-            x, x, k, self_mode=True, nr=nr),
+            x, x, k, self_mode=True, nr=nr, **IKW),
         "binned/self": lambda: kp.knn_select_pallas_binned(
-            x, x, k, self_mode=True, nr=nr),
+            x, x, k, self_mode=True, nr=nr, **IKW),
         "binned_packed/self": lambda: kp.knn_select_pallas_binned(
-            x, x, k, self_mode=True, nr=nr, packed=True),
+            x, x, k, self_mode=True, nr=nr, packed=True, **IKW),
     }
     if d <= kp.SMALLD_MAX:
         single["smalld/self"] = lambda: kp.knn_select_pallas_smalld(
-            x, x, k, self_mode=True, nr=nr)
+            x, x, k, self_mode=True, nr=nr, **IKW)
     for name, fn in single.items():
         _, idx = jax.device_get(fn())
         _check(name, idx[:nr], full[:nr], full[:nr], ref_d2, failures)
@@ -105,14 +120,14 @@ def main():
     qj = jnp.asarray(qry)
     ref_d2x, _ = jax.device_get(knn_select_xla(qj, x[:nr], k))
     cross = {
-        "exact/cross": lambda: kp.knn_select_pallas(qj, x, k, nr=nr),
-        "packed/cross": lambda: kp.knn_select_pallas_packed(qj, x, k, nr=nr),
+        "exact/cross": lambda: kp.knn_select_pallas(qj, x, k, nr=nr, **IKW),
+        "packed/cross": lambda: kp.knn_select_pallas_packed(qj, x, k, nr=nr, **IKW),
         "binned_packed/cross": lambda: kp.knn_select_pallas_binned(
-            qj, x, k, nr=nr, packed=True),
+            qj, x, k, nr=nr, packed=True, **IKW),
     }
     if d <= kp.SMALLD_MAX:
         cross["smalld/cross"] = lambda: kp.knn_select_pallas_smalld(
-            qj, x, k, nr=nr)
+            qj, x, k, nr=nr, **IKW)
     for name, fn in cross.items():
         _, idx = jax.device_get(fn())
         _check(name, idx, qry, full[:nr], ref_d2x, failures)
@@ -125,11 +140,11 @@ def main():
         batch[b, m:] = 1e6 * rng.normal(size=(n - m, d))
     xb = jnp.asarray(batch)
     batched = {"packed_batched/self": lambda: kp.knn_select_pallas_packed_batched(
-        xb, xb, k, self_mode=True, nr=jnp.asarray(nrs))}
+        xb, xb, k, self_mode=True, nr=jnp.asarray(nrs), **IKW)}
     if d <= kp.SMALLD_MAX:
         batched["smalld_batched/self"] = \
             lambda: kp.knn_select_pallas_smalld_batched(
-                xb, xb, k, self_mode=True, nr=jnp.asarray(nrs))
+                xb, xb, k, self_mode=True, nr=jnp.asarray(nrs), **IKW)
     for name, fn in batched.items():
         _, idx = jax.device_get(fn())
         for b, m in enumerate(nrs):
