@@ -17,6 +17,9 @@ echo "== probe =="
 timeout 150 python -c "import jax; print(jax.default_backend(), len(jax.devices()))" \
   || { echo "relay unreachable; aborting recert"; exit 1; }
 
+echo "== kernel certification (all Pallas variants, compiled on chip) =="
+timeout 2400 python -u scripts/tpu_kernel_cert.py | tee "$OUT/kernel_cert.txt"
+
 echo "== bench.py =="
 timeout 2400 python bench.py | tee "$OUT/bench.json"
 
