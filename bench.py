@@ -46,8 +46,8 @@ def _failure_line(error: str, phase: str = "") -> str:
     return json.dumps(rec)
 
 
-def _last_healthy_bench():
-    """Most recent BENCH_r*.json with value > 0, as a small summary dict.
+def _bench_history():
+    """All prior BENCH_r*.json records with value > 0, oldest first.
     Never raises: a failure line must always be emittable."""
     import glob
     import os
@@ -55,19 +55,43 @@ def _last_healthy_bench():
         here = os.path.dirname(os.path.abspath(__file__))
     except NameError:
         here = "."
-    best = None
+    out = []
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(path) as fp:
                 rec = json.load(fp)
             rec = rec.get("parsed", rec)   # driver wraps the bench line
             if float(rec.get("value", 0)) > 0:
-                best = {"round_file": os.path.basename(path),
-                        "value": rec["value"],
-                        "vs_baseline": rec.get("vs_baseline")}
+                out.append({"round_file": os.path.basename(path),
+                            "value": rec["value"],
+                            "vs_baseline": rec.get("vs_baseline"),
+                            "degraded_window": bool(
+                                rec.get("degraded_window", False))})
         except Exception:
             continue
-    return best
+    return out
+
+
+def _last_healthy_bench():
+    """Most recent prior record not itself flagged as a degraded relay
+    window (round 4's official 2.43e9 pairs/s carried no flag — old
+    records are only trusted as 'healthy' when they sit within 3x of the
+    best ever recorded, the same band the degradation detector uses)."""
+    hist = _bench_history()
+    if not hist:
+        return None
+    best = max(rec["value"] for rec in hist)
+    healthy = [rec for rec in hist
+               if not rec["degraded_window"] and rec["value"] >= best / 3.0]
+    return healthy[-1] if healthy else None
+
+
+def _is_degraded_rate(pairs_per_s, healthy) -> bool:
+    """True when a successful measurement sits >3x below the healthy band —
+    the relay's documented sub-band degradation mode (the same code
+    measured 6.40e10 and 2.43e9 pairs/s 60 minutes apart on round-4 day);
+    a flagged record reads as 'relay window', not 'code regression'."""
+    return healthy is not None and pairs_per_s < healthy["value"] / 3.0
 
 
 class _Watchdog:
@@ -236,11 +260,55 @@ def main():
     watchdog.pet("warmup-compile", 1200.0)
     _, mle = evidence_reps(s32, l32, w32)
     mle = np.asarray(mle)
-    watchdog.pet("timed-run", 300.0)
-    t0 = time.perf_counter()
-    total, _ = evidence_reps(s32, l32, w32)
-    float(total)                       # host sync
-    tpu_s = (time.perf_counter() - t0) / REPS
+
+    def timed_attempt():
+        t0 = time.perf_counter()
+        total, _ = evidence_reps(s32, l32, w32)
+        float(total)                   # host sync
+        return (time.perf_counter() - t0) / REPS
+
+    def timed_batch(n_attempts, backoff):
+        walls = []
+        for i in range(n_attempts):
+            if i:
+                time.sleep(backoff)
+            watchdog.pet("timed-run", 300.0)
+            walls.append(timed_attempt())
+        return walls
+
+    # The relay has a documented sub-band degradation mode: the same binary
+    # measured 6.40e10 pairs/s at 00:42 and 2.43e9 at 01:42 on round-4 day
+    # (VERDICT r4 "what's weak" #1), and a single-shot timing cannot tell
+    # that window from a code regression.  Defense: several timed attempts
+    # with short backoff (best-of — a degraded relay only ever slows runs
+    # down, it never speeds them up, so min(walls) is the honest device
+    # rate); if the best attempt still sits >3x below the last healthy
+    # round's record, back off once for longer and retry before accepting,
+    # then say so in the output instead of recording a silent 0.0x-context
+    # number.
+    attempts = int(os.environ.get("MCE_BENCH_TIMED_ATTEMPTS", "3"))
+    walls = timed_batch(attempts, backoff=5.0)
+    # the BENCH_r* history is an on-chip canonical-workload band; comparing
+    # a CPU smoke run (or a resized workload) against it would always trip
+    healthy = _last_healthy_bench() if (
+        on_tpu and N == 65536 and REPS >= 4) else None
+
+    def is_degraded(ws):
+        return _is_degraded_rate(N * N / min(ws), healthy)
+
+    degraded = is_degraded(walls)
+    if degraded:
+        retry_backoff = float(os.environ.get("MCE_BENCH_DEGRADED_BACKOFF",
+                                             "120"))
+        print(f"# timed attempts {['%.3f' % w for w in walls]} s/rep are "
+              f">3x below the healthy band ({healthy['value']:.3g} pairs/s, "
+              f"{healthy['round_file']}); retrying once after "
+              f"{retry_backoff:.0f}s", file=sys.stderr, flush=True)
+        watchdog.pet("degraded-backoff", retry_backoff + 120.0)
+        time.sleep(retry_backoff)
+        walls += timed_batch(attempts, backoff=5.0)
+        degraded = is_degraded(walls)
+    tpu_s = min(walls)
 
     watchdog.pet("sklearn-baseline", 900.0)
     t0 = time.perf_counter()
@@ -278,10 +346,22 @@ def main():
     mfu_fields = {}
     if on_tpu:
         matmul_tflops = 2.0 * N * N * NDIM / tpu_s / 1e12
+        # Two denominators, each labelled: the raw bf16 MXU peak (a LOWER
+        # bound on utilization — these kernels never run bf16), and the
+        # f32-HIGHEST effective peak = 197/6, since Mosaic lowers an
+        # f32-HIGHEST matmul as the 6-pass bf16 decomposition on v5e
+        # (KERNEL_NOTES item 4: DEFAULT measured slower, HIGH unsupported —
+        # 6 passes is the real achievable ceiling for this kernel).
         mfu_fields = {
             "matmul_tflops_per_s": matmul_tflops,
-            "mfu_vs_v5e_bf16_peak_197tflops": matmul_tflops / 197.0,
+            "mfu_vs_bf16_peak_lower_bound": matmul_tflops / 197.0,
+            "mfu_vs_f32_highest_effective_peak": matmul_tflops / (197.0 / 6),
         }
+
+    degraded_fields = {}
+    if degraded:
+        degraded_fields = {"degraded_window": True,
+                           "last_healthy": healthy}
 
     watchdog.cancel()
     print(json.dumps({
@@ -290,6 +370,8 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": cpu_s / tpu_s,
         **mfu_fields,
+        **degraded_fields,
+        "timed_rep_walls_s": [round(w, 4) for w in walls],
         "tpu_wall_s": tpu_s,
         "sklearn_cpu_wall_s": cpu_s,
         "backend": backend,

@@ -130,9 +130,13 @@ def compare_models(roots: Union[Dict[str, str], Sequence[str]], *,
             continue
         if error:
             try:
+                # idchain selects ONE chain file; the scatter recipe needs
+                # them all — drop it for this leg only
+                ekw = {k_: v for k_, v in mce_kwargs.items()
+                       if k_ != "idchain"}
                 mean, err, _ = evidence_with_error(
                     root, kmax=kmax, priorvolume=row["PriorVol"],
-                    ndim=ndim, **mce_kwargs)
+                    ndim=ndim, **ekw)
                 row["mean_lnE"] = np.asarray(mean, np.float64)
                 row["err_lnE"] = np.asarray(err, np.float64)
             except Exception as exc:  # < 2 chains etc: leg degrades alone
@@ -150,22 +154,33 @@ def compare_models(roots: Union[Dict[str, str], Sequence[str]], *,
 
 
 def format_table(rows: List[dict]) -> str:
-    """Human table (k=1 column, the reference's headline k)."""
-    heads = ["model", "lnE_k1", "delta_lnE_k1", "PriorVol", "ndim",
-             "N_read", "N_used"]
+    """Human table: every computed k column (k=1..kmax-1), not just the
+    reference's headline k=1 — ``kmax>2`` rows carry all of them in
+    ``lnE``/``delta_lnE`` and the table must not silently drop data the
+    JSON mode reports (VERDICT r4)."""
+    nk = max((len(r["lnE"]) for r in rows), default=1)
+    ks = list(range(1, nk + 1))
     have_err = any("err_lnE" in r for r in rows)
-    if have_err:
-        heads[2:2] = ["err_lnE_k1"]
+    heads = (["model"]
+             + [f"lnE_k{k}" for k in ks]
+             + ([f"err_lnE_k{k}" for k in ks] if have_err else [])
+             + [f"delta_lnE_k{k}" for k in ks]
+             + ["PriorVol", "ndim", "N_read", "N_used"])
     widths = [max(len(h), 12) for h in heads]
     out = ["  ".join(h.ljust(w) for h, w in zip(heads, widths))]
     out.append("  ".join("-" * w for w in widths))
+
+    def _col(arr, i, fmt):
+        return (fmt % arr[i]) if (arr is not None and i < len(arr)) else ""
+
     for r in rows:
-        cells = [r["model"], f"{r['lnE'][0]:.2f}"]
+        cells = [r["model"]]
+        cells += [_col(r["lnE"], i, "%.2f") for i in range(nk)]
         if have_err:
             e = r.get("err_lnE")
-            cells.append(f"{e[0]:.3f}" if e is not None else "")
-        cells += [f"{r['delta_lnE'][0]:.2f}",
-                  (f"{r['PriorVol']:.4g}"
+            cells += [_col(e, i, "%.3f") for i in range(nk)]
+        cells += [_col(r["delta_lnE"], i, "%.2f") for i in range(nk)]
+        cells += [(f"{r['PriorVol']:.4g}"
                    if r["PriorVol"] is not None else ""),
                   str(r["ndim"] if r["ndim"] is not None else ""),
                   str(r["N_read"] or ""), str(r["N_used"] or "")]
@@ -183,6 +198,9 @@ def build_parser():
     p.add_argument("roots", nargs="+", help="chain roots (CosmoMC/"
                    "MontePython/Cobaya); NAME=ROOT pairs name the rows")
     p.add_argument("-k", "--kmax", type=int, default=2)
+    p.add_argument("-ic", "--idchain", type=int, default=0,
+                   help="use only chain file <root>_<id>.txt (0 = all; "
+                        "reference -ic semantics)")
     p.add_argument("--base", default=None,
                    help="model normalizing the prior volumes "
                         "(default: the first)")
@@ -220,7 +238,8 @@ def main(argv=None) -> int:
         roots, kmax=args.kmax, base=args.base,
         normalize=not args.no_normalize, allparams=args.allparams,
         error=args.error, burnlen=args.burnlen, thinlen=args.thinlen,
-        engine=args.engine, precision=args.precision, seed=args.seed)
+        engine=args.engine, precision=args.precision, seed=args.seed,
+        idchain=args.idchain)
     if args.json:
         import json as _json
         out = []

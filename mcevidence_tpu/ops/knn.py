@@ -35,6 +35,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -229,17 +230,38 @@ def refine_knn_f64(query64: np.ndarray, ref64: np.ndarray,
     return _refine_knn_f64_all(query64, ref64, idx, self_mode)[:, :k]
 
 
+# peak host memory one refinement chunk may use for its (rows, k_sel, d)
+# f64 workspace; chunking over query rows keeps the host-refine path (the
+# overflow-proof fallback at the single-chip N ceiling) flat in RAM
+_REFINE_CHUNK_BYTES = int(float(os.environ.get(
+    "MCE_REFINE_CHUNK_MB", "256")) * 2 ** 20)
+
+
 def _refine_knn_f64_all(query64, ref64, idx, self_mode) -> np.ndarray:
-    """All candidate distances, refined in f64 and sorted ascending."""
+    """All candidate distances, refined in f64 and sorted ascending.
+
+    Streams over query rows in ~_REFINE_CHUNK_BYTES chunks: the (rows,
+    k_sel, d) difference workspace is the host-refine path's only
+    N-proportional allocation, and this path is the designated fallback
+    for chains too large for the device-resident program's HBM plan."""
     idx = np.asarray(idx)
-    safe = np.maximum(idx, 0)
-    diff = query64[:, None, :] - ref64[safe]              # (Nq, k_sel, d)
-    d2 = np.einsum("nkd,nkd->nk", diff, diff)
-    d2[idx < 0] = np.inf
-    if self_mode:
-        d2[idx == np.arange(idx.shape[0])[:, None]] = 0.0
-    d2.sort(axis=1)
-    return np.sqrt(d2)
+    nq, k_sel = idx.shape
+    d = query64.shape[1]
+    # diff + einsum intermediates: ~3 live f64 buffers of (chunk, k_sel, d)
+    rows_per_chunk = max(1, _REFINE_CHUNK_BYTES // max(3 * k_sel * d * 8, 1))
+    out = np.empty((nq, k_sel), np.float64)
+    for lo in range(0, nq, rows_per_chunk):
+        hi = min(nq, lo + rows_per_chunk)
+        ic = idx[lo:hi]
+        safe = np.maximum(ic, 0)
+        diff = query64[lo:hi, None, :] - ref64[safe]      # (chunk, k_sel, d)
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        d2[ic < 0] = np.inf
+        if self_mode:
+            d2[ic == np.arange(lo, hi)[:, None]] = 0.0
+        d2.sort(axis=1)
+        out[lo:hi] = d2
+    return np.sqrt(out)
 
 
 def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,

@@ -208,12 +208,16 @@ def _packed_tile(nr, q, r, run_d2, run_idx, i, j, *, k: int,
 
 
 def _packed_select(d2, nr, run_d2, run_idx, i, j, *, k: int,
-                   self_mode: bool):
+                   self_mode: bool, low_bits: int = LOW_BITS):
     """Packed top-k selection over a computed (tq, tr) distance tile,
     merged with the running top-k.  ``d2`` must already be >= 0.  Tile
     sizes come from ``d2``'s block shape (the wrappers shrink the query
-    tile at high k to fit scoped VMEM)."""
+    tile at high k to fit scoped VMEM).  ``low_bits``: mantissa bits
+    sacrificed for the local column id — the tile width must fit
+    (the packed2 experiment sweeps 4096-wide tiles => 12 bits)."""
     tq, tr = d2.shape
+    assert tr <= (1 << low_bits), (tr, low_bits)
+    low_mask = jnp.int32((1 << low_bits) - 1)
     lcol = jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 1)
     gcol = j * tr + lcol
     d2 = jnp.where(gcol < nr, d2, jnp.inf)
@@ -222,7 +226,7 @@ def _packed_select(d2, nr, run_d2, run_idx, i, j, *, k: int,
         d2 = jnp.where(gcol == grow, -1.0, d2)
 
     pk = jax.lax.bitcast_convert_type(d2, jnp.int32)
-    pk = (pk & jnp.int32(~LOW_MASK)) | lcol
+    pk = (pk & ~low_mask) | lcol
     # winners accumulate into ONE (tq, k) buffer: k live (tq, 1) slices
     # would each hold a full lane-padded tile of Mosaic stack (scoped-VMEM
     # OOM at the sufficiency-retry k on v5e)

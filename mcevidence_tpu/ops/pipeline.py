@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import os
 import threading
 from typing import Optional
 
@@ -98,6 +99,42 @@ MAX_HALF_POW = 8        # double-float z^(d/2) ladder depth (ndim <= 17);
 # (ring.GRID_DPAD_CLASSES); chains with more parameters fall back to the
 # host-refine parity path instead of crashing on an internal constant
 DEVICE_NDIM_MAX = 16
+
+# HBM the device-refine program may plan for (bytes).  v5e has 16 GiB;
+# leave headroom for the compiled program, XLA scratch, and the relay's
+# resident state.  Overridable for smaller parts / tests.
+DEVICE_HBM_BUDGET_BYTES = int(float(os.environ.get(
+    "MCE_DEVICE_HBM_BUDGET_GB", "12")) * 2 ** 30)
+
+# live (rows, k_sel, dpad)-shaped f32 temporaries in the double-float
+# refinement: candidate_d2_df gathers rhi[idx]/rlo[idx] and runs the
+# error-free two_diff/two_prod chains on them — the gathers are
+# materialized and several EFT intermediates stay live before the dpad
+# reduction.  8 is deliberately conservative (measured headroom beats a
+# mid-run XLA OOM through the relay).
+_REFINE_TEMP_BUFFERS = 8
+
+
+def estimate_device_refine_hbm_bytes(n: int, n_ref: int, ndim: int,
+                                     k_sel: int) -> int:
+    """Shape-math HBM plan for ONE device-refine dispatch.
+
+    Everything the program keeps live, in padded shapes (pow-2 row buckets,
+    dpad coordinate class): the double-float coordinate arrays, the
+    (rows, k_sel, dpad) refinement temporaries, and the selection output.
+    The Pallas selection itself streams tiles through VMEM and adds no
+    O(N^2) HBM — the refinement gather is the O(N*k_sel*dpad) term that
+    sets the single-chip N ceiling (VERDICT r4 item 4)."""
+    from ..parallel.ring import _dpad_class
+    from .knn import bucket_size_pow2
+    nb = bucket_size_pow2(n)
+    mb = bucket_size_pow2(n_ref)
+    dpad = _dpad_class(ndim)
+    coords = 4 * (nb + (mb if n_ref != n else 0)) * dpad * 4  # qhi/qlo/rhi/rlo
+    temps = _REFINE_TEMP_BUFFERS * nb * k_sel * dpad * 4
+    select_out = 2 * nb * k_sel * 4                           # d2 + idx
+    vectors = 4 * nb * 4                                      # scal/valid/...
+    return coords + temps + select_out + vectors
 
 
 def fused_refine_dotp(qhi, qlo, rhi, rlo, scalh, scall, valid, n_ref_true,
@@ -633,6 +670,25 @@ def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
         logger.info("device-refine: ndim %d > %d (device layout limit); "
                     "falling back to the host refine path",
                     samples.shape[1], DEVICE_NDIM_MAX)
+        return host_refine_evidence(
+            samples, lnlike, weights, samples2=samples2, kmax=kmax,
+            prior_volume=prior_volume,
+            sum_adjusted_weights=sum_adjusted_weights, engine=engine)
+    n_ref_guard = (samples2 if samples2 is not None else samples).shape[0]
+    k_sel_guard = min(kmax + pad_candidates, n_ref_guard)
+    est = estimate_device_refine_hbm_bytes(
+        samples.shape[0], n_ref_guard, samples.shape[1], k_sel_guard)
+    if est > DEVICE_HBM_BUDGET_BYTES:
+        # the single-chip N ceiling: the refinement's (rows, k_sel, dpad)
+        # gather temporaries won't fit HBM — degrade to the host-refine
+        # path (selection streams tiles through VMEM, candidates refine on
+        # the 128 GB host) instead of dying in a mid-run XLA OOM
+        logger.warning(
+            "device-refine: planned HBM %.1f GiB (N=%d, k_sel=%d) exceeds "
+            "the %.1f GiB budget; falling back to the host refine path "
+            "(set MCE_DEVICE_HBM_BUDGET_GB for larger parts)",
+            est / 2 ** 30, samples.shape[0], k_sel_guard,
+            DEVICE_HBM_BUDGET_BYTES / 2 ** 30)
         return host_refine_evidence(
             samples, lnlike, weights, samples2=samples2, kmax=kmax,
             prior_volume=prior_volume,

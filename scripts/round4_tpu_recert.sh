@@ -8,7 +8,7 @@
 #
 # Everything is bounded: a relay flap mid-run yields failure lines/timeouts,
 # never a hang.  Results land in /tmp/r4_recert/.
-set -u
+set -u -o pipefail   # a FAILing cert leg must not vanish behind tee's rc
 cd "$(dirname "$0")/.."
 OUT=/tmp/r4_recert
 mkdir -p "$OUT"

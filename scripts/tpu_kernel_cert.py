@@ -122,6 +122,11 @@ def main():
     cross = {
         "exact/cross": lambda: kp.knn_select_pallas(qj, x, k, nr=nr, **IKW),
         "packed/cross": lambda: kp.knn_select_pallas_packed(qj, x, k, nr=nr, **IKW),
+        # unpacked bins in cross mode IS a production path: knn.py:306-310
+        # dispatches pallas_binned with packed=refine, so refine=False
+        # cross-mode evidence runs exactly this configuration (ADVICE r4)
+        "binned/cross": lambda: kp.knn_select_pallas_binned(
+            qj, x, k, nr=nr, **IKW),
         "binned_packed/cross": lambda: kp.knn_select_pallas_binned(
             qj, x, k, nr=nr, packed=True, **IKW),
     }

@@ -67,6 +67,41 @@ def test_failure_line_schema_with_phase():
     assert "phase" not in d2
 
 
+def test_last_healthy_bench_skips_degraded_records(tmp_path, monkeypatch):
+    """Round 4's official record (2.43e9 pairs/s, no flag) is 26x below the
+    healthy band; the healthy-band reference must skip it — and any record
+    that flagged ITSELF as a degraded window — or the degradation detector
+    would calibrate against a degraded baseline (VERDICT r4 item 1)."""
+    import bench
+    recs = {
+        "BENCH_r01.json": {"value": 5.0e10, "vs_baseline": 150.0},
+        # driver-wrapped format
+        "BENCH_r02.json": {"parsed": {"value": 6.47e10,
+                                      "vs_baseline": 190.0}},
+        # outage failure line: value 0, never counts
+        "BENCH_r03.json": {"value": 0.0, "vs_baseline": 0.0},
+        # the round-4 failure mode: silently degraded, >3x below best
+        "BENCH_r04.json": {"value": 2.43e9, "vs_baseline": 6.5},
+        # self-diagnosed degraded window (in band, but flagged)
+        "BENCH_r05.json": {"value": 3.0e10, "vs_baseline": 90.0,
+                           "degraded_window": True},
+    }
+    for name, rec in recs.items():
+        (tmp_path / name).write_text(json.dumps(rec))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    lh = bench._last_healthy_bench()
+    assert lh is not None and lh["round_file"] == "BENCH_r02.json"
+    assert lh["value"] == 6.47e10
+
+
+def test_is_degraded_rate_threshold():
+    import bench
+    healthy = {"value": 6.0e10}
+    assert bench._is_degraded_rate(2.43e9, healthy)        # the r4 case
+    assert not bench._is_degraded_rate(2.5e10, healthy)    # within 3x
+    assert not bench._is_degraded_rate(1.0, None)          # no history
+
+
 def test_failure_line_reports_last_healthy_bench():
     # an outage failure line points the reader at the most recent healthy
     # BENCH_r*.json (driver-wrapped format) so value=0 reads as transient,

@@ -392,6 +392,64 @@ def test_device_overflow_falls_back_to_host_refine(rng, monkeypatch):
     np.testing.assert_allclose(got, ref, atol=1e-9)
 
 
+def test_device_hbm_guard_falls_back_to_host(rng, caplog, monkeypatch):
+    """The single-chip N ceiling (VERDICT r4 item 4): when the refinement's
+    (rows, k_sel, dpad) HBM plan exceeds the device budget, the call must
+    degrade to the host-refine path with a logged decision — never reach
+    the device program (where it would die as a mid-run XLA OOM)."""
+    import logging
+
+    from mcevidence_tpu.ops import pipeline
+    theta, lnl = make_gaussian_chain(rng, n=600, ndim=3)
+    monkeypatch.setattr(pipeline, "DEVICE_HBM_BUDGET_BYTES", 10_000)
+
+    def boom(*a, **k):
+        raise AssertionError("device program dispatched past the HBM guard")
+    monkeypatch.setattr(pipeline, "fused_refine_dotp", boom)
+    with caplog.at_level(logging.WARNING,
+                         logger="mcevidence_tpu.ops.pipeline"):
+        got = pipeline.device_refine_evidence(theta, lnl, kmax=2,
+                                              engine="xla")
+    assert any("HBM" in r.message and "budget" in r.message
+               for r in caplog.records)
+    want = pipeline.host_refine_evidence(theta, lnl, kmax=2, engine="xla")
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_device_hbm_estimate_shape_math():
+    """The HBM plan: linear in N, dominated by the (rows, k_sel, dpad)
+    refinement temporaries; the Planck headline shape fits the default v5e
+    budget with wide margin, and the d=8 refine path's edge sits near
+    N ~ 2^23 (beyond it the guard must route to host refine)."""
+    from mcevidence_tpu.ops.pipeline import (DEVICE_HBM_BUDGET_BYTES,
+                                             estimate_device_refine_hbm_bytes)
+    headline = estimate_device_refine_hbm_bytes(65536, 65536, 8, 9)
+    assert headline < DEVICE_HBM_BUDGET_BYTES / 10
+    # ~linear growth in N (pow-2 buckets: exactly 2x per doubling)
+    assert estimate_device_refine_hbm_bytes(2 ** 20, 2 ** 20, 8, 9) \
+        == pytest.approx(2 * estimate_device_refine_hbm_bytes(
+            2 ** 19, 2 ** 19, 8, 9), rel=0.01)
+    assert (estimate_device_refine_hbm_bytes(2 ** 23, 2 ** 23, 8, 9)
+            > DEVICE_HBM_BUDGET_BYTES)
+
+
+def test_refine_chunking_is_bitwise_identical(rng, monkeypatch):
+    """Streaming the f64 refinement over query-row chunks (bounded host
+    peak at the N ceiling) must be bit-identical to one-shot — including
+    the self-match zeroing, whose row ids are chunk-global."""
+    import jax.numpy as jnp
+
+    from mcevidence_tpu.ops import knn
+    theta = rng.normal(size=(512, 5))
+    d2, idx = knn.knn_select_xla(
+        jnp.asarray(theta, jnp.float32), jnp.asarray(theta, jnp.float32),
+        6, self_mode=True)
+    one_shot = knn._refine_knn_f64_all(theta, theta, np.asarray(idx), True)
+    monkeypatch.setattr(knn, "_REFINE_CHUNK_BYTES", 10_000)  # ~41-row chunks
+    chunked = knn._refine_knn_f64_all(theta, theta, np.asarray(idx), True)
+    np.testing.assert_array_equal(one_shot, chunked)
+
+
 def test_device_tiny_reference_no_spurious_retry(rng, caplog):
     """n_ref <= kmax: every reference row is a candidate, so the thin-margin
     guard must not warn or retry (it can never be widened)."""
