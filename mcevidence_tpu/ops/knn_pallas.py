@@ -237,8 +237,8 @@ def _packed_select(d2, nr, run_d2, run_idx, i, j, *, k: int,
         m = jnp.min(pk, axis=1, keepdims=True)     # packed (distance, col)
         w = jnp.where(wcol == jj, m, w)   # masked column write (no DUS)
         pk = jnp.where(pk == m, int_max, pk)       # packed keys are unique
-    dq = jax.lax.bitcast_convert_type(w & jnp.int32(~LOW_MASK), jnp.float32)
-    gidx = j * tr + (w & jnp.int32(LOW_MASK))
+    dq = jax.lax.bitcast_convert_type(w & ~low_mask, jnp.float32)
+    gidx = j * tr + (w & low_mask)
     gidx = jnp.where(jnp.isinf(dq), -1, gidx)
 
     # merge with the running top-k: tiny (TQ, 2k) exact extraction
@@ -260,6 +260,38 @@ def _knn_kernel_packed(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     d2_new, idx_new = _packed_tile(nr_ref[0], q_ref[:], r_ref[:],
                                    d2_out[:], idx_out[:], i, j,
                                    k=k, self_mode=self_mode)
+    d2_out[:] = d2_new
+    idx_out[:] = idx_new
+
+
+def _knn_kernel_packed2(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
+                        self_mode: bool):
+    """Merge-cadence experiment (VERDICT r4 item 7): TWO ref tiles per grid
+    invocation — the distance matmuls run per 2048-wide half (two MXU
+    passes), but the k-pass packed extraction and the running-top-k merge
+    run ONCE over the 4096-wide concatenation.  Halves the per-k fixed
+    costs (pass-loop setup, the (tq, k) masked writes, one merge instead of
+    two) at the price of one extra mantissa bit of distance quantization
+    (12-bit local columns => <= 2^-11 relative, still inside the refine
+    guard's 2^-10 margin).  Query tile 256 keeps the doubled-width tiles
+    inside scoped VMEM.  Opt-in via engine='pallas_packed2' in the bench
+    harness; production dispatch adopts it only on a measured win
+    (docs/KERNEL_NOTES.md)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        d2_out[:] = jnp.full_like(d2_out, jnp.inf)
+        idx_out[:] = jnp.full_like(idx_out, -1)
+
+    q = q_ref[:]
+    d2a = _mm_distance(q, r_ref[:TR, :])      # sublane slices of the
+    d2b = _mm_distance(q, r_ref[TR:, :])      # (2*TR, dpad) ref block
+    d2 = jnp.maximum(jnp.concatenate([d2a, d2b], axis=1), 0.0)
+    d2_new, idx_new = _packed_select(d2, nr_ref[0], d2_out[:], idx_out[:],
+                                     i, j, k=k, self_mode=self_mode,
+                                     low_bits=LOW_BITS + 1)
     d2_out[:] = d2_new
     idx_out[:] = idx_new
 
@@ -824,3 +856,62 @@ def knn_select_pallas_packed(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     pair with f64 refinement for parity-grade distances."""
     return _knn_select_iter(query, ref, k, self_mode=self_mode,
                             interpret=interpret, nr=nr, variant="packed")
+
+
+PACKED2_TQ = 256        # doubled-width tiles: half-height query tile fits
+                        # the concat + packed copies in scoped VMEM
+
+
+@functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
+def knn_select_pallas_packed2(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                              self_mode: bool = False,
+                              interpret: bool = False, nr=None
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge-cadence experiment: packed selection with TWO ref tiles per
+    invocation (see ``_knn_kernel_packed2``).  Same contract as
+    ``knn_select_pallas_packed`` with quantization <= 2^-11 relative
+    (12-bit local columns).  NOT in production dispatch — bench-harness
+    only until a measured win (docs/KERNEL_NOTES.md)."""
+    nq, d = query.shape
+    if nr is None:
+        nr = ref.shape[0]
+    k = min(k, ref.shape[0])
+    mu = _mu_masked(ref, nr, query.dtype)
+    tq = PACKED2_TQ
+    dpad = _round_up(max(d, 1), LANE)
+    nq_pad = _round_up(nq, tq)
+    nr_pad = _round_up(ref.shape[0], 2 * TR)
+    q = jnp.zeros((nq_pad, dpad), jnp.float32)
+    q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
+    r = jnp.zeros((nr_pad, dpad), jnp.float32)
+    r = r.at[:ref.shape[0], :d].set((ref - mu).astype(jnp.float32))
+    nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
+
+    grid = (nq_pad // tq, nr_pad // (2 * TR))
+    kernel = functools.partial(_knn_kernel_packed2, k=k, self_mode=self_mode)
+    d2, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tq, dpad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * TR, dpad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq_pad * nr_pad * dpad,
+            bytes_accessed=(q.size + r.size) * 4, transcendentals=0),
+        interpret=interpret,
+    )(nr_arr, q, r)
+    return jnp.maximum(d2[:nq], 0.0), idx[:nq]

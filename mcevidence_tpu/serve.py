@@ -200,6 +200,7 @@ def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
     # requests without reading responses cannot grow memory unboundedly
     slots = threading.Semaphore(2 * workers)
     writer_dead = threading.Event()
+    written = [0]                   # writer progress, read by the shutdown
 
     def writer():
         # a DEDICATED writer thread is what makes lock-step clients work:
@@ -221,6 +222,7 @@ def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
                             "error": "internal error (see service log)"}
                 if not writer_dead.is_set():
                     print(json.dumps(resp), file=stream_out, flush=True)
+                written[0] += 1
             except Exception as e:   # e.g. client closed its read end
                 logger.info("writer: output failed (%s: %s); shutting down",
                             type(e).__name__, e)
@@ -249,7 +251,28 @@ def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
             out_q.put(fut)
     finally:
         out_q.put(None)
-        wt.join()
+        # BOUNDED shutdown: draining in-flight responses can legitimately
+        # take minutes (large requests), but a relay-wedged device call
+        # blocks its worker thread forever — an unbounded join then keeps a
+        # dead-client service alive indefinitely holding its chip claim
+        # (observed: a SIGKILLed benchmark left an orphaned --workers
+        # process resident for 30 min).  Join as long as responses keep
+        # landing; a full stall window with zero progress means a wedged
+        # request — exit anyway (daemon threads die with the process).
+        stall = float(os.environ.get("MCE_SERVE_SHUTDOWN_STALL_S", "120"))
+        last = -1
+        while wt.is_alive():
+            wt.join(timeout=stall)
+            if not wt.is_alive():
+                break
+            if written[0] == last:
+                logger.warning(
+                    "shutdown: no response progress in %.0fs with requests "
+                    "still in flight (wedged device call?); exiting without "
+                    "them", stall)
+                writer_dead.set()
+                break
+            last = written[0]
         pool.shutdown(wait=False)
     return 1 if writer_dead.is_set() else 0
 

@@ -40,8 +40,8 @@ NDIM = 6
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def make_root(dirpath: str, n: int, rng) -> str:
-    root = os.path.join(dirpath, f"toy{n}")
+def make_root(dirpath: str, n: int, rng, tag: str = "") -> str:
+    root = os.path.join(dirpath, f"toy{n}{tag}")
     names = ["omegabh2", "omegach2", "theta", "tau", "ns", "logA"][:NDIM]
     with open(root + ".ranges", "w") as fp:
         for name in names:
@@ -102,12 +102,19 @@ def main() -> int:
 
 
 def _run(tmp: str, rng, reps: int, clients) -> int:
-    roots = {n: make_root(tmp, n, rng) for n in SIZES}
+    # DISTINCT chain data per (size, rep): the axon relay memoizes identical
+    # dispatches (same program + same inputs return in ~0 ms — the repo's
+    # documented measurement trap, docs/KERNEL_NOTES.md), so replaying one
+    # root per size would time protocol overhead, not device work.  Same
+    # shapes => still one program load per bucket.
+    nrep_roots = max(reps, 4)
+    roots = {(n, r): make_root(tmp, n, rng, tag=f"_r{r}")
+             for n in SIZES for r in range(nrep_roots)}
 
     reqs = []
     for r in range(reps):
         for n in SIZES:
-            reqs.append({"id": f"{n}:{r}", "root": roots[n], "kmax": 2,
+            reqs.append({"id": f"{n}:{r}", "root": roots[(n, r)], "kmax": 2,
                          "precision": "device"})
     order = np.random.default_rng(1).permutation(len(reqs))
     reqs = [reqs[i] for i in order]
@@ -130,11 +137,13 @@ def _run(tmp: str, rng, reps: int, clients) -> int:
         print(f"{n:>7} {w[0]:>8.3f} {steady[len(steady) // 2]:>8.3f} "
               f"{steady[p95_ix]:>8.3f}")
 
-    # concurrency leg: K outstanding requests vs --workers K, 2k-8k sizes
+    # concurrency leg: K outstanding requests vs --workers K, 2k-8k sizes;
+    # per-request distinct roots here too (memoized repeats would report a
+    # protocol-overlap number as a device-overlap one)
     conc_reqs = []
-    for r in range(max(reps, 4)):
+    for r in range(nrep_roots):
         for n in CONC_SIZES:
-            conc_reqs.append({"id": f"{n}:{r}", "root": roots[n],
+            conc_reqs.append({"id": f"{n}:{r}", "root": roots[(n, r)],
                               "kmax": 2, "precision": "device"})
     conc_reqs = [conc_reqs[i] for i in
                  np.random.default_rng(2).permutation(len(conc_reqs))]
@@ -145,7 +154,7 @@ def _run(tmp: str, rng, reps: int, clients) -> int:
     for k in clients:
         proc = _start_service(workers=k)
         # warm the shape buckets outside the timed stream
-        _run_stream(proc, [{"id": f"w{n}", "root": roots[n], "kmax": 2,
+        _run_stream(proc, [{"id": f"w{n}", "root": roots[(n, 0)], "kmax": 2,
                             "precision": "device"} for n in CONC_SIZES],
                     window=1)
         wall, resp = _run_stream(proc, conc_reqs, window=k)

@@ -119,6 +119,9 @@ def main(argv=None) -> int:
     p.add_argument("--skip-kernel-cert", action="store_true")
     p.add_argument("--skip-bench", action="store_true")
     p.add_argument("--skip-serve", action="store_true")
+    p.add_argument("--merge", action="store_true",
+                   help="update only the executed legs inside an existing "
+                        "artifact (partial rerun) instead of replacing it")
     p.add_argument("--serve-clients", default="1,2,4")
     p.add_argument("--timeout", type=int, default=2400,
                    help="per-leg timeout, seconds")
@@ -133,11 +136,16 @@ def main(argv=None) -> int:
     probed = probe_backend_with_retries(
         attempts=2, timeout=150.0, backoff=30.0,
         log=lambda m: print(f"# {m}", file=sys.stderr, flush=True))
-    artifact = {"round": rnd,
-                "backend_probe": ({"backend": probed[0],
-                                   "n_devices": probed[1]}
-                                  if probed else None),
-                "legs": {}}
+    artifact = {"round": rnd, "backend_probe": None, "legs": {}}
+    if args.merge and os.path.exists(out_path):
+        try:
+            with open(out_path) as fp:
+                artifact = json.load(fp)
+        except ValueError:
+            pass
+    artifact["backend_probe"] = ({"backend": probed[0],
+                                  "n_devices": probed[1]}
+                                 if probed else None)
     if probed is None:
         artifact["ok"] = False
         artifact["error"] = "backend unreachable (bounded subprocess probes)"

@@ -93,6 +93,53 @@ def test_pallas_packed_cross_interpret(rng):
                                rtol=2.0 ** -12, atol=1e-4)
 
 
+def _f64_dist_at(query, ref, idx):
+    """f64 distances recomputed at the returned indices (the cert-script
+    criterion: near-ties inside a quantizing kernel's noise legitimately
+    swap rank, so raw index equality is not the contract — the recomputed
+    k-th distance is)."""
+    q = np.asarray(query, np.float64)
+    r = np.asarray(ref, np.float64)
+    d2 = np.sum((q[:, None, :] - r[np.maximum(idx, 0)]) ** 2, axis=-1)
+    return np.sqrt(np.sort(np.where(idx < 0, np.inf, d2), axis=1))
+
+
+@pytest.mark.parametrize("n,d,k", [(300, 5, 6), (517, 3, 4)])
+def test_pallas_packed2_self_mode_interpret(rng, n, d, k):
+    """Merge-cadence experiment kernel (two ref tiles per invocation,
+    12-bit local columns => <= 2^-11 distance quantization)."""
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packed2
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    d2, idx = knn_select_pallas_packed2(jnp.asarray(x), jnp.asarray(x), k,
+                                        self_mode=True, interpret=True)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    sk_d, _ = NearestNeighbors(n_neighbors=k).fit(x).kneighbors(x)
+    assert np.all(idx[:, 0] == np.arange(n))
+    assert np.all(d2[:, 0] == 0.0)
+    np.testing.assert_allclose(_f64_dist_at(x, x, idx), sk_d,
+                               rtol=2.0 ** -11, atol=1e-4)
+    assert np.all(d2 <= sk_d ** 2 + 1e-6)      # quantization is DOWNward
+    np.testing.assert_allclose(np.sqrt(d2), sk_d, rtol=2.0 ** -11, atol=1e-4)
+
+
+def test_pallas_packed2_cross_runtime_nr(rng):
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packed2
+    q = rng.normal(size=(130, 4)).astype(np.float32)
+    r = rng.normal(size=(1030, 4)).astype(np.float32)
+    r_poison = np.concatenate(
+        [r, 1e6 * rng.normal(size=(200, 4)).astype(np.float32)])
+    d2, idx = knn_select_pallas_packed2(jnp.asarray(q),
+                                        jnp.asarray(r_poison), 5,
+                                        interpret=True, nr=1030)
+    idx = np.asarray(idx)
+    assert np.all(idx >= 0) and np.all(idx < 1030)
+    sk_d, _ = NearestNeighbors(n_neighbors=5).fit(r).kneighbors(q)
+    np.testing.assert_allclose(_f64_dist_at(q, r, idx), sk_d,
+                               rtol=2.0 ** -11, atol=1e-4)
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), sk_d,
+                               rtol=2.0 ** -11, atol=1e-4)
+
+
 def test_pallas_packed_nr_masking(rng):
     # rows beyond the runtime nr scalar are padding and must never win
     from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packed
