@@ -217,14 +217,15 @@ def main():
     on_tpu = backend == "tpu"
 
     if on_tpu:
-        # the packed kernel is the production selection path (ops/knn.py
-        # dispatch); its 2^-12 distance quantization shows up in the
-        # fast-path dlnz below — the refine path (production default)
-        # recomputes candidates in f64 and is parity-grade (BASELINE.md).
-        from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packed
+        # the packed2 merge-cadence kernel is the production selection path
+        # since round 5 (ops/knn.py dispatch); its 2^-11 distance
+        # quantization shows up in the fast-path dlnz below — the refine
+        # path (production default) recomputes candidates in f64 and is
+        # parity-grade (BASELINE.md).
+        from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packed2
 
         def select(w):
-            return knn_select_pallas_packed(w, w, KMAX, self_mode=True)
+            return knn_select_pallas_packed2(w, w, KMAX, self_mode=True)
     else:
         from mcevidence_tpu.ops.knn import knn_select_xla
 
@@ -377,7 +378,7 @@ def main():
         "backend": backend,
         "workload": f"auto evidence N={N} d={NDIM} kmax={KMAX} reps={REPS}",
         "max_abs_dlnz_vs_f64_oracle_timed_kernel": dlnz,
-        "timed_kernel": ("pallas_packed" if on_tpu else "xla"),
+        "timed_kernel": ("pallas_packed2" if on_tpu else "xla"),
         "max_abs_dlnz_vs_f64_oracle_fast_mode": dlnz_fast,
         "max_abs_dlnz_vs_f64_oracle_device_mode": dlnz_dev,
         "device_mode_wall_s_incl_host_prep": dev_wall,

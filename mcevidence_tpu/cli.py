@@ -81,7 +81,7 @@ def build_parser() -> ArgumentParser:
                    help="RNG seed for split/thinning (default: "
                         "nondeterministic, like the reference)")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "pallas", "pallas_exact", "pallas_packed", "pallas_binned", "pallas_smalld", "xla"],
+                   choices=["auto", "pallas", "pallas_exact", "pallas_packed", "pallas_packed2", "pallas_binned", "pallas_smalld", "xla"],
                    help="kNN selection engine")
     p.add_argument("--precision", default="refine",
                    choices=["device", "refine", "fast"],

@@ -283,9 +283,10 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
         runtime sufficiency guard compares the refined k-th distance against
         the candidate boundary and re-runs once with 4x the padding if the
         margin is thinner than the selection's ranking noise.
-      engine: "xla", "pallas" (k-dependent dispatch between the packed and
-        binned kernels), "pallas_exact", "pallas_packed", "pallas_binned", "pallas_smalld",
-        or "auto" (pallas on TPU when available).
+      engine: "xla", "pallas" (k-dependent dispatch between the packed2 and
+        binned kernels), "pallas_exact", "pallas_packed", "pallas_packed2",
+        "pallas_binned", "pallas_smalld", or "auto" (pallas on TPU when
+        available).
       bucket: pad rows to the compile-bucket grid (recommended on TPU; the
         true counts are passed as runtime scalars).
 
@@ -316,7 +317,8 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
         if engine.startswith("pallas"):
             from .knn_pallas import (knn_select_pallas,
                                      knn_select_pallas_binned,
-                                     knn_select_pallas_packed)
+                                     knn_select_pallas_packed,
+                                     knn_select_pallas_packed2)
             # measured crossover (docs/KERNEL_NOTES.md): the packed kernel
             # costs ~1.5 ms per extra k, the binned kernel is flat ~34 ms —
             # packed wins until k_sel ~ 14 (e.g. the guard's retry pass).
@@ -341,8 +343,16 @@ def exact_knn(query: np.ndarray, ref: Optional[np.ndarray], k: int,
             elif engine == "pallas_exact" or (
                     not refine and engine in ("pallas", "pallas_smalld")):
                 sel = knn_select_pallas
-            else:
+            elif engine == "pallas_packed":
                 sel = knn_select_pallas_packed
+            else:
+                # default refine-path selection: the merge-cadence packed2
+                # kernel (two ref tiles per invocation), measured 1.12-1.17x
+                # the packed kernel at N=32k-65k over k=1..9 on chip
+                # (docs/KERNEL_NOTES.md round-5 entry).  Its <= 2^-11
+                # quantization stays inside the sufficiency guard's 2^-10
+                # distance margin, same as packed's 2^-12.
+                sel = knn_select_pallas_packed2
             return sel(q32, r32, ks, self_mode=self_mode, nr=nr)
         return knn_select_xla(q32, r32, ks, self_mode=self_mode,
                               block_size=min(block_size,

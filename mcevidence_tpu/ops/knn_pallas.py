@@ -274,9 +274,10 @@ def _knn_kernel_packed2(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     two) at the price of one extra mantissa bit of distance quantization
     (12-bit local columns => <= 2^-11 relative, still inside the refine
     guard's 2^-10 margin).  Query tile 256 keeps the doubled-width tiles
-    inside scoped VMEM.  Opt-in via engine='pallas_packed2' in the bench
-    harness; production dispatch adopts it only on a measured win
-    (docs/KERNEL_NOTES.md)."""
+    inside scoped VMEM.  Measured 1.12-1.17x the single-tile packed kernel
+    at N=32k-65k over k=1..9 on chip (docs/KERNEL_NOTES.md round-5 entry)
+    => production refine-path default since round 5 (ops/knn.py
+    dispatch)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -867,11 +868,12 @@ def knn_select_pallas_packed2(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                               self_mode: bool = False,
                               interpret: bool = False, nr=None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Merge-cadence experiment: packed selection with TWO ref tiles per
-    invocation (see ``_knn_kernel_packed2``).  Same contract as
+    """Merge-cadence packed selection with TWO ref tiles per invocation
+    (see ``_knn_kernel_packed2``).  Same contract as
     ``knn_select_pallas_packed`` with quantization <= 2^-11 relative
-    (12-bit local columns).  NOT in production dispatch — bench-harness
-    only until a measured win (docs/KERNEL_NOTES.md)."""
+    (12-bit local columns).  Production refine-path default since round 5:
+    measured 1.12-1.17x the single-tile packed kernel on chip
+    (docs/KERNEL_NOTES.md)."""
     nq, d = query.shape
     if nr is None:
         nr = ref.shape[0]

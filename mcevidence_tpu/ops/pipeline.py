@@ -54,13 +54,15 @@ def fused_auto_evidence(samples, lnlike, weights, valid, n_true,
     white, log_j, _ = whiten_masked_jnp(samples, valid)
     if engine.startswith("pallas"):
         from .knn_pallas import (knn_select_pallas, knn_select_pallas_binned,
-                                 knn_select_pallas_packed)
+                                 knn_select_pallas_packed,
+                                 knn_select_pallas_packed2)
         # fast mode consumes the selection distances directly, so the
-        # default dispatch keeps the exact (unquantized) kernels; packed is
-        # opt-in here (its <= 2^-12 quantization is within fast-mode's f32
-        # envelope but not free).
+        # default dispatch keeps the exact (unquantized) kernels; the packed
+        # variants are opt-in here (their <= 2^-11/2^-12 quantization is
+        # within fast-mode's f32 envelope but not free).
         sel = {"pallas_binned": knn_select_pallas_binned,
-               "pallas_packed": knn_select_pallas_packed}.get(
+               "pallas_packed": knn_select_pallas_packed,
+               "pallas_packed2": knn_select_pallas_packed2}.get(
                    engine, knn_select_pallas)
         d2, _ = sel(white, white, kmax, self_mode=True, nr=n_true)
     else:
@@ -322,11 +324,20 @@ def _fused_refine_dotp_impl(qhi, qlo, rhi, rlo, scalh, scall, valid,
         _, idx = knn_select_pallas_smalld(qhi, rhi, k_sel,
                                           self_mode=kernel_self_pin,
                                           nr=n_ref_true, d_real=d_real)
-    elif engine.startswith("pallas"):
+    elif engine == "pallas_packed":
         from .knn_pallas import knn_select_pallas_packed
         _, idx = knn_select_pallas_packed(qhi, rhi, k_sel,
                                           self_mode=kernel_self_pin,
                                           nr=n_ref_true)
+    elif engine.startswith("pallas"):
+        # round-5 default: merge-cadence packed2 (1.12-1.17x measured on
+        # chip); only candidate INDICES leave the selection — the df
+        # refinement recomputes their distances, and its thin-margin guard
+        # (2^-9 on d2) covers packed2's <= 2^-11 quantization
+        from .knn_pallas import knn_select_pallas_packed2
+        _, idx = knn_select_pallas_packed2(qhi, rhi, k_sel,
+                                           self_mode=kernel_self_pin,
+                                           nr=n_ref_true)
     else:
         from .knn import knn_select_xla
         _, idx = knn_select_xla(qhi, rhi, k_sel, self_mode=kernel_self_pin,

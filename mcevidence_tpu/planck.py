@@ -779,7 +779,7 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--seed", default=None, type=int,
                    help="RNG seed for the cross-evidence split")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "pallas", "pallas_exact", "pallas_packed", "pallas_binned", "pallas_smalld", "xla"])
+                   choices=["auto", "pallas", "pallas_exact", "pallas_packed", "pallas_packed2", "pallas_binned", "pallas_smalld", "xla"])
     p.add_argument("--precision", default="device",
                    choices=["device", "refine", "fast"],
                    help="device: double-float refinement on device, "

@@ -30,10 +30,12 @@ import jax.numpy as jnp  # noqa: E402
 from mcevidence_tpu.ops.knn import knn_select_xla  # noqa: E402
 from mcevidence_tpu.ops import knn_pallas as kp  # noqa: E402
 
-# packed-lane variants quantize d2 by <= 2^-12 relative; the certification
-# recomputes distances in f64 from the returned indices, so the tolerance
-# only has to absorb ties resolved differently under quantization
-REL_TOL = 2.0 ** -11
+# packed-lane variants quantize d2 by <= 2^-12 relative (packed2's 12-bit
+# local columns: <= 2^-11); the certification recomputes distances in f64
+# from the returned indices, so the tolerance only has to absorb ties
+# resolved differently under quantization — one margin above the worst
+# variant's quantization, matching the refine guard's 2^-10 band
+REL_TOL = 2.0 ** -10
 
 
 def _recompute_d2(query, ref, idx):
@@ -102,6 +104,10 @@ def main():
             x, x, k, self_mode=True, nr=nr, **IKW),
         "packed/self": lambda: kp.knn_select_pallas_packed(
             x, x, k, self_mode=True, nr=nr, **IKW),
+        # round-5 production refine-path default (merge-cadence, two ref
+        # tiles per invocation)
+        "packed2/self": lambda: kp.knn_select_pallas_packed2(
+            x, x, k, self_mode=True, nr=nr, **IKW),
         "binned/self": lambda: kp.knn_select_pallas_binned(
             x, x, k, self_mode=True, nr=nr, **IKW),
         "binned_packed/self": lambda: kp.knn_select_pallas_binned(
@@ -122,6 +128,7 @@ def main():
     cross = {
         "exact/cross": lambda: kp.knn_select_pallas(qj, x, k, nr=nr, **IKW),
         "packed/cross": lambda: kp.knn_select_pallas_packed(qj, x, k, nr=nr, **IKW),
+        "packed2/cross": lambda: kp.knn_select_pallas_packed2(qj, x, k, nr=nr, **IKW),
         # unpacked bins in cross mode IS a production path: knn.py:306-310
         # dispatches pallas_binned with packed=refine, so refine=False
         # cross-mode evidence runs exactly this configuration (ADVICE r4)
