@@ -297,6 +297,32 @@ def _knn_kernel_packed2(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     idx_out[:] = idx_new
 
 
+def _knn_kernel_packed2_batched(nr_ref, q_ref, r_ref, d2_out, idx_out, *,
+                                k: int, self_mode: bool):
+    """Batched merge-cadence kernel: grid (B, query tiles, double-width ref
+    tiles); the (2*TR)-wide concatenated extraction/merge of
+    ``_knn_kernel_packed2`` with per-member runtime counts nr_ref[b]."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        d2_out[0] = jnp.full_like(d2_out[0], jnp.inf)
+        idx_out[0] = jnp.full_like(idx_out[0], -1)
+
+    q = q_ref[0]
+    r = r_ref[0]
+    d2a = _mm_distance(q, r[:TR, :])
+    d2b = _mm_distance(q, r[TR:, :])
+    d2 = jnp.maximum(jnp.concatenate([d2a, d2b], axis=1), 0.0)
+    d2_new, idx_new = _packed_select(d2, nr_ref[b], d2_out[0], idx_out[0],
+                                     i, j, k=k, self_mode=self_mode,
+                                     low_bits=LOW_BITS + 1)
+    d2_out[0] = d2_new
+    idx_out[0] = idx_new
+
+
 def _knn_kernel_packed_batched(nr_ref, q_ref, r_ref, d2_out, idx_out, *,
                                k: int, self_mode: bool):
     """Batched packed kernel: grid (B, query tiles, ref tiles); each batch
@@ -355,6 +381,63 @@ def knn_select_pallas_packed_batched(query, ref, k: int,
             pl.BlockSpec((1, tq, dpad), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, dpad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, k), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, k), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, nq_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nq_pad, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * nq_pad * nr_pad * dpad,
+            bytes_accessed=(q.size + r.size) * 4, transcendentals=0),
+        interpret=interpret,
+    )(nr, q, r)
+    return jnp.maximum(d2[:, :nq], 0.0), idx[:, :nq]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret"))
+def knn_select_pallas_packed2_batched(query, ref, k: int,
+                                      self_mode: bool = False,
+                                      interpret: bool = False,
+                                      nr=None):
+    """Batched merge-cadence packed2 selection: (B, Nq, d) queries vs
+    (B, Nr, d) refs with per-batch runtime counts ``nr`` (B,).  Same
+    per-member contract as ``knn_select_pallas_packed2`` (quantization
+    <= 2^-11 relative); returns (B, Nq, k) d2 and idx."""
+    bsz, nq, d = query.shape
+    nr_full = ref.shape[1]
+    if nr is None:
+        nr = jnp.full((bsz,), nr_full, jnp.int32)
+    nr = jnp.asarray(nr, jnp.int32).reshape(bsz)
+    k = min(k, nr_full)
+
+    mu = _mu_masked(ref, nr, query.dtype)
+    tq = PACKED2_TQ
+    dpad = _round_up(max(d, 1), LANE)
+    nq_pad = _round_up(nq, tq)
+    nr_pad = _round_up(nr_full, 2 * TR)
+    q = jnp.zeros((bsz, nq_pad, dpad), jnp.float32)
+    q = q.at[:, :nq, :d].set((query - mu).astype(jnp.float32))
+    r = jnp.zeros((bsz, nr_pad, dpad), jnp.float32)
+    r = r.at[:, :nr_full, :d].set((ref - mu).astype(jnp.float32))
+
+    grid = (bsz, nq_pad // tq, nr_pad // (2 * TR))
+    kernel = functools.partial(_knn_kernel_packed2_batched, k=k,
+                               self_mode=self_mode)
+    d2, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tq, dpad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * TR, dpad), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

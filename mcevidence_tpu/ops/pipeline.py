@@ -266,6 +266,12 @@ def _fused_refine_dotp_batch_jit(qhi, qlo, rhi, rlo, scalh, scall, valid,
         from .knn_pallas import knn_select_pallas_smalld_batched
         _, idx = knn_select_pallas_smalld_batched(
             qhi, rhi, k_sel, self_mode=self_mode, nr=n_ref_true)
+    elif engine == "pallas_packed2":
+        # merge-cadence batched variant: opt-in until measured on chip
+        # (the single-cell packed2 win is 1.12-1.17x, KERNEL_NOTES r5)
+        from .knn_pallas import knn_select_pallas_packed2_batched
+        _, idx = knn_select_pallas_packed2_batched(
+            qhi, rhi, k_sel, self_mode=self_mode, nr=n_ref_true)
     elif engine.startswith("pallas"):
         from .knn_pallas import knn_select_pallas_packed_batched
         _, idx = knn_select_pallas_packed_batched(

@@ -1051,6 +1051,11 @@ def make_sharded_grid_device_refine(mesh: Mesh, axes=("dp", "ring"), *,
             from ..ops.knn_pallas import knn_select_pallas_smalld_batched
             _, idx = knn_select_pallas_smalld_batched(
                 qhi, rhi, k_sel, self_mode=False, nr=n_ref)
+        elif engine == "pallas_packed2":
+            # merge-cadence batched variant: opt-in until measured on chip
+            from ..ops.knn_pallas import knn_select_pallas_packed2_batched
+            _, idx = knn_select_pallas_packed2_batched(
+                qhi, rhi, k_sel, self_mode=False, nr=n_ref)
         elif engine.startswith("pallas"):
             from ..ops.knn_pallas import knn_select_pallas_packed_batched
             # auto mode: no in-kernel diagonal pin — queries are a shard of

@@ -152,7 +152,9 @@ def main():
         batch[b, m:] = 1e6 * rng.normal(size=(n - m, d))
     xb = jnp.asarray(batch)
     batched = {"packed_batched/self": lambda: kp.knn_select_pallas_packed_batched(
-        xb, xb, k, self_mode=True, nr=jnp.asarray(nrs), **IKW)}
+        xb, xb, k, self_mode=True, nr=jnp.asarray(nrs), **IKW),
+        "packed2_batched/self": lambda: kp.knn_select_pallas_packed2_batched(
+            xb, xb, k, self_mode=True, nr=jnp.asarray(nrs), **IKW)}
     if d <= kp.SMALLD_MAX:
         batched["smalld_batched/self"] = \
             lambda: kp.knn_select_pallas_smalld_batched(

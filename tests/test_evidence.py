@@ -392,6 +392,22 @@ def test_device_overflow_falls_back_to_host_refine(rng, monkeypatch):
     np.testing.assert_allclose(got, ref, atol=1e-9)
 
 
+def test_device_refine_packed2_engine_matches_xla(rng):
+    """The opt-in merge-cadence engine name plumbs through the device-refine
+    pipeline.  On the CPU test backend the split path substitutes XLA
+    selection (fused_refine_dotp's non-TPU branch), so this pins the engine
+    ARG plumbing + result; the Pallas branch itself is certified on chip
+    (scripts/tpu_kernel_cert.py packed2* checks, CERT_r05.json) and
+    verified at 3.1e-15 lnZ parity through the dp x ring grid path on
+    hardware (BASELINE.md round 5)."""
+    from mcevidence_tpu.ops import pipeline
+    theta, lnl = make_gaussian_chain(rng, n=300, ndim=4)
+    got = pipeline.device_refine_evidence(theta, lnl, kmax=2,
+                                          engine="pallas_packed2")
+    want = pipeline.device_refine_evidence(theta, lnl, kmax=2, engine="xla")
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
 def test_device_hbm_guard_falls_back_to_host(rng, caplog, monkeypatch):
     """The single-chip N ceiling (VERDICT r4 item 4): when the refinement's
     (rows, k_sel, dpad) HBM plan exceeds the device budget, the call must

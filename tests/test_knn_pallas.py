@@ -174,6 +174,36 @@ def test_pallas_packed_batched_interpret(rng):
                                    np.asarray(d2s)[:n], rtol=1e-6)
 
 
+def test_pallas_packed2_batched_interpret(rng):
+    # merge-cadence batched variant: per-member runtime counts, each member
+    # must match the single-cell packed2 kernel exactly
+    from mcevidence_tpu.ops.knn_pallas import (
+        knn_select_pallas_packed2, knn_select_pallas_packed2_batched)
+    xs = [rng.normal(size=(400, 5)).astype(np.float32) for _ in range(3)]
+    ns = [400, 311, 287]
+    batch = np.zeros((3, 400, 5), np.float32)
+    for b, (x, n) in enumerate(zip(xs, ns)):
+        batch[b, :n] = x[:n]
+    d2b, idxb = knn_select_pallas_packed2_batched(
+        jnp.asarray(batch), jnp.asarray(batch), 4, self_mode=True,
+        interpret=True, nr=np.asarray(ns, np.int32))
+    for b, n in enumerate(ns):
+        d2s, idxs = knn_select_pallas_packed2(
+            jnp.asarray(batch[b]), jnp.asarray(batch[b]), 4,
+            self_mode=True, interpret=True, nr=n)
+        np.testing.assert_array_equal(np.asarray(idxb)[b, :n],
+                                      np.asarray(idxs)[:n])
+        np.testing.assert_allclose(np.asarray(d2b)[b, :n],
+                                   np.asarray(d2s)[:n], rtol=1e-6)
+        # sklearn cross-check on the valid rows
+        sk_d, _ = NearestNeighbors(n_neighbors=4).fit(
+            batch[b, :n]).kneighbors(batch[b, :n])
+        np.testing.assert_allclose(
+            _f64_dist_at(batch[b, :n], batch[b, :n],
+                         np.asarray(idxb)[b, :n]),
+            sk_d, rtol=2.0 ** -11, atol=1e-4)
+
+
 def test_pallas_binned_packed_interpret(rng):
     """Packed-bin variant: exact candidate INDICES (d2 quantized <= 2^-11
     relative — the refine stage recomputes distances in f64)."""
