@@ -266,15 +266,16 @@ def _fused_refine_dotp_batch_jit(qhi, qlo, rhi, rlo, scalh, scall, valid,
         from .knn_pallas import knn_select_pallas_smalld_batched
         _, idx = knn_select_pallas_smalld_batched(
             qhi, rhi, k_sel, self_mode=self_mode, nr=n_ref_true)
-    elif engine == "pallas_packed2":
-        # merge-cadence batched variant: opt-in until measured on chip
-        # (the single-cell packed2 win is 1.12-1.17x, KERNEL_NOTES r5)
-        from .knn_pallas import knn_select_pallas_packed2_batched
-        _, idx = knn_select_pallas_packed2_batched(
-            qhi, rhi, k_sel, self_mode=self_mode, nr=n_ref_true)
-    elif engine.startswith("pallas"):
+    elif engine == "pallas_packed":
         from .knn_pallas import knn_select_pallas_packed_batched
         _, idx = knn_select_pallas_packed_batched(
+            qhi, rhi, k_sel, self_mode=self_mode, nr=n_ref_true)
+    elif engine.startswith("pallas"):
+        # batched default: the merge-cadence packed2 variant — measured
+        # 1.05-1.13x over packed_batched at grid cell sizes on chip
+        # (KERNEL_NOTES round-5 batched table)
+        from .knn_pallas import knn_select_pallas_packed2_batched
+        _, idx = knn_select_pallas_packed2_batched(
             qhi, rhi, k_sel, self_mode=self_mode, nr=n_ref_true)
     else:
         from .knn import knn_select_xla

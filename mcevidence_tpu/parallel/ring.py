@@ -1051,17 +1051,18 @@ def make_sharded_grid_device_refine(mesh: Mesh, axes=("dp", "ring"), *,
             from ..ops.knn_pallas import knn_select_pallas_smalld_batched
             _, idx = knn_select_pallas_smalld_batched(
                 qhi, rhi, k_sel, self_mode=False, nr=n_ref)
-        elif engine == "pallas_packed2":
-            # merge-cadence batched variant: opt-in until measured on chip
-            from ..ops.knn_pallas import knn_select_pallas_packed2_batched
-            _, idx = knn_select_pallas_packed2_batched(
+        elif engine == "pallas_packed":
+            from ..ops.knn_pallas import knn_select_pallas_packed_batched
+            _, idx = knn_select_pallas_packed_batched(
                 qhi, rhi, k_sel, self_mode=False, nr=n_ref)
         elif engine.startswith("pallas"):
-            from ..ops.knn_pallas import knn_select_pallas_packed_batched
-            # auto mode: no in-kernel diagonal pin — queries are a shard of
-            # the replicated reference, so the self candidate wins slot 0
+            # batched default: merge-cadence packed2 (1.05-1.13x measured
+            # at grid cell sizes, KERNEL_NOTES r5).  Auto mode: no
+            # in-kernel diagonal pin — queries are a shard of the
+            # replicated reference, so the self candidate wins slot 0
             # naturally at distance 0; the post zeroes it via the offset.
-            _, idx = knn_select_pallas_packed_batched(
+            from ..ops.knn_pallas import knn_select_pallas_packed2_batched
+            _, idx = knn_select_pallas_packed2_batched(
                 qhi, rhi, k_sel, self_mode=False, nr=n_ref)
         else:
             from ..ops.knn import knn_select_xla
