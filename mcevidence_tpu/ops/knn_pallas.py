@@ -297,6 +297,93 @@ def _knn_kernel_packed2(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
     idx_out[:] = idx_new
 
 
+def _knn_kernel_packedn(nr_ref, q_ref, r_ref, d2_out, idx_out, *, k: int,
+                        self_mode: bool, n_tiles: int, low_bits: int):
+    """Generalized merge-cadence kernel (bench harness only): N ref tiles
+    per grid invocation — N MXU distance passes, ONE packed extraction +
+    merge over the (n_tiles*TR)-wide concatenation.  Each doubling of
+    n_tiles costs one more mantissa bit of distance quantization
+    (low_bits = LOW_BITS + log2(n_tiles)); adoption of a wider cadence
+    must re-check the refine guard's margin (knn.py 2^-10 on distance)
+    against 2^(low_bits-23) relative on d2."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        d2_out[:] = jnp.full_like(d2_out, jnp.inf)
+        idx_out[:] = jnp.full_like(idx_out, -1)
+
+    q = q_ref[:]
+    parts = [_mm_distance(q, r_ref[t * TR:(t + 1) * TR, :])
+             for t in range(n_tiles)]
+    d2 = jnp.maximum(jnp.concatenate(parts, axis=1), 0.0)
+    d2_new, idx_new = _packed_select(d2, nr_ref[0], d2_out[:], idx_out[:],
+                                     i, j, k=k, self_mode=self_mode,
+                                     low_bits=low_bits)
+    d2_out[:] = d2_new
+    idx_out[:] = idx_new
+
+
+@functools.partial(jax.jit, static_argnames=("k", "self_mode", "interpret",
+                                             "n_tiles", "tq"))
+def knn_select_pallas_packedn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                              n_tiles: int = 2, tq: int = 256,
+                              self_mode: bool = False,
+                              interpret: bool = False, nr=None
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge-cadence sweep wrapper (bench harness only): packed selection
+    with ``n_tiles`` ref tiles per invocation and query-tile height ``tq``.
+    packed2 == (n_tiles=2, tq=256), the shipped production config.
+    Quantization: <= 2^(log2(n_tiles) - 12) relative on d2."""
+    assert n_tiles in (1, 2, 4, 8), n_tiles
+    low_bits = LOW_BITS + max(0, n_tiles.bit_length() - 1)
+    nq, d = query.shape
+    if nr is None:
+        nr = ref.shape[0]
+    k = min(k, ref.shape[0])
+    mu = _mu_masked(ref, nr, query.dtype)
+    dpad = _round_up(max(d, 1), LANE)
+    nq_pad = _round_up(nq, tq)
+    nr_pad = _round_up(ref.shape[0], n_tiles * TR)
+    q = jnp.zeros((nq_pad, dpad), jnp.float32)
+    q = q.at[:nq, :d].set((query - mu).astype(jnp.float32))
+    r = jnp.zeros((nr_pad, dpad), jnp.float32)
+    r = r.at[:ref.shape[0], :d].set((ref - mu).astype(jnp.float32))
+    nr_arr = jnp.asarray(nr, jnp.int32).reshape(1)
+
+    grid = (nq_pad // tq, nr_pad // (n_tiles * TR))
+    kernel = functools.partial(_knn_kernel_packedn, k=k,
+                               self_mode=self_mode, n_tiles=n_tiles,
+                               low_bits=low_bits)
+    d2, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tq, dpad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles * TR, dpad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq_pad * nr_pad * dpad,
+            bytes_accessed=(q.size + r.size) * 4, transcendentals=0),
+        interpret=interpret,
+    )(nr_arr, q, r)
+    return jnp.maximum(d2[:nq], 0.0), idx[:nq]
+
+
 def _knn_kernel_packed2_batched(nr_ref, q_ref, r_ref, d2_out, idx_out, *,
                                 k: int, self_mode: bool):
     """Batched merge-cadence kernel: grid (B, query tiles, double-width ref

@@ -174,6 +174,25 @@ def test_pallas_packed_batched_interpret(rng):
                                    np.asarray(d2s)[:n], rtol=1e-6)
 
 
+@pytest.mark.parametrize("n_tiles,tq", [(1, 512), (2, 256), (4, 128)])
+def test_pallas_packedn_sweep_interpret(rng, n_tiles, tq):
+    """Generalized merge-cadence sweep kernel (bench harness): each config
+    must return true neighbours with quantization <= 2^(log2(n)-12)."""
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_packedn
+    x = rng.normal(size=(530, 5)).astype(np.float32)
+    d2, idx = knn_select_pallas_packedn(jnp.asarray(x), jnp.asarray(x), 5,
+                                        n_tiles=n_tiles, tq=tq,
+                                        self_mode=True, interpret=True)
+    idx = np.asarray(idx)
+    sk_d, _ = NearestNeighbors(n_neighbors=5).fit(x).kneighbors(x)
+    assert np.all(idx[:, 0] == np.arange(530))
+    tol = 2.0 ** (max(0, n_tiles.bit_length() - 1) - 12)
+    np.testing.assert_allclose(_f64_dist_at(x, x, idx), sk_d,
+                               rtol=tol, atol=1e-4)
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), sk_d,
+                               rtol=tol, atol=1e-4)
+
+
 def test_pallas_packed2_batched_interpret(rng):
     # merge-cadence batched variant: per-member runtime counts, each member
     # must match the single-cell packed2 kernel exactly
