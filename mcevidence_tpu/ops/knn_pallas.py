@@ -233,6 +233,13 @@ def _packed_select(d2, nr, run_d2, run_idx, i, j, *, k: int,
     int_max = jnp.int32(2147483647)
     w = jnp.full((tq, k), int_max)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+    # NOTE (round-5 measured no-win): a read-only "monotone frontier"
+    # variant — m_j = min(where(pk > m_{j-1}, pk, INT_MAX)), no
+    # invalidation store, exploiting key uniqueness — was implemented and
+    # measured SLOWER on chip (k=5 N=65536: 63.1 ms vs 59.3 ms here):
+    # Mosaic materializes the select's full-tile temp rather than fusing
+    # it into the lane reduction, so the scheme pays the saved store back
+    # with interest.  Keep min + eq-invalidate.
     for jj in range(k):
         m = jnp.min(pk, axis=1, keepdims=True)     # packed (distance, col)
         w = jnp.where(wcol == jj, m, w)   # masked column write (no DUS)
