@@ -34,8 +34,10 @@ https://arxiv.org/abs/1704.03472
 CROSS_HELP = """flag to split chain(s) to estimate cross Evidence.
 Cross evidence is computed using two independent chains: the nearest
 neighbour of point "A" in MCMC sample MC1 is searched in MCMC sample MC2.
-The error on the (auto) evidence is larger than the cross evidence by
-~sqrt(2)."""
+The reference documents a ~sqrt(2) smaller cross error; measured, that
+holds only for two independent FULL-SIZE chains — splitting one chain
+(what this flag does) halves both sample sets and gives equal-or-larger
+scatter than auto mode (docs/VALIDATION_STUDY.md)."""
 
 
 def build_parser() -> ArgumentParser:

@@ -145,8 +145,10 @@ class MCEvidence:
         ``ischain=False`` — a sampler class/instance exposing
         ``Sampler(nsamples) -> (samples, lnlike)``.
     :param split: cross-evidence mode — the chain is randomly split and NNs of
-        s1 are searched in s2 (sqrt(2) smaller error; reference
-        MCEvidence.py:956-962).
+        s1 are searched in s2.  (The reference claims a sqrt(2) smaller
+        error, MCEvidence.py:956-962; measured, that holds only for two
+        independent full-size chains, not for a split —
+        docs/VALIDATION_STUDY.md "Auto vs cross scatter".)
     :param kmax: evidence is returned for k = 1..kmax-1 (floored at 2,
         reference MCEvidence.py:694).
     :param seed: RNG seed for split / Poisson thinning / random subsampling

@@ -94,6 +94,14 @@ def main(n_seeds: int = 6) -> None:
         print(f"| {d} | {v.mean():+.4f} | "
               f"{float(np.sqrt(np.mean(v ** 2))):.4f} | {0.5 * logdet:+.1f} |")
 
+    importance_leg(n_seeds)
+    banana_leg(n_seeds)
+    autocorr_leg(n_seeds)
+    cross_leg(n_seeds=max(4 * n_seeds, 24))
+    nested_leg(n_seeds=max(n_seeds, 8))
+
+
+def importance_leg(n_seeds: int = 6) -> None:
     print("\n## Importance-weighted chains  (d=4, N=32000, k=1; "
           "truth ln Z = 0)\n")
     print("samples drawn from a WIDER proposal q = N(mean, (c sig)^2) and "
@@ -123,6 +131,8 @@ def main(n_seeds: int = 6) -> None:
         print(f"| {c} | {v.mean():+.4f} | "
               f"{float(np.sqrt(np.mean(v ** 2))):.4f} |")
 
+
+def banana_leg(n_seeds: int = 6) -> None:
     print("\n## Non-Gaussian banana  (2-d curved target; truth by "
           "quadrature)\n")
     print("no linear map Gaussianizes this posterior, so the global "
@@ -133,7 +143,6 @@ def main(n_seeds: int = 6) -> None:
     from mcevidence_tpu.examples import banana_eg
     for n in (8000, 32000, 128000):
         vals = []
-        truth = None
         for s in range(n_seeds):
             m = banana_eg(verbose=0, rng=np.random.default_rng(9000 + s + n))
             truth = m.evidence()
@@ -144,6 +153,9 @@ def main(n_seeds: int = 6) -> None:
         print(f"| {n} | {v.mean():+.4f} | "
               f"{float(np.sqrt(np.mean(v ** 2))):.4f} |")
 
+
+def autocorr_leg(n_seeds: int = 6) -> None:
+    from mcevidence_tpu.examples import banana_eg
     print("\nautocorrelated-chain caveat (stretch-move ensemble, 64 "
           "walkers): correlated positions inflate the local kNN density "
           "and bias lnZ low — thinning recovers the iid answer (the "
@@ -171,7 +183,75 @@ def main(n_seeds: int = 6) -> None:
         print(f"| {thin} | {nkept[thin]} | {v.mean():+.4f} | "
               f"{float(np.sqrt(np.mean(v ** 2))):.4f} |")
 
-    nested_leg(n_seeds=max(n_seeds, 8))
+
+def cross_leg(n_seeds: int = 40) -> None:
+    """Auto- vs cross-evidence scatter: the reference's sqrt(2) claim.
+
+    The reference documents (MCEvidence.py:956-962, README.md:82-86) that
+    the auto-evidence error exceeds the cross error by ~sqrt(2): auto NN
+    pairs are mutual (if B is A's nearest neighbour, A is likely B's), so
+    auto contributions correlate in pairs, while cross contributions
+    against an independent reference chain do not.  Never measured in the
+    reference repo — measured here in two configurations:
+
+    1. *shipped split semantics* (``--cross``): ONE chain of N split into
+       halves, so the cross run has N/2 queries against N/2 references.
+       The halved counts inflate the cross scatter by ~2x on their own,
+       confounding the mutuality effect the claim is about.
+    2. *matched sizes* (the claim's intended regime): TWO independent
+       chains of N each; auto on chain 1, cross = chain 1 queried against
+       chain 2.  Query and reference counts are identical, so the only
+       difference is NN mutuality.
+
+    Column semantics (quirk Q2): the returned k=1 column is the 1st
+    non-self NN in auto mode but the 2nd NN in cross mode.  The matched
+    table therefore also reports auto k=2 (2nd non-self NN) vs cross k=1
+    (2nd NN) — the matched-NN-order pair.  ``std`` is the seed-to-seed
+    scatter (ddof=1); bias differs between modes, so the claim is about
+    std, not rms."""
+    print("\n## Auto vs cross scatter  (reference sqrt(2) claim; "
+          "truth ln Z = 0)\n")
+    print("### shipped `--cross` split semantics (one chain of N, "
+          "halved)\n")
+    print("| N | d | auto bias | auto std | cross bias | cross std | "
+          "std ratio auto/cross (claim ~1.41) |")
+    print("|---|---|---|---|---|---|---|")
+    for n, d in ((32000, 4), (32000, 8)):
+        auto, cross = [], []
+        for s in range(n_seeds):
+            rng = np.random.default_rng(5000 + 31 * s + n + d)
+            th, lnl = chain(rng, n, d)
+            auto.append(evidence_fn(th, lnl, kmax=2,
+                                    precision="device")[0])
+            perm = rng.permutation(n)
+            i1, i2 = perm[: n // 2], perm[n // 2:]
+            cross.append(evidence_fn(th[i1], lnl[i1], samples2=th[i2],
+                                     kmax=2, precision="device")[0])
+        a, c = np.asarray(auto), np.asarray(cross)
+        sa, sc = a.std(ddof=1), c.std(ddof=1)
+        print(f"| {n} | {d} | {a.mean():+.4f} | {sa:.4f} | "
+              f"{c.mean():+.4f} | {sc:.4f} | {sa / sc:.2f} |")
+
+    print("\n### matched sizes (two independent chains of N; mutuality "
+          "isolated)\n")
+    print("| N | d | auto k=1 std | auto k=2 std | cross k=1 std "
+          "(2nd NN) | ratio k1/k1 | matched-order k2/k1 (claim ~1.41) |")
+    print("|---|---|---|---|---|---|---|")
+    for n, d in ((32000, 4), (32000, 8)):
+        auto, cross = [], []
+        for s in range(n_seeds):
+            rng = np.random.default_rng(6000 + 37 * s + n + d)
+            th1, lnl1 = chain(rng, n, d)
+            th2, _ = chain(rng, n, d)
+            lnz = evidence_fn(th1, lnl1, kmax=3, precision="device")
+            auto.append([lnz[0], lnz[1]])
+            cross.append(evidence_fn(th1, lnl1, samples2=th2, kmax=2,
+                                     precision="device")[0])
+        a, c = np.asarray(auto), np.asarray(cross)
+        s1, s2 = a[:, 0].std(ddof=1), a[:, 1].std(ddof=1)
+        sc = c.std(ddof=1)
+        print(f"| {n} | {d} | {s1:.4f} | {s2:.4f} | {sc:.4f} | "
+              f"{s1 / sc:.2f} | {s2 / sc:.2f} |")
 
 
 def nested_leg(n_seeds: int = 8) -> None:
@@ -218,5 +298,20 @@ def nested_leg(n_seeds: int = 8) -> None:
                   f"{a.mean() - truth:+.4f} | {a.std():.4f} |")
 
 
+LEGS = {
+    "importance": importance_leg,
+    "banana": banana_leg,
+    "autocorr": autocorr_leg,
+    "nested": nested_leg,
+}
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 6)
+    seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    if len(sys.argv) > 2:                       # run only the named leg(s)
+        for name in sys.argv[2].split(","):
+            if name == "cross":
+                cross_leg(n_seeds=max(4 * seeds, 24))
+            else:
+                LEGS[name](seeds)
+    else:
+        main(seeds)

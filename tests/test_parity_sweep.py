@@ -97,7 +97,11 @@ def test_cross_error_reduction_claim():
     """The reference's headline statistical claim (README.md:82-86): the
     auto-evidence error is larger than the cross-evidence error by ~sqrt(2),
     because if B is A's nearest neighbour then A is likely B's.  Checked as
-    scatter over repeated synthetic chains with generous bounds."""
+    scatter over repeated synthetic chains with generous bounds — the
+    full on-chip measurement (docs/VALIDATION_STUDY.md "Auto vs cross
+    scatter") shows the sqrt(2) holds only for matched-size independent
+    chains at low d, while split-mode ratios run 0.5-1.0; the bounds here
+    cover both regimes."""
     reps, n, ndim = 24, 700, 3
     autos, crosses = [], []
     for s in range(reps):
