@@ -118,7 +118,7 @@ _REFINE_TEMP_BUFFERS = 8
 
 
 def estimate_device_refine_hbm_bytes(n: int, n_ref: int, ndim: int,
-                                     k_sel: int) -> int:
+                                     k_sel: int, cross: bool = False) -> int:
     """Shape-math HBM plan for ONE device-refine dispatch.
 
     Everything the program keeps live, in padded shapes (pow-2 row buckets,
@@ -126,13 +126,19 @@ def estimate_device_refine_hbm_bytes(n: int, n_ref: int, ndim: int,
     (rows, k_sel, dpad) refinement temporaries, and the selection output.
     The Pallas selection itself streams tiles through VMEM and adds no
     O(N^2) HBM — the refinement gather is the O(N*k_sel*dpad) term that
-    sets the single-chip N ceiling (VERDICT r4 item 4)."""
+    sets the single-chip N ceiling (VERDICT r4 item 4).
+
+    ``cross`` must mirror the dispatch (``samples2 is not None``):
+    _device_refine_prepare allocates separate rhi/rlo whenever a second
+    chain is given, INCLUDING when the two chains happen to have equal row
+    counts (the even-N ``--cross`` split, matched-size two-chain runs) —
+    a count comparison is not a valid proxy (round-5 review)."""
     from ..parallel.ring import _dpad_class
     from .knn import bucket_size_pow2
     nb = bucket_size_pow2(n)
     mb = bucket_size_pow2(n_ref)
     dpad = _dpad_class(ndim)
-    coords = 4 * (nb + (mb if n_ref != n else 0)) * dpad * 4  # qhi/qlo/rhi/rlo
+    coords = 4 * (nb + (mb if cross else 0)) * dpad * 4   # qhi/qlo/rhi/rlo
     temps = _REFINE_TEMP_BUFFERS * nb * k_sel * dpad * 4
     select_out = 2 * nb * k_sel * 4                           # d2 + idx
     vectors = 4 * nb * 4                                      # scal/valid/...
@@ -695,7 +701,8 @@ def device_refine_evidence(samples: np.ndarray, lnlike: np.ndarray,
     n_ref_guard = (samples2 if samples2 is not None else samples).shape[0]
     k_sel_guard = min(kmax + pad_candidates, n_ref_guard)
     est = estimate_device_refine_hbm_bytes(
-        samples.shape[0], n_ref_guard, samples.shape[1], k_sel_guard)
+        samples.shape[0], n_ref_guard, samples.shape[1], k_sel_guard,
+        cross=samples2 is not None)
     if est > DEVICE_HBM_BUDGET_BYTES:
         # the single-chip N ceiling: the refinement's (rows, k_sel, dpad)
         # gather temporaries won't fit HBM — degrade to the host-refine

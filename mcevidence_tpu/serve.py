@@ -201,6 +201,9 @@ def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
     slots = threading.Semaphore(2 * workers)
     writer_dead = threading.Event()
     written = [0]                   # writer progress, read by the shutdown
+    completed = [0]                 # finished handlers (any order) — a slow
+    wedged = [False]                # head-of-line request must not look like
+                                    # a wedge while LATER requests complete
 
     def writer():
         # a DEDICATED writer thread is what makes lock-step clients work:
@@ -248,6 +251,8 @@ def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
                                 "error": f"bad JSON: {e}"})
             else:
                 fut = pool.submit(handle_request, req)
+            fut.add_done_callback(lambda _f: completed.__setitem__(
+                0, completed[0] + 1))
             out_q.put(fut)
     finally:
         out_q.put(None)
@@ -256,24 +261,35 @@ def serve(stream_in: TextIO, stream_out: TextIO, workers: int = 1) -> int:
         # blocks its worker thread forever — an unbounded join then keeps a
         # dead-client service alive indefinitely holding its chip claim
         # (observed: a SIGKILLed benchmark left an orphaned --workers
-        # process resident for 30 min).  Join as long as responses keep
-        # landing; a full stall window with zero progress means a wedged
-        # request — exit anyway (daemon threads die with the process).
+        # process resident for 30 min).  Join as long as requests keep
+        # COMPLETING (any order — the writer drains in request order, so a
+        # slow head-of-line request must not mask later completions); a
+        # full stall window with zero progress means a wedged request —
+        # hand rc 2 to main(), which hard-exits: the pool threads are
+        # non-daemon and concurrent.futures joins them at interpreter
+        # exit, so a plain return would still hang on the wedged call.
+        # A single legitimately-slower-than-2*stall request is
+        # indistinguishable from a wedge by construction — raise
+        # MCE_SERVE_SHUTDOWN_STALL_S for such workloads.
         stall = float(os.environ.get("MCE_SERVE_SHUTDOWN_STALL_S", "120"))
-        last = -1
+        last = (-1, -1)
         while wt.is_alive():
             wt.join(timeout=stall)
             if not wt.is_alive():
                 break
-            if written[0] == last:
+            progress = (written[0], completed[0])
+            if progress == last:
                 logger.warning(
                     "shutdown: no response progress in %.0fs with requests "
                     "still in flight (wedged device call?); exiting without "
                     "them", stall)
                 writer_dead.set()
+                wedged[0] = True
                 break
-            last = written[0]
+            last = progress
         pool.shutdown(wait=False)
+    if wedged[0]:
+        return 2
     return 1 if writer_dead.is_set() else 0
 
 
@@ -315,7 +331,17 @@ def main(argv: Optional[list] = None) -> int:
         set_parse_cache(args.parse_cache)
     if args.warmup:
         _warmup(args.warmup)
-    return serve(sys.stdin, sys.stdout, workers=max(1, args.workers))
+    rc = serve(sys.stdin, sys.stdout, workers=max(1, args.workers))
+    if rc == 2:
+        # wedged in-flight device call: the executor's threads are
+        # non-daemon and concurrent.futures joins them at interpreter
+        # exit, so sys.exit would block forever on the wedged thread and
+        # keep this process holding its chip claim.  Flush and hard-exit.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        logging.shutdown()
+        os._exit(2)
+    return rc
 
 
 if __name__ == "__main__":

@@ -9,7 +9,9 @@ and checks each against the blocked-XLA exact reference
 returned indices — the same parity-grade criterion bench.py uses.
 
 Checks per variant: self-mode and cross-mode, runtime ``nr`` masking with
-garbage padding rows, and (batched variants) per-member heterogeneous nr.
+garbage padding rows, and (batched variants) per-member heterogeneous nr —
+plus a sufficiency-retry leg at k~26 (the VMEM regime the thin-margin
+retry dispatches in production, ops/pipeline.py:741).
 
 Usage: python scripts/tpu_kernel_cert.py [N] [d] [k]
 Exit code 0 iff every variant passes; one PASS/FAIL line per check.
@@ -166,6 +168,39 @@ def main():
                 xb[b, :m], xb[b, :m], k, self_mode=True))
             _check(f"{name}[b={b},nr={m}]", idx[b, :m],
                    batch[b, :m], batch[b, :m], rd2, failures)
+
+    # --- sufficiency-retry regime: k_sel = kmax + 4*pad + 8 ~ 26 ---
+    # The thin-margin retry (ops/pipeline.py:741) re-dispatches the refine
+    # kernels at ~26 candidates — a VMEM regime none of the k=5 checks
+    # compile (round-5 review: the first retry in production must not be
+    # the first time this configuration ever meets Mosaic's allocator).
+    # packed2 is the refine dispatch; binned (both packings) is exact_knn's
+    # k>=14 reroute (_query_tile shrinks its tile here).
+    kr = min(26, nr - 1)
+    ref_d2r, _ = jax.device_get(
+        knn_select_xla(x[:nr], x[:nr], kr, self_mode=True))
+    retry = {
+        f"packed2/self@k{kr}": lambda: kp.knn_select_pallas_packed2(
+            x, x, kr, self_mode=True, nr=nr, **IKW),
+        f"binned/self@k{kr}": lambda: kp.knn_select_pallas_binned(
+            x, x, kr, self_mode=True, nr=nr, **IKW),
+        f"binned_packed/self@k{kr}": lambda: kp.knn_select_pallas_binned(
+            x, x, kr, self_mode=True, nr=nr, packed=True, **IKW),
+    }
+    for name, fn in retry.items():
+        _, idx = jax.device_get(fn())
+        _check(name, idx[:nr], full[:nr], full[:nr], ref_d2r, failures)
+    ref_d2rx, _ = jax.device_get(knn_select_xla(qj, x[:nr], kr))
+    _, idx = jax.device_get(kp.knn_select_pallas_packed2(
+        qj, x, kr, nr=nr, **IKW))
+    _check(f"packed2/cross@k{kr}", idx, qry, full[:nr], ref_d2rx, failures)
+    _, idx = jax.device_get(kp.knn_select_pallas_packed2_batched(
+        xb, xb, kr, self_mode=True, nr=jnp.asarray(nrs), **IKW))
+    for b, m in enumerate(nrs):
+        rd2, _ = jax.device_get(knn_select_xla(
+            xb[b, :m], xb[b, :m], kr, self_mode=True))
+        _check(f"packed2_batched/self@k{kr}[b={b},nr={m}]", idx[b, :m],
+               batch[b, :m], batch[b, :m], rd2, failures)
 
     if failures:
         print(f"FAILED: {len(failures)} checks: {failures}")

@@ -174,6 +174,9 @@ def main(argv=None) -> int:
 
     executed = list(legs.values())
     artifact["ok"] = bool(executed) and all(leg["ok"] for leg in executed)
+    # a --merge over a previous backend-unreachable artifact must not leave
+    # its stale top-level error claim next to ok=true (round-5 review)
+    artifact.pop("error", None)
     with open(out_path, "w") as fp:
         json.dump(artifact, fp, indent=1)
     print(f"{'PASS' if artifact['ok'] else 'FAIL'} -> {out_path}")

@@ -112,3 +112,32 @@ def test_failure_line_reports_last_healthy_bench():
     if lh is None:   # repo without bench artifacts (fresh clone)
         return
     assert lh["value"] > 0 and lh["round_file"].startswith("BENCH_r")
+
+
+def test_recert_merge_clears_stale_unreachable_error(tmp_path, monkeypatch):
+    """REGRESSION (round-5 review): a --merge over an artifact left by a
+    backend-unreachable run recomputed ok=true from the executed legs but
+    kept the stale top-level 'error' claim — a self-contradictory PASS
+    artifact for the exact audience (driver/judge) it exists for."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "tpu_recert", os.path.join(REPO, "scripts", "tpu_recert.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import mcevidence_tpu.utils.backend_probe as bp
+    monkeypatch.setattr(bp, "probe_backend_with_retries",
+                        lambda **kw: ("cpu", 1))
+    out = tmp_path / "CERT_test.json"
+    out.write_text(_json.dumps({
+        "round": 5, "ok": False,
+        "error": "backend unreachable (bounded subprocess probes)",
+        "legs": {"kernel_cert": {"ok": True, "rc": 0,
+                                 "n_pass": 1, "n_total": 1}}}))
+    rc = mod.main(["--merge", "--out", str(out), "--round", "5",
+                   "--skip-kernel-cert", "--skip-bench", "--skip-serve"])
+    data = _json.loads(out.read_text())
+    assert rc == 0 and data["ok"] is True
+    assert "error" not in data
+    assert data["legs"]["kernel_cert"]["ok"] is True   # legs preserved

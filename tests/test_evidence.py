@@ -447,6 +447,15 @@ def test_device_hbm_estimate_shape_math():
             2 ** 19, 2 ** 19, 8, 9), rel=0.01)
     assert (estimate_device_refine_hbm_bytes(2 ** 23, 2 ** 23, 8, 9)
             > DEVICE_HBM_BUDGET_BYTES)
+    # REGRESSION (round-5 review): equal-size cross jobs (the even-N
+    # --cross split, matched-size two-chain runs) allocate separate
+    # rhi/rlo — the plan must charge the ref-coords term on the explicit
+    # cross flag, not on a row-count comparison
+    auto = estimate_device_refine_hbm_bytes(2 ** 19, 2 ** 19, 8, 9)
+    crossed = estimate_device_refine_hbm_bytes(2 ** 19, 2 ** 19, 8, 9,
+                                               cross=True)
+    from mcevidence_tpu.parallel.ring import _dpad_class
+    assert crossed - auto == 4 * 2 ** 19 * _dpad_class(8) * 4
 
 
 def test_refine_chunking_is_bitwise_identical(rng, monkeypatch):

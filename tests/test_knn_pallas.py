@@ -253,6 +253,49 @@ def test_pallas_binned_packed_cross_runtime_nr(rng):
     assert idx.max() < 730
 
 
+def test_bins_depth_schedule():
+    """Pin the k -> bin-store depth schedule: smallest L >= 4 keeping the
+    per-row collision-loss probability C(k, L+1)/128^L at or below the
+    long-certified k=9/L=4 level (~5e-7).  The hot path (k <= 9) must stay
+    at depth 4 — no perf change — while the sufficiency-retry regime
+    (k ~ 26) gets the depth that fixes the on-chip k=26 cert failure."""
+    from mcevidence_tpu.ops.knn_pallas import bins_depth_for
+    assert [bins_depth_for(k) for k in (1, 5, 9)] == [4, 4, 4]
+    assert [bins_depth_for(k) for k in (10, 14, 17)] == [5, 5, 5]
+    assert [bins_depth_for(k) for k in (18, 26, 30)] == [6, 6, 6]
+    assert bins_depth_for(31) == 7
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_pallas_binned_survives_bin_collisions_at_retry_k(packed):
+    """REGRESSION (round-5 on-chip cert): at the sufficiency-retry regime's
+    k~26 the fixed depth-4 bin store lost true neighbours whenever > 4 of a
+    row's top-k hashed into one lane bin (P ~ 2.4e-4/row at k=26 — ~1 bad
+    row per 4096-query cert run, rel err 1.3e-2 >> the 2^-10 band).  This
+    plants SIX of the top-26 in lane bin 7 (indices = 7 mod 128): the old
+    kernel provably drops two; the depth-6 store (bins_depth_for(26)) must
+    return every planted neighbour, both bin packings."""
+    from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_binned
+    nr, d, k = 1024, 4, 26
+    planted = 135 + 128 * np.arange(6)            # all in bin 7, >4 deep
+    r = np.zeros((nr, d), np.float32)
+    r[:, 0] = np.sqrt(10000.0 + np.arange(nr))    # ultra-far floor
+    r[16:616, 0] = np.sqrt(100.0 + np.arange(600))  # far band: top-k filler
+    r[planted, 0] = np.sqrt(0.01 * (1 + np.arange(6)))   # the planted six
+    q = np.zeros((8, d), np.float32)
+    d2, idx = knn_select_pallas_binned(jnp.asarray(q), jnp.asarray(r), k,
+                                       interpret=True, packed=packed)
+    idx = np.asarray(idx)
+    for row in range(8):
+        assert set(planted) <= set(idx[row]), (
+            f"row {row} lost planted neighbours: {sorted(set(idx[row]))}")
+    # distance parity against the exact top-k (recomputed from indices)
+    all_d2 = np.sum((q[:, None, :] - r[None]) ** 2, axis=-1)
+    want = np.sort(all_d2, axis=1)[:, :k]
+    got = np.sort(all_d2[np.arange(8)[:, None], idx], axis=1)
+    np.testing.assert_allclose(got, want, rtol=2.0 ** -10)
+
+
 @pytest.mark.parametrize("n,d,k", [(300, 5, 6), (517, 8, 4)])
 def test_pallas_smalld_self_mode_interpret(rng, n, d, k):
     from mcevidence_tpu.ops.knn_pallas import knn_select_pallas_smalld

@@ -272,3 +272,61 @@ def test_serve_error_leg_matches_request_estimator(tmp_path, rng,
     assert captured["ewe"]["split"] is True
     assert captured["boot"]["split"] is True
     assert captured["boot"]["precision"] == "fast"
+
+
+def test_serve_wedged_shutdown_returns_hard_exit_rc(monkeypatch):
+    """REGRESSION (round-5 review): a wedged in-flight device call must not
+    keep the service resident after stdin EOF.  The stall loop's plain
+    return was not enough — the executor's worker threads are non-daemon
+    and concurrent.futures joins them at interpreter exit, so the observed
+    orphaned --workers process (30 min holding its chip claim) survived
+    the round-4 'bounded' shutdown.  serve() now reports the wedge as
+    rc 2 and main() hard-exits (os._exit) on it."""
+    import io
+    import threading
+
+    import mcevidence_tpu.serve as sv
+
+    release = threading.Event()
+
+    def fake_handle(req):
+        if req.get("wedge"):
+            release.wait()          # a relay-wedged device call, in effigy
+            return {"id": req.get("id"), "ok": False, "error": "late"}
+        return {"id": req.get("id"), "ok": True}
+
+    monkeypatch.setattr(sv, "handle_request", fake_handle)
+    monkeypatch.setenv("MCE_SERVE_SHUTDOWN_STALL_S", "0.3")
+    inp = io.StringIO('{"id": 0, "wedge": true}\n{"id": 1}\n')
+    out = io.StringIO()
+    try:
+        rc = sv.serve(inp, out, workers=2)
+    finally:
+        release.set()               # let the thread finish so pytest exits
+    assert rc == 2
+
+
+def test_serve_slow_head_of_line_not_dropped(monkeypatch):
+    """Round-5 review finding 3: shutdown progress used to be measured only
+    by written head-of-line responses, so a legitimately slow FIRST request
+    was indistinguishable from a wedge even while later requests completed.
+    Progress now counts completions in any order; the slow head's response
+    must be delivered and the service must exit rc 0."""
+    import io
+    import json as _json
+    import time as _time
+
+    import mcevidence_tpu.serve as sv
+
+    def fake_handle(req):
+        if req["id"] == 0:
+            _time.sleep(2.5)        # slower than one stall window
+        return {"id": req["id"], "ok": True}
+
+    monkeypatch.setattr(sv, "handle_request", fake_handle)
+    monkeypatch.setenv("MCE_SERVE_SHUTDOWN_STALL_S", "2")
+    inp = io.StringIO('{"id": 0}\n{"id": 1}\n')
+    out = io.StringIO()
+    assert sv.serve(inp, out, workers=2) == 0
+    resp = [_json.loads(s) for s in out.getvalue().splitlines()]
+    assert [r["id"] for r in resp] == [0, 1] and all(r["ok"] for r in resp)
